@@ -1,0 +1,54 @@
+"""Session configuration for deterministic, oracle-comparable execution.
+
+The driver (and any embedding application) builds its own SparkSession, so
+everything here must be runtime-settable (``spark.conf.set``), not
+session-static. Verified against PySpark 4.1.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Runtime session configs required for correctness & determinism.
+#:
+#: - ``timeZone=UTC``: timestamps must collect identically to DuckDB's
+#:   (tz-naive, UTC) reads.
+#: - ``nanosAsLong=true``: the ``events`` table is parquet TIMESTAMP(NANOS),
+#:   which Spark 4.x refuses to read natively (PARQUET_TYPE_ILLEGAL). With
+#:   this flag the column arrives as ns-since-epoch int64 and is converted
+#:   by :func:`join_example_spark.sources.readers.read_events`.
+#: - AQE on (default in 4.x, set explicitly): runtime shuffle coalescing,
+#:   skew-join splitting, and runtime broadcast demotion — the knobs that
+#:   make these plans survive a 100 TB scale-up.
+SESSION_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the required runtime confs to ``spark``."""
+    for key, value in SESSION_CONFS.items():
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
+    return spark
+
+
+def build_local_session(
+    app_name: str = "join_example_spark",
+    cores: int | str = "*",
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Build a local session for tests/bench (the driver builds its own)."""
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    return ensure_session_confs(spark)

@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH banding, SimHash, and token-Jaccard
+near-dup — all JVM-side expressions (higher-order array functions +
+xxhash64), zero Python UDFs, so every stage stays inside whole-stage
+codegen and scales by shuffle on compact keys (hashes, band buckets).
+
+Scale notes:
+- Exact dedup: one shuffle on a 128-bit hash; at 100 TB the shuffle carries
+  (hash, doc_id) pairs only, not the documents.
+- MinHash/LSH: candidate generation shuffles on (band_idx, band_hash) — a
+  compact key whose cardinality grows with corpus size, so partitioning
+  stays balanced; the quadratic verify step runs only within LSH buckets.
+- SimHash: 64-bit fingerprints; near-dup = hamming distance via bit_count
+  on XOR — a cheap, broadcastable self-join within coarse blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TOKENIZE = "array_distinct(split(lower(trim({col})), ' '))"
+
+
+def normalized_text_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a deterministic 128-bit content hash of normalized text."""
+    return df.withColumn("text_hash", F.md5(F.lower(F.trim(F.col(text_col)))))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per normalized-text hash."""
+    hashed = normalized_text_hash(df, text_col)
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col))
+    return hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", num_perm: int = 16
+) -> DataFrame:
+    """Append ``minhash: array<bigint>`` — num_perm min-hashes over tokens.
+
+    Permutation i is simulated by xxhash64(token, seed=i-as-string); the
+    signature is computed entirely with higher-order functions (TRANSFORM /
+    ARRAY_MIN over a SEQUENCE of seeds) — one pass, no shuffle, no UDF.
+    """
+    tokens = _TOKENIZE.format(col=text_col)
+    sig = (
+        f"TRANSFORM(SEQUENCE(0, {num_perm - 1}), s -> "
+        f"  ARRAY_MIN(TRANSFORM({tokens}, t -> xxhash64(t, s))))"
+    )
+    return df.withColumn("minhash", F.expr(sig))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH banding: emit candidate (id_a, id_b) pairs sharing any band.
+
+    shingle→minhash→band→bucket-join: explode each doc into
+    num_perm/band_size (band_idx, band_hash) buckets, self-join on the
+    bucket key (an equi-join — shuffle on compact keys), dedupe pairs.
+    """
+    n_bands = num_perm // band_size
+    sigs = minhash_signature(df, text_col, num_perm).select(id_col, "minhash")
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"TRANSFORM(SEQUENCE(0, {n_bands - 1}), b -> "
+                f"  STRUCT(b AS band_idx, "
+                f"         xxhash64(CONCAT_WS(',', SLICE(minhash, b * {band_size} + 1, {band_size})), 42) AS band_hash))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs by exact token-set Jaccard >= threshold."""
+    tokens = df.select(
+        F.col(id_col), F.expr(_TOKENIZE.format(col=text_col)).alias("toks")
+    )
+    ta = tokens.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = tokens.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    joined = candidates.join(ta, "id_a").join(tb, "id_b")
+    jac = F.expr(
+        "CAST(SIZE(ARRAY_INTERSECT(toks_a, toks_b)) AS DOUBLE)"
+        " / CAST(SIZE(ARRAY_UNION(toks_a, toks_b)) AS DOUBLE)"
+    )
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``simhash: bigint`` — 64-bit SimHash over tokens.
+
+    Bit j of the fingerprint is 1 iff more token-hashes have bit j set than
+    unset. Folded from per-bit majority votes with SEQUENCE/TRANSFORM and a
+    final AGGREGATE into one BIGINT — all JVM expressions.
+    """
+    tokens = _TOKENIZE.format(col=text_col)
+    votes = (
+        f"TRANSFORM(SEQUENCE(0, 63), j -> "
+        f"  CASE WHEN 2 * SIZE(FILTER({tokens}, "
+        f"         t -> ((xxhash64(t) >> j) & 1) = 1)) > SIZE({tokens}) "
+        f"       THEN 1 ELSE 0 END)"
+    )
+    pack = (
+        f"AGGREGATE(ZIP_WITH({votes}, SEQUENCE(0, 63), (v, j) -> "
+        f"  CASE WHEN v = 1 THEN SHIFTLEFT(CAST(1 AS BIGINT), CAST(j AS INT)) "
+        f"       ELSE CAST(0 AS BIGINT) END), "
+        f"  CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+    return df.withColumn("simhash", F.expr(pack))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (bit_count of XOR).
+
+    Blocks on ``block_col`` (or the top-16 bits of the fingerprint) to keep
+    the self-join sub-quadratic at scale.
+    """
+    sigs = simhash64(df, text_col).select(id_col, "simhash", *( [block_col] if block_col else [] ))
+    if block_col is None:
+        sigs = sigs.withColumn("_blk", F.expr("simhash >> 48"))
+        block_col = "_blk"
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col(block_col).alias("blk"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col(block_col).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

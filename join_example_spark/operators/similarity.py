@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force blocked cosine top-k as the exact baseline, and a
+BucketedRandomProjectionLSH path as the approximate 100 TB route. Vectors in
+the fixture corpus are unit-normalized (FIXTURES.md), so dot product ==
+cosine similarity; `dot()` below is the general inner product either way.
+
+Everything in the exact path is JVM higher-order functions (ZIP_WITH /
+AGGREGATE) — no Python UDFs; the LSH path uses Spark MLlib (JVM) via
+`array_to_vector`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Sequential left-fold dot product in DOUBLE — deterministic evaluation
+#: order, identical expression shape on the oracle side.
+DOT_SQL = (
+    "AGGREGATE(ZIP_WITH({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    probe_pred: str | None = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact blocked top-k cosine neighbors per probe vector.
+
+    - ``probe_pred`` restricts the probe side (all-pairs is O(n²); a probe
+      subset is the honest exact-baseline shape).
+    - Blocking on ``block_col`` bounds candidates per probe; at 100 TB the
+      block key shuffles both sides co-located, and the per-probe top-k is a
+      rank-filter (no global sort).
+    - Similarity is rounded before ranking, with the candidate id as a
+      total-order tiebreak, so ranking is reproducible across engines.
+    """
+    probes = emb.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vec_p"),
+    )
+    if probe_pred:
+        probes = probes.where(F.expr(probe_pred.replace(id_col, "probe_id")))
+    cands = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vec_c"),
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    pairs = (
+        probes.join(cands, "blk")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(dot, round_digits))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "cand_id", "sim", "rn")
+    )
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= threshold) within blocks."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vec_a")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vec_b")
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot, round_digits))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def lsh_ann_pairs(
+    emb: DataFrame,
+    threshold_distance: float = 0.6,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-neighbor pairs via BucketedRandomProjectionLSH.
+
+    The 100 TB scale path: random-projection bucketing turns the O(n²)
+    self-join into bucket-local joins. Euclidean distance on unit vectors
+    maps monotonically to cosine (d² = 2 - 2·cos).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, threshold_distance, distCol="dist")
+    return (
+        joined.where(F.col("datasetA.vid") < F.col("datasetB.vid"))
+        .select(
+            F.col("datasetA.vid").alias("id_a"),
+            F.col("datasetB.vid").alias("id_b"),
+            F.round("dist", 4).alias("euclidean_dist"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker heuristic), quality scoring, token counting (whitespace
+and BPE-ish regex), and a rolling-hash document fingerprint — all JVM
+expressions (regexp/higher-order functions), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+#: Kept to portable regex constructs (identical semantics in Java regex and
+#: DuckDB's RE2) so the oracle can reproduce counts exactly.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+def langid_expr(text_col: str = "text") -> str:
+    """Marker-based language-ID heuristic as portable SQL CASE.
+
+    A real pipeline would use fastText/CLD3 (binary model — see
+    ``join_example_spark.multimodal`` for the stub pattern); this heuristic
+    is the deterministic, SQL-expressible stand-in: script detection for
+    zh, then high-frequency stopword markers for de/es/fr, else en.
+    Identical text works in both Spark SQL and DuckDB.
+    """
+    t = f"(' ' || LOWER({text_col}) || ' ')"
+    return (
+        f"CASE "
+        f"WHEN {text_col} LIKE '%一%' OR {text_col} LIKE '%的%' THEN 'zh' "
+        f"WHEN {t} LIKE '% der %' OR {t} LIKE '% und %' OR {t} LIKE '% nicht %' THEN 'de' "
+        f"WHEN {t} LIKE '% el %' OR {t} LIKE '% los %' OR {t} LIKE '% una %' THEN 'es' "
+        f"WHEN {t} LIKE '% le %' OR {t} LIKE '% les %' OR {t} LIKE '% une %' THEN 'fr' "
+        f"ELSE 'en' END"
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality features used for corpus filtering.
+
+    - n_tokens: whitespace token count
+    - distinct_ratio: vocabulary diversity (unique/total tokens)
+    - avg_token_len: mean token length (chars net of separators / tokens)
+    - quality_ok: the composite keep/drop predicate
+    """
+    toks = f"split(TRIM({text_col}), ' ')"
+    return (
+        df.withColumn("n_tokens", F.expr(f"CAST(SIZE({toks}) AS BIGINT)"))
+        .withColumn(
+            "distinct_ratio",
+            F.expr(f"CAST(SIZE(ARRAY_DISTINCT({toks})) AS DOUBLE) / SIZE({toks})"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.expr(
+                f"CAST(LENGTH(TRIM({text_col})) - (SIZE({toks}) - 1) AS DOUBLE) / SIZE({toks})"
+            ),
+        )
+        .withColumn(
+            "quality_ok",
+            F.expr(
+                "n_tokens >= 5 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0"
+                " AND distinct_ratio >= 0.3"
+            ),
+        )
+    )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a polynomial rolling-hash fingerprint over tokens (mod 1e9+7).
+
+    fp = fold(tokens, 0, (acc, t) -> (acc*31 + len(t)*131 + ascii(t[0])) % p)
+    — order-sensitive (a true rolling hash), single pass, JVM-only.
+    No DuckDB twin (no list fold in 1.0) — covered by unit tests + rows-only.
+    """
+    toks = f"split(TRIM({text_col}), ' ')"
+    fold = (
+        f"AGGREGATE({toks}, CAST(0 AS BIGINT), (acc, t) -> "
+        f"(acc * 31 + CAST(LENGTH(t) AS BIGINT) * 131 + CAST(ASCII(t) AS BIGINT))"
+        f" % 1000000007)"
+    )
+    return df.withColumn("fingerprint", F.expr(fold))

@@ -1,0 +1,288 @@
+"""§2.3 — the join surface (the heart of the reference).
+
+KStreams analogs are noted per query: KStream⋈KTable lookup joins,
+KStream⋈GlobalKTable broadcast joins, KStream⋈KStream windowed (range)
+joins, and the as-of join the Kafka Streams DSL cannot express.
+
+Scale posture: dimension joins broadcast (region/nation/supplier/part and
+customer are all far below the broadcast threshold even at 100× — and at
+true 100 TB, AQE demotes to shuffled joins automatically); fact-fact joins
+shuffle on their equi-keys with AQE skew splitting; the range join keeps an
+equality component so it never degrades to a nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from join_example_spark.operators.temporal import asof_join, range_join
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    note="KStream.join(KTable): keyed enrichment lookup",
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+FROM orders
+LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45.0) l
+  ON o_orderkey = l_orderkey
+""",
+    note="KStreams leftJoin: unmatched left rows survive with NULLs",
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45.0)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+FROM (SELECT * FROM lineitem WHERE l_quantity > 45.0) l
+RIGHT JOIN orders ON l_orderkey = o_orderkey
+""",
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45.0)
+    return li.join(orders, li.l_orderkey == orders.o_orderkey, "right").select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       c.n_cust, s.n_supp
+FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+""",
+    note="KStream.outerJoin(KStream): both sides' unmatched rows survive",
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+""",
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST((l_extendedprice) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    note="KStream.join(GlobalKTable): replicated small dim -> explicit broadcast",
+    tags=("join", "agg"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("CAST(SUM(CAST((l_extendedprice) AS DECIMAL(25,6))) AS DOUBLE)").alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+SELECT r_name, n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(25,6))) AS DOUBLE)
+         AS net_revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+GROUP BY r_name, n_name
+""",
+    note="5-way star join; Catalyst/AQE order & broadcast the dims",
+    tags=("join", "agg"),
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(
+            "CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(25,6))) AS DOUBLE)"
+        ).alias("net_revenue"),
+    )
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+SELECT a.event_id AS view_id,
+       b.event_id AS purchase_id,
+       a.ts AS view_ts,
+       b.ts AS purchase_ts
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view'
+ AND b.event_type = 'purchase'
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+    note="KStream.join(KStream, JoinWindows.of(1h)): every pair in the window",
+    tags=("join", "temporal"),
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    # Equality on user_id keeps this a (shuffled/broadcast) hash join with a
+    # residual interval filter — never a nested loop.
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= views.view_ts)
+        & (purchases.purchase_ts <= F.expr("view_ts + INTERVAL 1 HOUR")),
+        "inner",
+    )
+    return joined.select("view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    note="the join Kafka Streams DSL can't express; DuckDB native ASOF as oracle",
+    tags=("join", "temporal"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest prior-or-equal view by the same user.
+
+    Only the matched *timestamp* is projected (not the right-side row id),
+    so exact-timestamp ties on the right are output-invariant — required
+    because DuckDB's ASOF tie-pick among equal timestamps is unspecified.
+    """
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    views = events.where(F.col("event_type") == "view")
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts", how="inner"
+    )
+    return out.select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("r_ts").alias("last_view_ts"),
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")

@@ -1,0 +1,153 @@
+"""§2.10 — deduplication over the ``documents`` corpus.
+
+Exact dedup and blocked token-Jaccard near-dup are oracle-checked (Y);
+MinHash+LSH and SimHash use Spark's xxhash64 (no DuckDB twin) and are
+declared rows-only (R), with their algebraic properties unit-tested instead
+(see tests/test_dedup_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from join_example_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    simhash_near_pairs,
+    token_jaccard_pairs,
+)
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+
+@register(
+    "q_llm_dedup_exact",
+    oracle="""
+SELECT md5(LOWER(TRIM(text))) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    note="exact dedup: normalized-content hash, keep-lowest-id rule",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_llm_dedup_near",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang, n_chars, source,
+           list_distinct(string_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / CAST(LEN(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+FROM toks a
+JOIN toks b
+  ON a.lang = b.lang
+ AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 20
+WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(LEN(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5
+""",
+    note="blocked token-set Jaccard near-dup; Jaccard is a ratio of small ints "
+    "-> exact double both sides. Spark side adds length-bucket equi-blocking "
+    "(the 100 TB plan); oracle states the quadratic-within-block semantics.",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
+        )
+    )
+    # Length-bucket equi-blocking: |a.n_chars - b.n_chars| <= 20 implies the
+    # pair co-occurs in at least one of b's {bucket-1, bucket, bucket+1} at
+    # width 20 -> equi-join on (lang, bucket) + exact residual filter. At
+    # 100 TB this is a balanced hash shuffle, never a per-lang cartesian.
+    a = docs.withColumn("bucket", F.expr("CAST(n_chars DIV 20 AS BIGINT)"))
+    b = docs.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                "ARRAY(CAST(n_chars DIV 20 AS BIGINT) - 1,"
+                " CAST(n_chars DIV 20 AS BIGINT),"
+                " CAST(n_chars DIV 20 AS BIGINT) + 1)"
+            )
+        ),
+    )
+    aa = a.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("toks").alias("toks_a"),
+        "bucket",
+    )
+    bb = b.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("toks").alias("toks_b"),
+        "bucket",
+    )
+    pairs = (
+        aa.join(bb, ["bucket"])
+        .where(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
+        )
+        .select("id_a", "id_b", "toks_a", "toks_b")
+    )
+    # No pair-dedup needed: each left doc has exactly one bucket, so a pair
+    # can match in at most one exploded neighbor bucket.
+    jac = F.expr(
+        "CAST(SIZE(ARRAY_INTERSECT(toks_a, toks_b)) AS DOUBLE)"
+        " / CAST(SIZE(ARRAY_UNION(toks_a, toks_b)) AS DOUBLE)"
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "q_llm_dedup_minhash",
+    oracle=None,  # xxhash64-based; no DuckDB twin — rows-only.
+    note="MinHash(16 perms) + LSH banding (4 bands) candidates, verified by "
+    "token Jaccard >= 0.5; unit-tested against brute-force on micro-fixtures",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_perm=16, band_size=4)
+    return token_jaccard_pairs(docs, cands, threshold=0.5)
+
+
+@register(
+    "q_llm_dedup_simhash",
+    oracle=None,  # xxhash64-based; rows-only.
+    note="64-bit SimHash fingerprints; near-dups = hamming <= 8 within lang blocks",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=8, block_col="lang")

@@ -1,0 +1,86 @@
+"""§2.10 — similarity search over the ``embeddings`` table.
+
+The DuckDB oracle mirrors the exact path with the same sequential-fold dot
+product (list_zip + lambdas), same rounding, same tiebreak ranking. The LSH
+path has no SQL twin (MLlib random projections) — rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from join_example_spark.operators.similarity import (
+    cosine_near_pairs,
+    cosine_topk,
+    lsh_ann_pairs,
+)
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+# DuckDB-side dot product: identical sequential left-fold in DOUBLE.
+_DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+@register(
+    "q_llm_sim_topk",
+    oracle=f"""
+WITH pairs AS (
+    SELECT p.vec_id AS probe_id,
+           c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM embeddings p
+    JOIN embeddings c
+      ON p.label = c.label
+     AND p.vec_id % 100 = 0
+     AND p.vec_id <> c.vec_id
+)
+SELECT probe_id, cand_id, sim, rn
+FROM (
+    SELECT probe_id, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+    FROM pairs
+)
+WHERE rn <= 3
+""",
+    note="exact blocked cosine top-3 per probe (dot == cosine on unit vectors)",
+    tags=("llm", "similarity"),
+)
+def q_llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, k=3, probe_pred="vec_id % 100 = 0")
+
+
+@register(
+    "q_llm_embed_near",
+    oracle=f"""
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) AS sim
+FROM embeddings a
+JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+""",
+    note="embedding-cosine near-dup pairs within label blocks",
+    tags=("llm", "similarity", "dedup"),
+)
+def q_llm_embed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.35)
+
+
+@register(
+    "q_llm_sim_knn_scale",
+    oracle=None,  # MLlib random projections — no SQL twin; rows-only.
+    note="BucketedRandomProjectionLSH approximate neighbor pairs "
+    "(the 100 TB ANN path; euclidean on unit vectors ~ cosine)",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_sim_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_ann_pairs(emb, threshold_distance=1.2)

@@ -1,0 +1,160 @@
+"""§2.10 — text analysis over the ``documents`` corpus.
+
+Token stats, language/quality filtering, language-ID heuristic, BPE-ish
+token counting, quality features — all Y-oracle; the rolling-hash
+fingerprint is order-sensitive folding (no DuckDB fold in 1.0) — rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from join_example_spark.operators.text import (
+    BPE_PATTERN,
+    langid_expr,
+    quality_features,
+    rolling_fingerprint,
+)
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+WITH t AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+), tok_stats AS (
+    SELECT lang,
+           COUNT(*) AS total_tokens,
+           COUNT(DISTINCT tok) AS vocab_size
+    FROM t GROUP BY lang
+), doc_stats AS (
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST((n_chars) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+)
+SELECT d.lang, d.n_docs, d.avg_chars, s.total_tokens, s.vocab_size
+FROM doc_stats d JOIN tok_stats s ON d.lang = s.lang
+""",
+    note="per-language corpus stats: doc counts, avg length, token & vocab counts",
+    tags=("llm", "text"),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    tok_stats = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("vocab_size"),
+    )
+    doc_stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(CAST((n_chars) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)").alias(
+            "avg_chars"
+        ),
+    )
+    return doc_stats.join(tok_stats, "lang").select(
+        "lang", "n_docs", "avg_chars", "total_tokens", "vocab_size"
+    )
+
+
+@register(
+    "q_llm_lang_filter",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+  AND n_chars BETWEEN 200 AND 2000
+  AND source <> 'src0'
+""",
+    note="language/source/quality-bounds corpus filter",
+    tags=("llm", "text", "filter"),
+)
+def q_llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("lang").isin("en", "de")
+        & F.col("n_chars").between(200, 2000)
+        & (F.col("source") != "src0")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q_llm_langid",
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       {langid_expr("text")} AS predicted_lang
+FROM documents
+""",
+    note="n-gram/marker language-ID heuristic (same CASE expression both sides)",
+    tags=("llm", "text"),
+)
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.expr(langid_expr("text")).alias("predicted_lang")
+    )
+
+
+@register(
+    "q_llm_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(LEN(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+    note="whitespace + BPE-ish regex token counting (portable regex class)",
+    tags=("llm", "text"),
+)
+def q_llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.expr(f"CAST(SIZE(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS BIGINT)").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+@register(
+    "q_llm_quality",
+    oracle="""
+WITH q AS (
+    SELECT doc_id,
+           CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct(string_split(TRIM(text), ' '))) AS DOUBLE)
+             / LEN(string_split(TRIM(text), ' ')) AS distinct_ratio,
+           CAST(LENGTH(TRIM(text)) - (LEN(string_split(TRIM(text), ' ')) - 1) AS DOUBLE)
+             / LEN(string_split(TRIM(text), ' ')) AS avg_token_len
+    FROM documents
+)
+SELECT doc_id, n_tokens, distinct_ratio, avg_token_len,
+       (n_tokens >= 5 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+        AND distinct_ratio >= 0.3) AS quality_ok
+FROM q
+""",
+    note="document quality scoring: token count, diversity, avg token length",
+    tags=("llm", "text"),
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "distinct_ratio", "avg_token_len", "quality_ok"
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle=None,  # order-sensitive fold — no DuckDB list fold in 1.0; rows-only.
+    note="polynomial rolling-hash document fingerprint (mod 1e9+7)",
+    tags=("llm", "text"),
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs).select("doc_id", "fingerprint")

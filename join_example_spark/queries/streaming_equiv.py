@@ -1,0 +1,176 @@
+"""§2.9 — streaming surface, declared as batch-equivalents.
+
+Structured Streaming's correctness model *is* "the answer the batch query
+would give on the prefix" (SIGMOD'18), so each streaming operator is
+declared here as the batch query over the bounded ``events`` table; the
+live micro-batch demos (file source → foreachBatch, watermarks, stateful
+ops) live in ``join_example_spark.streaming`` and are unit-tested for
+equivalence against these.
+
+The flagship ``entry()`` query is also here: the reference-in-spirit
+stream-enrichment join (events ⋈ customer) + event-time tumbling window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+
+@register(
+    "q_flagship_daily_enrich",
+    oracle="""
+SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+       c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST((e.value) AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    note="flagship: stream-enrichment join + event-time daily window "
+    "(the Kafka Streams example's essence, idiomatic Spark)",
+    tags=("flagship", "join", "streaming"),
+)
+def q_flagship_daily_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    note="windowedBy(TimeWindows.of(1d)): tumbling event-time window",
+    tags=("streaming", "agg"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+SELECT make_timestamp((epoch_us(ts) // 21600000000 - i) * 21600000000) AS win_start,
+       event_type,
+       COUNT(*) AS n
+FROM events
+CROSS JOIN (SELECT unnest(range(4)) AS i) offsets
+GROUP BY 1, 2
+""",
+    note="hopping window: 1-day windows sliding 6h (each event in 4 windows); "
+    "oracle derives the 4 epoch-aligned window starts arithmetically",
+    tags=("streaming", "agg"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+), s AS (
+    SELECT user_id, ts, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS last_event_ts,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE) AS session_value
+FROM s
+GROUP BY user_id, sid
+""",
+    note="SessionWindows.with(30m): session_window op vs gaps-and-islands oracle",
+    tags=("streaming", "agg", "temporal"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE)").alias(
+                "session_value"
+            ),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events", "session_value")
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT user_id, event_type, event_id, ts
+FROM (
+    SELECT user_id, event_type, event_id, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+    note="dropDuplicates semantics made deterministic: first event per "
+    "(user_id, event_type) under (ts, event_id) order",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )

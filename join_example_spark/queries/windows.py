@@ -1,0 +1,162 @@
+"""§2.5 — analytic window functions (batch).
+
+Ranking/frame determinism: every ORDER BY inside a window carries a unique
+tiebreak column; running SUMs over doubles go through the decimal bridge so
+frame evaluation order can't perturb them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(RANK()       OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@register(
+    "q_win_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+""",
+    note="top-3 orders per customer — rank-filter pattern (no global sort)",
+    tags=("window",),
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / (CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE))
+         AS moving_avg3,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey
+                           ORDER BY CAST(datediff('day', DATE '1995-01-01',
+                                                  CAST(o_orderdate AS DATE)) AS BIGINT)
+                           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_orders_30d
+FROM orders
+""",
+    note="rows frames (running/moving) + numeric range frame (30-day count)",
+    tags=("window",),
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "_days", F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)")
+    )
+    w_rows = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w_rows.rowsBetween(-2, Window.currentRow)
+    w_range = Window.partitionBy("o_custkey").orderBy("_days").rangeBetween(-30, 0)
+    dec_price = F.expr("CAST(o_totalprice AS DECIMAL(25,6))")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec_price).over(w_run).cast("double").alias("running_total"),
+        (
+            F.sum(dec_price).over(w_mov).cast("double")
+            / F.count(F.lit(1)).over(w_mov).cast("double")
+        ).alias("moving_avg3"),
+        F.count(F.lit(1)).over(w_range).cast("bigint").alias("n_orders_30d"),
+    )
+
+
+@register(
+    "q_win_lead_lag",
+    oracle="""
+SELECT user_id, event_id, ts,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    note="inter-event gap per user (LAG) + next event type (LEAD)",
+    tags=("window", "temporal"),
+)
+def q_win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_win_ntile_percent",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window",),
+)
+def q_win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
