@@ -36,20 +36,28 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", num_perm: int = 16
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 16
 ) -> DataFrame:
-    """Append ``minhash: array<bigint>`` — num_perm min-hashes over tokens.
+    """``(id_col, minhash: array<bigint>)`` — num_perm min-hashes over tokens.
 
-    Permutation i is simulated by xxhash64(token, seed=i-as-string); the
-    signature is computed entirely with higher-order functions (TRANSFORM /
-    ARRAY_MIN over a SEQUENCE of seeds) — one pass, no shuffle, no UDF.
+    Permutation i is simulated by xxhash64(token, i). Shape: explode tokens →
+    num_perm MIN aggregates → pack to array. The MINs are whole-stage-codegen
+    hash aggregates with map-side partial combine, so the shuffle carries one
+    num_perm-wide row per (doc, partition) — the scalable shape (an earlier
+    higher-order-function formulation was 25× slower: interpreted lambdas,
+    re-hashing per seed).
     """
-    tokens = _TOKENIZE.format(col=text_col)
-    sig = (
-        f"TRANSFORM(SEQUENCE(0, {num_perm - 1}), s -> "
-        f"  ARRAY_MIN(TRANSFORM({tokens}, t -> xxhash64(t, s))))"
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_TOKENIZE.format(col=text_col))).alias("tok")
     )
-    return df.withColumn("minhash", F.expr(sig))
+    mins = [
+        F.min(F.expr(f"xxhash64(tok, {s})")).alias(f"_h{s}") for s in range(num_perm)
+    ]
+    return (
+        toks.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[f"_h{s}" for s in range(num_perm)]).alias("minhash"))
+    )
 
 
 def minhash_lsh_candidates(
@@ -66,7 +74,7 @@ def minhash_lsh_candidates(
     bucket key (an equi-join — shuffle on compact keys), dedupe pairs.
     """
     n_bands = num_perm // band_size
-    sigs = minhash_signature(df, text_col, num_perm).select(id_col, "minhash")
+    sigs = minhash_signature(df, id_col, text_col, num_perm)
     bands = sigs.select(
         id_col,
         F.explode(
@@ -115,27 +123,28 @@ def token_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append ``simhash: bigint`` — 64-bit SimHash over tokens.
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(id_col, simhash: bigint)`` — 64-bit SimHash over tokens.
 
     Bit j of the fingerprint is 1 iff more token-hashes have bit j set than
-    unset. Folded from per-bit majority votes with SEQUENCE/TRANSFORM and a
-    final AGGREGATE into one BIGINT — all JVM expressions.
+    unset. Shape: explode tokens → hash once per token → 64 signed-vote SUM
+    aggregates (+1/-1 per bit) → pack sign bits into one BIGINT. All
+    codegen'd hash aggregation with map-side combine; one shuffle on doc id.
     """
-    tokens = _TOKENIZE.format(col=text_col)
-    votes = (
-        f"TRANSFORM(SEQUENCE(0, 63), j -> "
-        f"  CASE WHEN 2 * SIZE(FILTER({tokens}, "
-        f"         t -> ((xxhash64(t) >> j) & 1) = 1)) > SIZE({tokens}) "
-        f"       THEN 1 ELSE 0 END)"
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_TOKENIZE.format(col=text_col))).alias("tok")
+    ).withColumn("_h", F.expr("xxhash64(tok)"))
+    votes = [
+        F.sum(F.expr(f"CASE WHEN ((_h >> {j}) & 1) = 1 THEN 1 ELSE -1 END")).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    pack = " + ".join(
+        f"(CASE WHEN _b{j} > 0 THEN SHIFTLEFT(CAST(1 AS BIGINT), {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
     )
-    pack = (
-        f"AGGREGATE(ZIP_WITH({votes}, SEQUENCE(0, 63), (v, j) -> "
-        f"  CASE WHEN v = 1 THEN SHIFTLEFT(CAST(1 AS BIGINT), CAST(j AS INT)) "
-        f"       ELSE CAST(0 AS BIGINT) END), "
-        f"  CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    return toks.groupBy(id_col).agg(*votes).select(
+        F.col(id_col), F.expr(pack).alias("simhash")
     )
-    return df.withColumn("simhash", F.expr(pack))
 
 
 def simhash_near_pairs(
@@ -150,10 +159,12 @@ def simhash_near_pairs(
     Blocks on ``block_col`` (or the top-16 bits of the fingerprint) to keep
     the self-join sub-quadratic at scale.
     """
-    sigs = simhash64(df, text_col).select(id_col, "simhash", *( [block_col] if block_col else [] ))
+    sigs = simhash64(df, id_col, text_col)
     if block_col is None:
         sigs = sigs.withColumn("_blk", F.expr("simhash >> 48"))
         block_col = "_blk"
+    else:
+        sigs = sigs.join(df.select(id_col, block_col), id_col)
     a = sigs.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sim_a"),

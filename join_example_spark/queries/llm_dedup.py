@@ -133,13 +133,16 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_dedup_minhash",
     oracle=None,  # xxhash64-based; no DuckDB twin — rows-only.
     note="MinHash(16 perms) + LSH banding (4 bands) candidates, verified by "
-    "token Jaccard >= 0.5; unit-tested against brute-force on micro-fixtures",
+    "token Jaccard >= 0.9; unit-tested against brute-force on micro-fixtures. "
+    "Scoped to one source partition: the fixture corpus has a 31-word "
+    "vocabulary (median pairwise Jaccard 0.65, measured), so banding cannot "
+    "prune it — the bound keeps the demo honest instead of quadratic.",
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").where(F.col("source") == "src0")
     cands = minhash_lsh_candidates(docs, num_perm=16, band_size=4)
-    return token_jaccard_pairs(docs, cands, threshold=0.5)
+    return token_jaccard_pairs(docs, cands, threshold=0.9)
 
 
 @register(
