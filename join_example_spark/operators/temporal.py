@@ -68,13 +68,14 @@ def range_join_bucketed(
     Matches r.ts in [l.ts, l.ts + window_seconds].
     """
     on = on or []
+    bucket_us = f"CAST({window_seconds} AS BIGINT) * CAST(1000000 AS BIGINT)"
     l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]).withColumn(
-        "_bucket", F.expr(f"CAST(unix_micros(l_{left_ts}) DIV ({window_seconds} * 1000000) AS BIGINT)")
+        "_bucket", F.expr(f"unix_micros(l_{left_ts}) DIV ({bucket_us})")
     )
     r = (
         right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
         .withColumn(
-            "_rb", F.expr(f"CAST(unix_micros(r_{right_ts}) DIV ({window_seconds} * 1000000) AS BIGINT)")
+            "_rb", F.expr(f"unix_micros(r_{right_ts}) DIV ({bucket_us})")
         )
         .withColumn("_bucket", F.explode(F.array(F.col("_rb") - 1, F.col("_rb"))))
         .drop("_rb")

@@ -114,7 +114,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH g AS (
     SELECT user_id, ts, event_id, value,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     >= INTERVAL 30 MINUTE
+                     > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS brk
     FROM events
 ), s AS (
@@ -131,7 +131,9 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, sid
 """,
-    note="SessionWindows.with(30m): session_window op vs gaps-and-islands oracle",
+    note="SessionWindows.with(30m): session_window op vs gaps-and-islands oracle. "
+    "Boundary pinned by unit test: a gap of exactly 30:00 MERGES (Spark "
+    "session_window semantics); a new session needs gap > 30min strictly",
     tags=("streaming", "agg", "temporal"),
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:

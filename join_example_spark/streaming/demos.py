@@ -1,0 +1,230 @@
+"""Structured Streaming demos — the live micro-batch side of §2.9.
+
+Each demo mirrors a Kafka Streams DSL operation on a *real stream*
+(file source, AvailableNow trigger — no Kafka jar in this environment;
+on a cluster the same topologies run against
+``spark.readStream.format("kafka")`` unchanged):
+
+- tumbling window agg        ~ windowedBy(TimeWindows.of(1d))
+- stream-static join         ~ KStream.join(KTable/GlobalKTable)
+- stream-stream interval join~ KStream.join(KStream, JoinWindows.of(10m))
+- watermark + dedup          ~ grace periods / custom store dedup
+- stateful sessionization    ~ Processor API transform + state store
+
+The batch-equivalence tests (tests/test_streaming.py) assert each demo's
+final output equals the declared batch query on the same bounded input —
+the prefix-consistency criterion Structured Streaming guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from join_example_spark.conf import ensure_session_confs
+
+#: Raw parquet schema of events with the ns timestamp as int64 (the
+#: nanosAsLong representation — file streams need an explicit schema).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table from its parquet file (directory listing
+    source — the moral equivalent of consuming a topic from offset 0)."""
+    ensure_session_confs(spark)
+    # File-stream sources list a *directory*; pathGlobFilter scopes the
+    # listing to the events file within the fixture dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(
+    stream_df: DataFrame, checkpoint_dir: str, mode: str = "append"
+) -> DataFrame:
+    """Run a streaming DataFrame with AvailableNow to its final answer.
+
+    - ``append``: rows accumulate across micro-batches (joins, row streams,
+      finalized-only windowed output under a watermark).
+    - ``complete``: each batch re-emits the full result; the last batch is
+      the final answer — use for windowed aggregations when the trailing
+      windows (which the watermark never finalizes on a bounded input) must
+      be included.
+    """
+    spark = stream_df.sparkSession
+    buf: list = []
+    schema = stream_df.schema
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        if mode == "complete":
+            buf.clear()
+        buf.extend(rows)
+
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(buf, schema) if buf else spark.createDataFrame([], schema)
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time window with a 1-hour watermark."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "n", "total_value")
+    )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer dim.
+
+    KStream.join(GlobalKTable): the static side is broadcast per micro-batch;
+    no watermark needed (static side never changes mid-query)."""
+    from join_example_spark.sources.readers import read_table
+
+    events = read_events_stream(spark, sf_dir)
+    customer = read_table(spark, sf_dir, "customer")
+    return events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    ).select("event_id", "ts", "user_id", "c_mktsegment", "value")
+
+
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join within ±10 minutes, both sides watermarked.
+
+    KStream.join(KStream, JoinWindows.of(10m), grace): Spark buffers both
+    sides in state, expiring buffered rows once the watermark passes the
+    interval bound — bounded state at any scale."""
+    left = read_events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    right = read_events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    l = left.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "10 minutes")
+    r = right.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    return l.join(
+        r,
+        F.expr(
+            "l_user = r_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 10 MINUTES"
+        ),
+        "inner",
+    ).select("view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark window.
+
+    The streaming twin of exact dedup: state holds one entry per key only
+    until the watermark passes — bounded memory on an unbounded stream."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(source_dir)
+    ensure_session_confs(spark)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sessionize_stateful(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState.
+
+    The Processor-API analog (transform + state store + punctuate): per-user
+    state carries the open session (start, last_ts, n, sum); an event past
+    the gap closes and emits the session. Timed-out state flushes residual
+    sessions. This is the engine's one sanctioned Python-boundary operator
+    (Arrow-batched); everything batch stays JVM-native.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+
+    out_schema = (
+        "user_id BIGINT, session_start TIMESTAMP, last_event_ts TIMESTAMP, "
+        "n_events BIGINT, session_value DOUBLE"
+    )
+    state_schema = "start BIGINT, last BIGINT, n BIGINT, total DOUBLE"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = -1
+            n, total = 0, 0.0
+        sessions = []
+        if state.hasTimedOut:
+            if n > 0:
+                sessions.append((user_id, start, last, n, total))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+            for ts, val in zip(rows["ts"], rows["value"]):
+                ts_us = int(ts.value // 1000)  # pandas ns -> µs
+                if start < 0:
+                    start, last, n, total = ts_us, ts_us, 1, float(val)
+                elif ts_us - last >= gap_us:
+                    sessions.append((user_id, start, last, n, total))
+                    start, last, n, total = ts_us, ts_us, 1, float(val)
+                else:
+                    last = ts_us
+                    n += 1
+                    total += float(val)
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [s[0] for s in sessions],
+                    "session_start": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                    "last_event_ts": [pd.Timestamp(s[2], unit="us") for s in sessions],
+                    "n_events": [s[3] for s in sessions],
+                    "session_value": [s[4] for s in sessions],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,213 @@
+"""Operator unit tests on crafted micro-fixtures (FIXTURES.md).
+
+These cover the semantic edges the synthetic tables cannot exercise:
+as-of ties, session-gap boundaries (< vs <=), NULL join keys, and the
+bucketed range join's equivalence to the plain formulation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from join_example_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    token_jaccard_pairs,
+)
+from join_example_spark.operators.temporal import (
+    asof_join,
+    latest_per_key,
+    range_join,
+    range_join_bucketed,
+)
+
+
+def _ts(minute: int, second: int = 0, micro: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, second, micro)
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def test_asof_join_picks_latest_at_or_before_with_tie(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lid=100, ts=_ts(30)), Row(k=1, lid=101, ts=_ts(10))]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=1, ts=_ts(5)),
+            Row(k=1, rid=2, ts=_ts(10)),  # tie with left lid=101 at :10 (<= wins)
+            Row(k=1, rid=3, ts=_ts(10)),  # identical right ts — tie on right
+            Row(k=1, rid=4, ts=_ts(31)),  # after both lefts — never matches
+        ]
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").select(
+        "l_lid", "r_ts"
+    )
+    got = {(r.l_lid, r.r_ts) for r in out.collect()}
+    assert got == {(100, _ts(10)), (101, _ts(10))}
+
+
+def test_asof_join_inner_drops_unmatched_and_respects_keys(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lid=1, ts=_ts(1)), Row(k=2, lid=2, ts=_ts(50))]
+    )
+    right = spark.createDataFrame([Row(k=1, rid=9, ts=_ts(0))])
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    rows = out.select("l_lid", "r_rid").collect()
+    assert [(r.l_lid, r.r_rid) for r in rows] == [(1, 9)]  # k=2 has no match
+
+
+def test_asof_tolerance_bounds_lookback(spark):
+    left = spark.createDataFrame([Row(k=1, lid=1, ts=_ts(30))])
+    right = spark.createDataFrame([Row(k=1, rid=1, ts=_ts(0))])
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        tolerance="INTERVAL 10 MINUTES",
+    )
+    assert out.count() == 0  # match is 30 min old, tolerance is 10
+
+
+# ------------------------------------------------------------- range joins
+
+
+def _range_fixture(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lid=1, ts=_ts(0)), Row(k=1, lid=2, ts=_ts(45)), Row(k=2, lid=3, ts=_ts(0))]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=1, ts=_ts(0)),       # boundary: == left ts
+            Row(k=1, rid=2, ts=_ts(59, 59)),  # within 1h of lid=1
+            Row(k=1, rid=3, ts=dt.datetime(2024, 1, 1, 13, 0, 0)),  # exactly +1h
+            Row(k=2, rid=4, ts=_ts(30)),
+            Row(k=3, rid=5, ts=_ts(1)),       # key with no left
+        ]
+    )
+    return left, right
+
+
+def test_range_join_window_semantics(spark):
+    left, right = _range_fixture(spark)
+    out = range_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    got = sorted((r.l_lid, r.r_rid) for r in out.collect())
+    # lid=1 matches rids 1,2,3 (inclusive both ends); lid=2 matches 2,3; lid=3 matches 4
+    assert got == [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 4)]
+
+
+def test_range_join_bucketed_equals_plain(spark):
+    left, right = _range_fixture(spark)
+    plain = range_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                       upper="INTERVAL 3600 SECOND")
+    bucketed = range_join_bucketed(left, right, "ts", "ts", 3600, on=["k"])
+    p = sorted((r.l_lid, r.r_rid) for r in plain.collect())
+    b = sorted((r.l_lid, r.r_rid) for r in bucketed.collect())
+    assert p == b
+
+
+# ------------------------------------------------------ latest per key / NULLs
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, id=1, ts=_ts(10)),
+            Row(k=1, id=2, ts=_ts(10)),  # same ts — larger id wins
+            Row(k=2, id=3, ts=_ts(0)),
+        ]
+    )
+    out = latest_per_key(df, keys=["k"], ts="ts", tiebreak="id")
+    got = {(r.k, r.id) for r in out.collect()}
+    assert got == {(1, 2), (2, 3)}
+
+
+def test_null_join_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [Row(k=None, v=1), Row(k=1, v=2)], "k INT, v INT"
+    )
+    right = spark.createDataFrame(
+        [Row(k=None, w=10), Row(k=1, w=20)], "k INT, w INT"
+    )
+    inner = left.join(right, "k").count()
+    assert inner == 1  # NULL keys don't match (ANSI)
+    anti = left.join(right, "k", "left_anti").count()
+    assert anti == 1  # the NULL-key left row survives anti
+
+
+# ---------------------------------------------------------------- dedup ops
+
+
+def _dup_docs(spark):
+    """Planted exact + near duplicates (FIXTURES.md dup-docs fixture)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 token edit
+    far = "one two three four five six seven eight nine ten"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.upper()),          # exact dup after normalize
+            Row(doc_id=3, text="  " + base + "  "),    # exact dup after trim
+            Row(doc_id=4, text=near),                  # near dup (J = 9/11)
+            Row(doc_id=5, text=far),
+        ]
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = exact_dedup(_dup_docs(spark))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4, 5]
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    docs = _dup_docs(spark)
+    cands = minhash_lsh_candidates(docs, num_perm=16, band_size=4)
+    verified = token_jaccard_pairs(docs, cands, threshold=0.7)
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    # The exact-dup pairs (1,2),(1,3),(2,3) are J=1.0; the near pair (x,4) is
+    # J=9/11≈0.82. LSH must surface all of them (16 perms, 4-row bands).
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    assert any(b == 4 or a == 4 for a, b in got)
+    # and nothing pairs with the unrelated doc 5
+    assert not any(5 in p for p in got)
+
+
+# ------------------------------------------------------- session boundaries
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Spark session_window merges at EXACTLY the gap (new session iff
+    diff > gap, strictly) — the gaps-and-islands oracle must use
+    ``brk WHEN diff > 30min`` to match. Pinned here at the µs boundary."""
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0)),
+        Row(user_id=1, event_id=2, ts=_ts(30)),  # +30:00.000000 exactly -> MERGES
+        Row(user_id=1, event_id=3, ts=dt.datetime(2024, 1, 1, 13, 0, 0, 1)),  # +30:00.000001 -> new
+    ]
+    df = spark.createDataFrame(rows)
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n")
+        .collect()
+    )
+    assert sorted(r.n for r in out) == [1, 2]
+    # And the oracle's strict-> rule reproduces the same grouping in DuckDB.
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.sql(
+        """
+        WITH e(ts) AS (VALUES (TIMESTAMP '2024-01-01 12:00:00'),
+                              (TIMESTAMP '2024-01-01 12:30:00'),
+                              (TIMESTAMP '2024-01-01 13:00:00.000001')),
+        g AS (SELECT ts, CASE WHEN ts - LAG(ts) OVER (ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
+        s AS (SELECT ts, SUM(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        SELECT COUNT(*) AS n FROM s GROUP BY sid ORDER BY n
+        """
+    ).fetchall()
+    con.close()
+    assert [r[0] for r in got] == [1, 2]

@@ -1,0 +1,67 @@
+"""Plan-shape audits: the queries must not only be right — they must carry
+the physical plan we'd want at 100 TB (broadcasts, pushdown, pruning, no
+Python UDFs in batch paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from join_example_spark.plans.audit import (
+    executed_plan,
+    has_broadcast_hash_join,
+    has_python_udf,
+    pushed_filters,
+    read_schema_columns,
+)
+from join_example_spark.registry import load_all
+from join_example_spark.sources.readers import read_table
+from tests.conftest import SF_SMOKE
+
+_REG = load_all()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    df = _REG["q_join_broadcast"].fn(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+
+
+def test_flagship_enrichment_broadcasts_dim(spark):
+    df = _REG["q_flagship_daily_enrich"].fn(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = _REG["q_filter_pred"].fn(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert pushed, "no PushedFilters on the lineitem scan"
+    assert any("l_shipdate" in p for p in pushed)
+
+
+def test_column_pruning_reaches_scan(spark):
+    # A 3-column projection over the 11-column lineitem must scan 4 cols max.
+    df = _REG["q_project_rename"].fn(spark, SF_SMOKE)
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(cols) <= 5 for cols in schemas), schemas
+
+
+def test_no_python_udfs_in_batch_queries(spark):
+    offenders = []
+    for name, spec in _REG.items():
+        df = spec.fn(spark, SF_SMOKE)
+        if has_python_udf(df):
+            offenders.append(name)
+    assert not offenders, f"Python UDFs in batch plans: {offenders}"
+
+
+def test_sort_limit_uses_take_ordered(spark):
+    df = _REG["q_sort_limit"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_range_join_has_equality_component(spark):
+    # The theta/range join must plan as a hash join on user_id with the
+    # interval as residual — never a nested-loop/cartesian.
+    df = _REG["q_join_theta_range"].fn(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -1,0 +1,135 @@
+"""Streaming ≡ batch equivalence tests (SURVEY.md §5.2.5).
+
+Each live micro-batch demo must produce the same final answer as its
+declared batch-equivalent query on the same bounded input — the
+prefix-consistency criterion of the Structured Streaming model.
+Late-data behavior is exercised with a crafted out-of-order micro-fixture
+(the sf events table is ts-sorted, so it can't test lateness by itself).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from join_example_spark.registry import load_all
+from join_example_spark.streaming import demos
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare_frames
+
+
+def _final(stream_df, tmp_path, sub, mode="append"):
+    return demos.run_to_completion(stream_df, str(tmp_path / sub), mode)
+
+
+@pytest.mark.streaming
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    # complete mode: the bounded input's trailing windows never pass the
+    # watermark, so append mode would (correctly) withhold them.
+    streamed = _final(
+        demos.tumbling_counts_stream(spark, SF_SMOKE), tmp_path, "t", "complete"
+    )
+    batch = load_all()["q_stream_tumbling"].fn(spark, SF_SMOKE)
+    problems = compare_frames(streamed.toPandas(), batch.toPandas())
+    assert not problems, problems
+
+
+@pytest.mark.streaming
+def test_stream_static_join_equals_batch(spark, tmp_path):
+    streamed = _final(demos.stream_static_enrich(spark, SF_SMOKE), tmp_path, "ss")
+    from join_example_spark.sources.readers import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    customer = read_table(spark, SF_SMOKE, "customer")
+    batch = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    ).select("event_id", "ts", "user_id", "c_mktsegment", "value")
+    problems = compare_frames(streamed.toPandas(), batch.toPandas())
+    assert not problems, problems
+
+
+@pytest.mark.streaming
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    streamed = _final(
+        demos.stream_stream_interval_join(spark, SF_SMOKE), tmp_path, "ssj"
+    )
+    # Batch twin: the same interval join at 10 minutes on the bounded table.
+    from join_example_spark.sources.readers import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = views.join(
+        purchases,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.expr("view_ts + INTERVAL 10 MINUTES")),
+    ).select("view_id", "purchase_id", "view_ts", "purchase_ts")
+    problems = compare_frames(streamed.toPandas(), batch.toPandas())
+    assert not problems, problems
+
+
+@pytest.fixture()
+def late_events_dir(spark, tmp_path):
+    """Out-of-order micro-fixture: duplicates + a late straggler, written as
+    raw parquet in the nanosAsLong representation the file stream expects."""
+    rows = [
+        # (event_id, ts_ns, user_id, event_type, value, props)
+        (1, 1_700_000_000_000_000_000, 1, "view", 1.0, "{}"),
+        (2, 1_700_000_060_000_000_000, 1, "view", 2.0, "{}"),
+        (1, 1_700_000_120_000_000_000, 1, "view", 1.0, "{}"),  # dup within wm
+        (3, 1_700_003_600_000_000_000, 2, "click", 3.0, "{}"),  # advances wm 1h
+        (4, 1_700_000_000_500_000_000, 1, "view", 4.0, "{}"),  # late arrival
+    ]
+    pdf_dir = tmp_path / "late_events"
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pdf_dir.mkdir()
+    pq.write_table(table, pdf_dir / "part-0.parquet")
+    return str(pdf_dir)
+
+
+@pytest.mark.streaming
+def test_dedup_within_watermark_drops_duplicate(spark, tmp_path, late_events_dir):
+    streamed = _final(
+        demos.stream_dedup_within_watermark(spark, late_events_dir), tmp_path, "ddw"
+    )
+    ids = [r.event_id for r in streamed.select("event_id").collect()]
+    # event_id 1 appears twice within the watermark window -> kept once.
+    assert sorted(ids) == [1, 2, 3, 4]
+
+
+@pytest.mark.streaming
+def test_stateful_sessionization_matches_batch_sessions(spark, tmp_path):
+    streamed = _final(demos.sessionize_stateful(spark, SF_SMOKE), tmp_path, "sess")
+    batch = load_all()["q_stream_session"].fn(spark, SF_SMOKE)
+    # The stateful op emits sessions closed by a subsequent event or state
+    # timeout; with AvailableNow over a bounded file the final open session
+    # per user flushes on timeout, so totals must match the batch answer.
+    s = streamed.agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    ).collect()[0]
+    b = batch.agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    ).collect()[0]
+    assert (s.n_sessions, s.n_events) == (b.n_sessions, b.n_events)
