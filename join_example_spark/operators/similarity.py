@@ -93,6 +93,60 @@ def cosine_near_pairs(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    k: int = 3,
+    probe_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize every vector to
+    its nearest centroid cell, then search only within the probe's own cell
+    (nprobe=1).
+
+    The coarse quantizer is deterministic — the ``n_centroids`` lowest-id
+    vectors serve as centroids (no k-means randomness), assignment ties break
+    by centroid id. At 100 TB: centroids broadcast (tiny), assignment is a
+    map-side broadcast join + per-vector argmax, and the search join shuffles
+    both sides once on the cell key — the classic IVF cost shape
+    (n·C map work + cell-local candidate scan, never all-pairs).
+    """
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    cdot = F.expr(DOT_SQL.format(a=vec_col, b="cvec"))
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
+    cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cdot, round_digits))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
+    )
+    probes = cells.where(F.expr(probe_pred)).select(
+        F.col(id_col).alias("probe_id"), F.col("cell"), F.col(vec_col).alias("vec_p")
+    )
+    cands = cells.select(
+        F.col(id_col).alias("cand_id"), F.col("cell"), F.col(vec_col).alias("vec_c")
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    pairs = (
+        probes.join(cands, "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(dot, round_digits))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", F.col("cell").cast("bigint").alias("cell"), "cand_id", "sim", "rn")
+    )
+
+
 def lsh_ann_pairs(
     emb: DataFrame,
     threshold_distance: float = 0.6,

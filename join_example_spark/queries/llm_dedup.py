@@ -130,6 +130,100 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_dedup_ngram",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang, n_chars,
+           str_split(LOWER(TRIM(text)), ' ') AS t
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+), sh AS (
+    SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS grams
+    FROM toks
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / CAST(LEN(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+         AS ngram_jaccard
+FROM sh a
+JOIN sh b
+  ON a.lang = b.lang
+ AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 20
+WHERE LEN(a.grams) > 0 AND LEN(b.grams) > 0
+  AND CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(LEN(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+        >= 0.02
+""",
+    note="word-bigram (2-shingle) Jaccard near-dup — order-sensitive where the "
+    "token-set variant is order-blind. Same length-bucket equi-blocking plan; "
+    "shingles via indexed transform (sequence() would descend on 1-token docs)",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = F.expr(
+        "array_distinct(transform("
+        "  slice(split(LOWER(TRIM(text)), ' '), 1,"
+        "        greatest(size(split(LOWER(TRIM(text)), ' ')) - 1, 0)),"
+        "  (t, i) -> concat(t, ' ', split(LOWER(TRIM(text)), ' ')[i + 1])))"
+    )
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select("doc_id", "lang", "n_chars", shingles.alias("grams"))
+        .where(F.size("grams") > 0)
+    )
+    # Same 100 TB blocking plan as q_llm_dedup_near: equi-join on
+    # (lang, n_chars-bucket ± 1) then exact residual, never a cartesian.
+    a = docs.withColumn("bucket", F.expr("CAST(n_chars DIV 20 AS BIGINT)"))
+    b = docs.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                "ARRAY(CAST(n_chars DIV 20 AS BIGINT) - 1,"
+                " CAST(n_chars DIV 20 AS BIGINT),"
+                " CAST(n_chars DIV 20 AS BIGINT) + 1)"
+            )
+        ),
+    )
+    aa = a.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("grams").alias("grams_a"),
+        "bucket",
+    )
+    bb = b.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("grams").alias("grams_b"),
+        "bucket",
+    )
+    pairs = (
+        aa.join(bb, ["bucket"])
+        .where(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
+        )
+        .select("id_a", "id_b", "grams_a", "grams_b")
+    )
+    jac = F.expr(
+        "CAST(SIZE(ARRAY_INTERSECT(grams_a, grams_b)) AS DOUBLE)"
+        " / CAST(SIZE(ARRAY_UNION(grams_a, grams_b)) AS DOUBLE)"
+    )
+    return (
+        pairs.withColumn("ngram_jaccard", jac)
+        .where(F.col("ngram_jaccard") >= 0.02)
+        .select("id_a", "id_b", "ngram_jaccard")
+    )
+
+
+@register(
     "q_llm_dedup_minhash",
     oracle=None,  # xxhash64-based; no DuckDB twin — rows-only.
     note="MinHash(16 perms) + LSH banding (4 bands) candidates, verified by "

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from join_example_spark.operators.similarity import (
     cosine_near_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_ann_pairs,
 )
 from join_example_spark.registry import register
@@ -72,6 +73,51 @@ WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
 def q_llm_embed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_near_pairs(emb, threshold=0.35)
+
+
+@register(
+    "q_llm_sim_ivf",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), cells AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn = 1
+), pairs AS (
+    SELECT p.vec_id AS probe_id,
+           p.cell AS cell,
+           c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM cells p
+    JOIN cells c
+      ON p.cell = c.cell
+     AND p.vec_id % 100 = 0
+     AND p.vec_id <> c.vec_id
+)
+SELECT probe_id, CAST(cell AS BIGINT) AS cell, cand_id, sim, rn
+FROM (
+    SELECT probe_id, cell, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+    FROM pairs
+)
+WHERE rn <= 3
+""",
+    note="IVF top-3 with a deterministic coarse quantizer (16 lowest-id "
+    "vectors as centroids, nprobe=1): broadcast assignment + cell-local "
+    "search — the exact-SQL-checkable skeleton of the FAISS-style ANN path",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, n_centroids=16, k=3, probe_pred="vec_id % 100 = 0")
 
 
 @register(

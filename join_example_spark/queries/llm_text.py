@@ -151,7 +151,19 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_fingerprint",
-    oracle=None,  # order-sensitive fold — no DuckDB list fold in 1.0; rows-only.
+    # Order-sensitive fold has an exact DuckDB twin: list_reduce with the
+    # init value prepended (list_reduce seeds from the first element).
+    # Bit-parity of the per-token term (len*131 + ascii) and the
+    # (acc*31 + x) % 1e9+7 fold verified empirically both sides.
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(str_split(trim(text), ' '),
+                   t -> CAST(length(t) AS BIGINT) * 131 + ascii(t))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+""",
     note="polynomial rolling-hash document fingerprint (mod 1e9+7)",
     tags=("llm", "text"),
 )
