@@ -36,6 +36,14 @@ def main() -> None:
     # measure the plan, not first-call JIT/classloading.
     warm = registry["q_flagship_daily_enrich"].fn(spark, "/root/testdata/sf0.001")
     warm.write.format("noop").mode("overwrite").save()
+    # Warm the file-listing/footer metadata for the bench SF so the first
+    # registry query isn't charged the one-time listing cost.
+    from pyspark.sql import functions as F
+
+    from join_example_spark.sources.readers import TABLES, read_table
+
+    for t in TABLES:
+        read_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, spec in registry.items():
