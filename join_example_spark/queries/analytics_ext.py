@@ -1,0 +1,163 @@
+"""Extended analytics surface: pivot, exact percentiles, statistical
+aggregates, ordered string aggregation, positional explode.
+
+Determinism notes mirror §5.3 of SURVEY.md: collect_list order is
+partition-dependent, so every list aggregate is sorted before use; Spark's
+0-based posexplode is aligned to DuckDB's 1-based generate_subscripts
+explicitly; statistical moments are rounded after exact-enough accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_o,
+       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    note="pivot on an explicit value list (implicit pivot would scan twice "
+    "for distinct values); decimal accumulation for order-independence",
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    # Explicit pivot values: no extra distinct-scan, stable column order.
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.coalesce("F_n", F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).cast("bigint").alias("n_o"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    note="exact linear-interpolation percentiles (Spark percentile() == "
+    "DuckDB quantile_cont); the scale path is approx_percentile — a "
+    "mergeable sketch — declared separately as rows-only",
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle=None,  # sketch-based (KLL/GK); no exact SQL twin — rows-only.
+    note="approx_percentile: the mergeable-sketch percentile path that "
+    "replaces exact percentile() at 100 TB (single pass, bounded memory)",
+    tags=("agg", "percentile", "approx"),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias(
+            "price_quantiles"
+        )
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
+       ROUND(var_samp(o_totalprice), 1) AS var_price,
+       ROUND(corr(o_totalprice, o_custkey), 4) AS corr_price_cust,
+       ROUND(covar_samp(o_totalprice, o_custkey), 1) AS covar_price_cust
+FROM orders
+GROUP BY o_orderpriority
+""",
+    note="statistical moments (stddev/var/corr/covar); both engines use "
+    "numerically-stable one-pass accumulators, rounded to absorb the "
+    "last-ulp merge-order difference",
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 1).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 1).alias("covar_price_cust"),
+    )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+SELECT n.n_regionkey,
+       string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations
+FROM nation n
+GROUP BY n.n_regionkey
+""",
+    note="ordered string aggregation: collect_list is partition-order-"
+    "dependent, so it is array_sort'ed before joining — the only "
+    "deterministic form of string_agg on a distributed engine",
+    tags=("agg", "string"),
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations")
+    )
+
+
+@register(
+    "q_explode_pos",
+    oracle="""
+WITH toks AS (
+    SELECT p_partkey, str_split(p_name, ' ') AS t
+    FROM part
+    WHERE p_partkey <= 100
+)
+SELECT p_partkey,
+       CAST(generate_subscripts(t, 1) - 1 AS INTEGER) AS pos,
+       unnest(t) AS tok
+FROM toks
+""",
+    note="posexplode / lateral flatten with positions; DuckDB's 1-based "
+    "subscripts shifted to Spark's 0-based pos",
+    tags=("fn", "explode"),
+)
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "tok")
+    )

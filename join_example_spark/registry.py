@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
     # Imports are localized so `import join_example_spark` stays cheap.
     from join_example_spark.queries import (  # noqa: F401
         aggregates,
+        analytics_ext,
         composite,
         filters,
         functions_scalar,
