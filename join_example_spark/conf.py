@@ -49,6 +49,13 @@ def build_local_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # Managed-table home for the bucketed-join path; kept out of the
+        # repo tree (the derby metastore and warehouse are scratch state).
+        .config("spark.sql.warehouse.dir", "/tmp/join_example_spark_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/join_example_spark_derby",
+        )
         .getOrCreate()
     )
     return ensure_session_confs(spark)

@@ -286,3 +286,60 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     nation = read_table(spark, sf_dir, "nation")
     return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+SELECT s.s_nationkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+    note="deterministically-salted fact-side join (operators/skew.py): the "
+    "salt spreads hot keys over n_salt tasks; the oracle is the PLAIN join "
+    "-- salting must be result-invariant, which is the whole point",
+    tags=("join", "skew"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.skew import salted_join
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"
+    ).withColumnRenamed("l_suppkey", "s_suppkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(l, s, on="s_suppkey", salt_src="l_orderkey", n_salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice
+FROM orders
+WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+    note="scalar subquery in a predicate (uncorrelated -> computed once and "
+    "broadcast as a literal by Catalyst's subquery execution)",
+    tags=("join", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice
+        FROM orders
+        WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )

@@ -160,3 +160,32 @@ def q_win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+SELECT event_id, user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    note="first_value/last_value/nth_value; last_value needs the explicit "
+    "unbounded-following frame (the default frame stops at CURRENT ROW -- "
+    "classic silent-wrong-answer trap, identical in both engines)",
+    tags=("window",),
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
