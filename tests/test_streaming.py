@@ -133,3 +133,69 @@ def test_stateful_sessionization_matches_batch_sessions(spark, tmp_path):
         F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
     ).collect()[0]
     assert (s.n_sessions, s.n_events) == (b.n_sessions, b.n_events)
+
+
+@pytest.mark.streaming
+def test_watermark_drops_late_window_contribution(spark, tmp_path):
+    """The defining watermark semantics: once the watermark passes a window's
+    end, rows for that window arriving later are DROPPED from the aggregate.
+    Needs two micro-batches (watermark only advances between batches), so the
+    fixture is two files consumed with maxFilesPerTrigger=1."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_700_000_000
+    src = tmp_path / "wm_events"
+    src.mkdir()
+
+    def _write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] * 1_000_000_000 for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            src / name,
+        )
+
+    # Batch 1: two rows in the first 1-min window, then a row 1h ahead. The
+    # watermark (10-min delay) is computed from a batch's data AFTER the
+    # batch, so batch 2 runs with watermark t0+3000s.
+    _write("a.parquet", [(1, t0, 1, "view"), (2, t0 + 10, 1, "view"),
+                         (3, t0 + 3600, 2, "view")])
+    _time.sleep(1.1)  # file-stream orders by modification time
+    # Batch 2: watermark now past the first window's end -> the window is
+    # finalized, emitted, and its state evicted at end-of-batch. (A straggler
+    # arriving in THIS batch would still be merged: within a batch, inputs
+    # are added to state before eviction — empirically pinned.)
+    _write("b.parquet", [(5, t0 + 3610, 2, "view")])
+    _time.sleep(1.1)
+    # Batch 3: the straggler. Its window was evicted and its event time is
+    # behind the watermark -> guaranteed dropped.
+    _write("c.parquet", [(4, t0 + 20, 1, "view")])
+
+    raw = (
+        spark.readStream.schema(demos.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    out = demos.run_to_completion(agg, str(tmp_path / "ckpt"), "append")
+    rows = [(str(r.w_start), r.n) for r in out.collect()]
+    # Exactly one finalized window: the first one, with ONLY the two batch-1
+    # rows — the batch-3 straggler (event 4) was behind the watermark and
+    # dropped. The t0+1h windows never finalize on this bounded input.
+    assert [n for _, n in rows] == [2], rows
