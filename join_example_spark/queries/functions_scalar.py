@@ -230,3 +230,54 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = maps.select("user_id", F.explode("type_counts").alias("event_type", "n"))
     return exploded
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+SELECT doc_id,
+       regexp_extract_all(text, '[a-z]+ing') AS ing_words,
+       len(regexp_extract_all(text, '[a-z]+ing')) AS n_ing,
+       regexp_replace(text, '\\s+', '_', 'g') AS squashed,
+       CASE WHEN regexp_matches(text, '(data|model|train)') THEN 1 ELSE 0 END AS mentions_ml
+FROM documents
+WHERE doc_id <= 200
+""",
+    note="regexp_extract_all / global regexp_replace / rlike; DuckDB needs "
+    "the 'g' flag where Spark's regexp_replace is global by default",
+    tags=("fn", "regex"),
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    return docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(text, '[a-z]+ing')").alias("ing_words"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+ing'))").cast("bigint").alias("n_ing"),
+        F.regexp_replace("text", r"\s+", "_").alias("squashed"),
+        F.when(F.col("text").rlike("(data|model|train)"), 1).otherwise(0).alias("mentions_ml"),
+    )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+SELECT l_returnflag,
+       bit_and(l_orderkey & 255) AS and_low,
+       bit_or(l_orderkey & 255) AS or_low,
+       bit_xor(l_orderkey) AS xor_all,
+       SUM(CASE WHEN (l_orderkey >> 3) & 1 = 1 THEN 1 ELSE 0 END) AS bit3_set
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    note="bitwise scalar ops (&, |, >>) and bit_and/bit_or/bit_xor "
+    "aggregates — order-insensitive by algebra, so no rounding needed",
+    tags=("fn", "agg", "bitwise"),
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_orderkey & 255)").alias("and_low"),
+        F.expr("bit_or(l_orderkey & 255)").alias("or_low"),
+        F.expr("bit_xor(l_orderkey)").alias("xor_all"),
+        F.expr("SUM(CASE WHEN (l_orderkey >> 3) & 1 = 1 THEN 1 ELSE 0 END)").alias("bit3_set"),
+    )

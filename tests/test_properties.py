@@ -88,3 +88,50 @@ def test_topk_is_subset_of_ranked(spark):
     topk = load_all()["q_win_topk_per_group"].fn(spark, SF_SMOKE)
     per_group_max = topk.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
     assert per_group_max.where(F.col("n") > 3).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from join_example_spark.operators.skew import salted_join
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity", "l_orderkey"
+    )
+    s = read_table(spark, SF_SMOKE, "supplier").select("s_suppkey", "s_nationkey")
+    salted = salted_join(li, s, on="s_suppkey", salt_src="l_orderkey", n_salt=5)
+    plain = li.join(s, "s_suppkey")
+    assert salted.count() == plain.count()
+    cols = sorted(set(salted.columns) & set(plain.columns))
+    assert salted.select(cols).subtract(plain.select(cols)).count() == 0
+    assert plain.select(cols).subtract(salted.select(cols)).count() == 0
+
+
+def test_bucketed_range_join_equals_plain_range_join(spark):
+    from join_example_spark.operators.temporal import range_join, range_join_bucketed
+
+    ev = read_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    plain = range_join(
+        ev, ev, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower="INTERVAL 0 SECOND", upper="INTERVAL 3600 SECOND",
+    )
+    bucketed = range_join_bucketed(ev, ev, "ts", "ts", window_seconds=3600, on=["user_id"])
+    pc, bc = plain.count(), bucketed.count()
+    assert pc == bc, (pc, bc)
+    key_cols = ["l_event_id", "r_event_id"]
+    assert plain.select(key_cols).subtract(bucketed.select(key_cols)).count() == 0
+    assert bucketed.select(key_cols).subtract(plain.select(key_cols)).count() == 0
+
+
+def test_ivf_recall_vs_exact_topk(spark):
+    # IVF with nprobe=1 is approximate; its results must still be a
+    # plausible ANN: every returned neighbor's similarity is <= the exact
+    # top-1 for that probe, and recall@3 vs exact top-3 is substantial.
+    from join_example_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").withColumn("one", F.lit(1))
+    exact = cosine_topk(emb, k=3, block_col="one", probe_pred="vec_id % 100 = 0")
+    approx = ivf_topk(emb, n_centroids=8, k=3, probe_pred="vec_id % 100 = 0")
+    e = {(r.probe_id, r.cand_id) for r in exact.collect()}
+    a = {(r.probe_id, r.cand_id) for r in approx.collect()}
+    assert a, "IVF returned nothing"
+    recall = len(e & a) / max(len(e), 1)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
