@@ -199,3 +199,39 @@ def test_watermark_drops_late_window_contribution(spark, tmp_path):
     # rows — the batch-3 straggler (event 4) was behind the watermark and
     # dropped. The t0+1h windows never finalize on this bounded input.
     assert [n for _, n in rows] == [2], rows
+
+
+@pytest.mark.streaming
+def test_streaming_parquet_sink_with_checkpoint(spark, tmp_path):
+    """SURVEY §2.1 sink row: append a transformed stream to a parquet sink
+    with a checkpoint, then read the files back as a batch table. Restarting
+    the query against the same checkpoint must be a no-op (exactly-once)."""
+    events = demos.read_events_stream(spark, SF_SMOKE)
+    enriched = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out_dir = str(tmp_path / "sink_out")
+    ck_dir = str(tmp_path / "sink_ck")
+
+    def run():
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    from join_example_spark.sources.readers import read_table
+
+    expected = (
+        read_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert spark.read.parquet(out_dir).count() == expected
+    # Second run over the same checkpoint: no new input -> no duplicate rows.
+    run()
+    assert spark.read.parquet(out_dir).count() == expected
