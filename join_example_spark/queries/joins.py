@@ -343,3 +343,64 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@register(
+    "q_join_ktable",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    ) WHERE rn = 1
+), p AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       v.ts AS last_view_ts,
+       p.ts AS last_purchase_ts,
+       ROUND(COALESCE(v.value, 0.0) + COALESCE(p.value, 0.0), 4) AS combined
+FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+""",
+    note="KTable-KTable join — the 4th Kafka Streams join flavor, closing "
+    "the DSL join matrix (KStream-KStream=q_join_theta_range, KStream-"
+    "KTable=stream-static demo, KStream-GlobalKTable=q_join_broadcast): "
+    "both sides materialized latest-per-key, then changelog-style full outer",
+    tags=("join", "streaming"),
+)
+def q_join_ktable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.temporal import latest_per_key
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def ktable(etype: str, prefix: str) -> DataFrame:
+        latest = latest_per_key(
+            ev.where(F.col("event_type") == etype),
+            keys=["user_id"],
+            ts="ts",
+            tiebreak="event_id",
+        )
+        return latest.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("value").alias(f"{prefix}_value"),
+        )
+
+    v = ktable("view", "v")
+    p = ktable("purchase", "p")
+    joined = v.join(p, v.v_user == p.p_user, "full")
+    return joined.select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        F.col("v_ts").alias("last_view_ts"),
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.round(
+            F.coalesce("v_value", F.lit(0.0)) + F.coalesce("p_value", F.lit(0.0)), 4
+        ).alias("combined"),
+    )
