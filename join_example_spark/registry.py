@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_dedup,
         llm_similarity,
         llm_text,
+        multimodal_q,
         scans,
         setops,
         sorts,
