@@ -228,3 +228,35 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str, gap_minutes: int = 30)
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (KStream.leftJoin(KStream)).
+
+    Unmatched left rows are held in state until the watermark proves no
+    match can still arrive (view_ts + 10 min < watermark), then emitted
+    null-extended. On a bounded AvailableNow run the trailing unmatched rows
+    may never flush (the stream ends before the watermark passes them) —
+    exactly the KStreams grace-period behavior; the test asserts subset
+    semantics accordingly.
+    """
+    left = read_events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    right = read_events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    l = left.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "10 minutes")
+    r = right.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "10 minutes")
+    return l.join(
+        r,
+        F.expr(
+            "l_user = r_user AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + INTERVAL 10 MINUTES"
+        ),
+        "left_outer",
+    ).select("view_id", "click_id", "view_ts", "click_ts")

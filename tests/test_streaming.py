@@ -235,3 +235,49 @@ def test_streaming_parquet_sink_with_checkpoint(spark, tmp_path):
     # Second run over the same checkpoint: no new input -> no duplicate rows.
     run()
     assert spark.read.parquet(out_dir).count() == expected
+
+
+@pytest.mark.streaming
+def test_stream_stream_left_join_semantics(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs must equal the batch
+    inner join exactly; null-extended rows must be genuine non-matches
+    (subset of the batch left-anti side — trailing ones may be withheld
+    by the final watermark, mirroring the KStreams grace period)."""
+    streamed = _final(
+        demos.stream_stream_left_join(spark, SF_SMOKE), tmp_path, "ssl"
+    )
+    from join_example_spark.sources.readers import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.expr("view_ts + INTERVAL 10 MINUTES"))
+    )
+    batch_inner = {
+        (r.view_id, r.click_id)
+        for r in views.join(clicks, cond).select("view_id", "click_id").collect()
+    }
+    batch_unmatched = {
+        r.view_id
+        for r in views.join(clicks, cond, "left_anti").select("view_id").collect()
+    }
+    got_matched = {
+        (r.view_id, r.click_id)
+        for r in streamed.where(F.col("click_id").isNotNull()).collect()
+    }
+    got_null = {
+        r.view_id for r in streamed.where(F.col("click_id").isNull()).collect()
+    }
+    assert got_matched == batch_inner
+    assert got_null <= batch_unmatched
