@@ -404,3 +404,37 @@ def q_join_ktable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v_value", F.lit(0.0)) + F.coalesce("p_value", F.lit(0.0)), 4
         ).alias("combined"),
     )
+
+
+@register(
+    "q_join_exists_correlated",
+    oracle="""
+SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 4) AS acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_totalprice > 450000.0
+      AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    note="correlated EXISTS with non-key predicates; Catalyst's "
+    "RewritePredicateSubquery turns it into a left-semi hash join",
+    tags=("join", "subquery"),
+)
+def q_join_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 4) AS acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 450000.0
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )

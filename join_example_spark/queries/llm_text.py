@@ -170,3 +170,59 @@ FROM documents
 def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return rolling_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "q_llm_pipeline",
+    oracle="""
+WITH quality AS (
+    SELECT doc_id, text, lang,
+           len(str_split(trim(text), ' ')) AS n_tokens
+    FROM documents
+    WHERE n_chars BETWEEN 40 AND 5000
+), dedup AS (
+    SELECT lang, n_tokens, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(LOWER(TRIM(text)))
+                              ORDER BY doc_id) AS rn
+    FROM quality
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(25,6))) AS DOUBLE) AS total_tokens,
+       ROUND(CAST(SUM(CAST(n_tokens AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4)
+           AS avg_tokens
+FROM dedup
+WHERE rn = 1
+GROUP BY lang
+""",
+    note="the full training-data pipeline as ONE Catalyst plan: quality "
+    "filter -> exact dedup (keep-lowest-id) -> per-lang token stats. One "
+    "scan, one dedup shuffle, one agg shuffle — the composability argument "
+    "for declarative pipelines at 100 TB",
+    tags=("llm", "text", "dedup", "composite"),
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").between(40, 5000)
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = toks.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(CAST(n_tokens AS DECIMAL(25,6))) AS DOUBLE)").alias(
+            "total_tokens"
+        ),
+        F.round(
+            F.expr("CAST(SUM(CAST(n_tokens AS DECIMAL(25,6))) AS DOUBLE)")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_tokens"),
+    )

@@ -189,3 +189,39 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w_full).alias("last_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     )
+
+
+@register(
+    "q_win_time_range",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS sum_last_hour
+FROM events
+""",
+    note="time-interval RANGE frame (trailing 1-hour per-user stats) — the "
+    "sliding-aggregate idiom for sensor/event data, no self-join needed",
+    tags=("window", "temporal"),
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW) AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE) AS sum_last_hour
+        FROM events
+        """
+    )

@@ -69,3 +69,39 @@ def test_range_join_has_equality_component(spark):
     df = _REG["q_join_theta_range"].fn(spark, SF_SMOKE)
     plan = executed_plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md §1: AQE skew handling is not just a conf we set — prove it
+    fires. One hot key (300k rows, incompressible values) against a uniform
+    right side must re-plan as SortMergeJoin(skew=true) with a skewed
+    shuffle read once broadcast is disabled and thresholds scaled to the
+    fixture size."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), (F.rand(seed=1) * 1e9).cast("long").alias("v")
+        )
+        cold = spark.range(100_000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(50_000).select(
+            (F.col("id") % 101).alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = hot.union(cold).join(right, "k").groupBy().count()
+        assert j.collect()[0][0] > 0
+        plan = executed_plan(j).split("== Initial Plan ==")[0]
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
