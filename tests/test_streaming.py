@@ -281,3 +281,68 @@ def test_stream_stream_left_join_semantics(spark, tmp_path):
     }
     assert got_matched == batch_inner
     assert got_null <= batch_unmatched
+
+
+@pytest.mark.streaming
+def test_stateful_agg_recovers_from_checkpoint(spark, tmp_path):
+    """Stop/restart recovery: a keyed streaming aggregation processes file A,
+    terminates, then a NEW query over the same checkpoint processes file B.
+    The restored state must carry A's counts forward — the final per-key
+    result equals the batch aggregate over A ∪ B, and B's rows are not
+    double-counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_700_000_000
+    src = tmp_path / "rec_events"
+    src.mkdir()
+
+    def _write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] * 1_000_000_000 for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows), pa.string()),
+                    "value": pa.array([float(r[0]) for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            src / name,
+        )
+
+    ck = str(tmp_path / "rec_ck")
+    results: dict[int, tuple[int, float]] = {}
+
+    def run_once():
+        raw = spark.readStream.schema(demos.EVENTS_RAW_SCHEMA).parquet(str(src))
+        events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)").alias("tot"),
+        )
+
+        def sink(bdf, bid):
+            for r in bdf.collect():
+                results[r.user_id] = (r.n, r.tot)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write("a.parquet", [(1, t0, 1), (2, t0 + 10, 1), (3, t0 + 20, 2)])
+    run_once()
+    assert results[1] == (2, 3.0) and results[2] == (1, 3.0)
+
+    _write("b.parquet", [(4, t0 + 30, 1), (5, t0 + 40, 3)])
+    run_once()
+    # user 1: state restored (2 events) + 1 new = 3; values 1+2+4=7.
+    assert results[1] == (3, 7.0), results
+    assert results[2] == (1, 3.0)
+    assert results[3] == (1, 5.0)
