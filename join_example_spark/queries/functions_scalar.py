@@ -281,3 +281,41 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(l_orderkey)").alias("xor_all"),
         F.expr("SUM(CASE WHEN (l_orderkey >> 3) & 1 = 1 THEN 1 ELSE 0 END)").alias("bit3_set"),
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+WITH packed AS (
+    SELECT o_orderkey,
+           {'custkey': o_custkey, 'status': o_orderstatus,
+            'price': ROUND(o_totalprice, 4)} AS order_info
+    FROM orders
+    WHERE o_orderkey <= 500
+)
+SELECT o_orderkey,
+       order_info.custkey AS custkey,
+       order_info.status AS status,
+       order_info.price AS price
+FROM packed
+""",
+    note="nested struct construction + field access (named_struct vs DuckDB "
+    "struct literal); round-trips the nested type through the engine",
+    tags=("fn", "struct"),
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 4).alias("price"),
+        ).alias("order_info"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("order_info.custkey").alias("custkey"),
+        F.col("order_info.status").alias("status"),
+        F.col("order_info.price").alias("price"),
+    )

@@ -53,3 +53,23 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame.subtract == SQL EXCEPT (distinct) semantics.
     return _slice_a(spark, sf_dir).subtract(_slice_b(spark, sf_dir))
+
+
+@register(
+    "q_set_except_all",
+    oracle=f"{_A}\nEXCEPT ALL\n{_B}",
+    note="bag difference (multiplicity-aware, unlike EXCEPT's set semantics)",
+    tags=("setop",),
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _slice_a(spark, sf_dir).exceptAll(_slice_b(spark, sf_dir))
+
+
+@register(
+    "q_set_intersect_all",
+    oracle=f"{_A}\nINTERSECT ALL\n{_B}",
+    note="bag intersection: min(multiplicity) per row both sides",
+    tags=("setop",),
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _slice_a(spark, sf_dir).intersectAll(_slice_b(spark, sf_dir))
