@@ -248,3 +248,69 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_hamming=8, block_col="lang")
+
+
+@register(
+    "q_llm_dedup_cluster",
+    oracle="""
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id, lang, n_chars,
+           list_distinct(string_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+),
+raw_edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM toks a
+    JOIN toks b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+    WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(LEN(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+            >= 0.5
+),
+edges AS (
+    SELECT src, dst FROM raw_edges
+    UNION ALL
+    SELECT dst, src FROM raw_edges
+),
+reach(id, root) AS (
+    SELECT doc_id, doc_id FROM toks
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(root) AS cluster_id
+FROM reach
+GROUP BY id
+""",
+    note="near-dup CLUSTERS: token-Jaccard pairs as edges, connected "
+    "components by iterative min-label propagation (operators/graph.py); "
+    "oracle = recursive-CTE reachability. The transitive closure is what a "
+    "real dedup keeps one representative per — pairs alone under-merge",
+    tags=("llm", "dedup", "graph"),
+)
+def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import connected_components
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
+        )
+    )
+    # Edges: exactly the near-dup pair semantics (same predicates as the
+    # oracle's raw_edges CTE) — reuse the blocked-join query directly.
+    pairs = q_llm_dedup_near(spark, sf_dir)
+    nodes = docs.select("doc_id")
+    labels = connected_components(
+        nodes,
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -211,3 +211,32 @@ def test_session_window_gap_boundary_semantics(spark):
     ).fetchall()
     con.close()
     assert [r[0] for r in got] == [1, 2]
+
+
+def test_connected_components_multi_hop_chain(spark):
+    from join_example_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    # chain 1-2-3-4 (diameter 3), pair 5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7)}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from join_example_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 30)], ["id"])
+    # one long chain: diameter 28 needs ~28 rounds > max_iter=3
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 29)], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, edges, max_iter=3)
