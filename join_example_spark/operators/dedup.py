@@ -182,3 +182,57 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs via exact multi-index hamming LSH.
+
+    Pigeonhole: 64 bits split into ``max_hamming + 1`` bands; two
+    fingerprints within the radius must agree exactly on at least one band
+    (d differing bits cannot touch d+1 disjoint bands). Candidate generation is therefore an EQUI-join on
+    (band_index, band_value) — a balanced hash shuffle — followed by the
+    exact ``bit_count(xor)`` verify. Unlike block-column all-pairs, cost
+    scales with collisions per 7-bit bucket, not with block size squared;
+    this is the 100 TB SimHash plan (radius-guaranteed: recall is exactly
+    100% within the radius, not probabilistic). Wider bands (smaller radius)
+    are more selective — pick the largest radius the dedup policy needs.
+    """
+    n_bands = max_hamming + 1
+    assert 1 <= n_bands <= 16, "need 2..16 bands over 64 bits"
+    sigs = simhash64(df, id_col, text_col)
+    width = 64 // n_bands
+    offsets = [
+        (i, i * width, 64 - (n_bands - 1) * width if i == n_bands - 1 else width)
+        for i in range(n_bands)
+    ]
+    band_exprs = ", ".join(
+        f"named_struct('bi', {i}, 'bv', shiftright(simhash, {off}) & {(1 << width) - 1})"
+        for i, off, width in offsets
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.expr(f"array({band_exprs})")).alias("band"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band"
+    )
+    cands = (
+        a.join(b, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()  # a pair may agree on several bands
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -240,3 +240,30 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(nodes, edges, max_iter=3)
+
+
+def test_simhash_band_pairs_complete_vs_brute_force(spark):
+    # Pigeonhole banding must find EVERY pair within the radius — exact
+    # recall, not probabilistic.
+    from join_example_spark.operators.dedup import simhash64, simhash_band_pairs
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    sigs = simhash64(docs)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.expr("bit_count(sa ^ sb)"))
+        .where(F.col("h") <= 3)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_band_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == truth
