@@ -105,3 +105,35 @@ def test_aqe_splits_skewed_join_partition(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime filtering: a selective dim-side predicate should inject a
+    bloom filter into the fact side's scan (bloom_filter_agg on the creation
+    side, might_contain on the application side). Default thresholds target
+    10 GB fact tables, so they're scaled down to fixture size — the
+    mechanism, not the threshold, is what must keep working."""
+    from join_example_spark.sources.readers import read_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_totalprice") > 450000.0
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert j.collect()[0][0] >= 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
