@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from join_example_spark.registry import register
-from join_example_spark.sources.readers import read_table
+from join_example_spark.sources.readers import read_events, read_table
 
 
 @register(
@@ -175,4 +175,56 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "q_resample_gapfill",
+    oracle="""
+WITH bounds AS (
+    SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+    FROM events
+), days AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+), daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM events
+    WHERE event_type = 'purchase' AND value > 300.0
+    GROUP BY 1
+)
+SELECT CAST(days.day AS DATE) AS day,
+       COALESCE(daily.n, 0) AS n,
+       ROUND(COALESCE(daily.total, 0.0), 4) AS total
+FROM days LEFT JOIN daily ON days.day = daily.day
+""",
+    note="time-series resample with gap-fill: generate the complete day "
+    "spine (sequence/generate_series), left-join sparse aggregates, fill "
+    "zeros — the hypertable-rollup idiom; days with no purchases appear "
+    "explicitly. The spine is generated from bounds, not hardcoded",
+    tags=("temporal", "agg", "streaming"),
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.expr("date_trunc('day', MIN(ts))").alias("d0"),
+        F.expr("date_trunc('day', MAX(ts))").alias("d1"),
+    )
+    # The spine is tiny (one row per day) — broadcast to the daily aggs.
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, INTERVAL 1 DAY)")).alias("day")
+    )
+    daily = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300.0))
+        .groupBy(F.expr("date_trunc('day', ts)").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)").alias("total"),
+        )
+    )
+    return days.join(daily, "day", "left").select(
+        F.col("day").cast("date").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.round(F.coalesce("total", F.lit(0.0)), 4).alias("total"),
     )
