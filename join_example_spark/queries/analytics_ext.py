@@ -161,3 +161,31 @@ def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "tok")
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, ROUND(value, 4) AS value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey <= 100)
+UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+""",
+    note="unpivot/melt — wide metric columns to long (metric, value) rows; "
+    "the inverse of q_pivot, a pure row-local transform (no shuffle)",
+    tags=("reshape",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", F.round("v", 4).alias("value")
+    )
