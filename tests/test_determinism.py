@@ -1,5 +1,5 @@
 """Partition-independence regression: results must not depend on the
-physical parallelism. The full sweep (all 76 oracle queries under
+physical parallelism. The full sweep (all 85 oracle queries under
 local[5]/7-shuffle-partitions: 0 mismatches) was run out-of-band; this fast
 version re-checks the most partition-sensitive query classes — float
 aggregation merge order, collect_list order, LIMIT boundaries, window
@@ -20,6 +20,8 @@ SENSITIVE = [
     "q_limit_offset",     # pagination boundary
     "q_win_topk_per_group",  # rank ties
     "q_llm_sim_topk",     # float dot-product fold + rank ties
+    "q_llm_dedup_cluster",  # iterative fixpoint under different partitioning
+    "q_multimodal_decode",  # Arrow batch boundaries differ with partitioning
 ]
 
 
