@@ -47,10 +47,15 @@ def connected_components(
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     sym = sym.localCheckpoint(eager=True)
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    # Only edge-touched nodes participate in propagation — singletons (the
+    # bulk of a dedup corpus) are their own component by definition, so the
+    # iterative working set shrinks from |V| to |V_active|.
+    active = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    labels = active.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    if prev_sum is None:  # no edges at all — everything is a singleton
+        return all_nodes.select("id", F.col("id").alias("cluster_id"))
 
     for _ in range(max_iter):
         nbr_min = (
@@ -71,6 +76,11 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            return labels.select("id", F.col("label").alias("cluster_id"))
+            singletons = all_nodes.join(active, "id", "left_anti").select(
+                "id", F.col("id").alias("cluster_id")
+            )
+            return labels.select("id", F.col("label").alias("cluster_id")).union(
+                singletons
+            )
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
