@@ -438,3 +438,32 @@ def q_join_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_join_asof_left",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    note="as-of LEFT join: purchases with no prior view survive null-"
+    "extended (the changelog-enrichment shape where missing history is "
+    "data, not an error); DuckDB native ASOF LEFT JOIN as oracle",
+    tags=("join", "temporal"),
+)
+def q_join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    views = events.where(F.col("event_type") == "view")
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts", how="left"
+    )
+    return out.select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("r_ts").alias("last_view_ts"),
+    )
