@@ -321,3 +321,100 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# Portable MinHash: polynomial char-fold token hash (identical in Spark and
+# DuckDB, verified bit-for-bit), k=8 permutations (a_i*h + b_i) mod p,
+# banded 2x4 for candidate generation. p small enough that a*h stays far
+# inside int64 under ANSI overflow checking on BOTH engines.
+_MH_P = 1_000_003
+_MH_A = (7, 11, 13, 17, 19, 23, 29, 31)
+_MH_B = (3, 5, 9, 15, 21, 27, 33, 39)
+
+
+@register(
+    "q_llm_dedup_minhash_exact",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source = 'src0' AND LEN(TRIM(text)) > 0
+), hashed AS (
+    SELECT doc_id, toks,
+           list_transform(toks,
+             t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(str_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, b) -> (acc * 31 + b) % {_MH_P})) AS th
+    FROM toks
+), sigs AS (
+    SELECT doc_id, toks,
+           {', '.join(f"list_aggregate(list_transform(th, h -> ({a} * h + {b}) % {_MH_P}), 'min') AS m{i}" for i, (a, b) in enumerate(zip(_MH_A, _MH_B)))}
+    FROM hashed
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS toks_a, b.toks AS toks_b
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND ((a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3)
+       OR (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7))
+)
+SELECT id_a, id_b,
+       CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+         / CAST(LEN(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) AS jaccard
+FROM cand
+WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+        / CAST(LEN(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.9
+""",
+    note="MinHash with PORTABLE polynomial token hashes — the full "
+    "signature/banding/verify pipeline is oracle-certified (unlike the "
+    "xxhash64 fast path, which stays the scale default). 8 perms, 2x4 "
+    "bands, Jaccard >= 0.9 verify",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where((F.col("source") == "src0") & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
+        )
+    )
+    th = (
+        "transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P}))"
+    )
+    sig_cols = [
+        F.expr(f"array_min(transform({th}, h -> ({a} * h + {b}) % {_MH_P}))").alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ]
+    sigs = docs.select("doc_id", "toks", *sig_cols)
+    band0 = [f"m{i}" for i in range(4)]
+    band1 = [f"m{i}" for i in range(4, 8)]
+
+    def side(prefix: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(f"id_{prefix}"),
+            F.col("toks").alias(f"toks_{prefix}"),
+            *[F.col(c).alias(f"{c}_{prefix}") for c in band0 + band1],
+        )
+
+    a, b = side("a"), side("b")
+    # Scale shape: one equi-join per band (hash shuffle on the band tuple),
+    # unioned then de-duplicated — never an OR-of-bands nested loop.
+    cands = None
+    for band in (band0, band1):
+        j = a.join(
+            b, [F.col(f"{c}_a") == F.col(f"{c}_b") for c in band]
+        ).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "toks_a", "toks_b")
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    jac = F.expr(
+        "CAST(SIZE(ARRAY_INTERSECT(toks_a, toks_b)) AS DOUBLE)"
+        " / CAST(SIZE(ARRAY_UNION(toks_a, toks_b)) AS DOUBLE)"
+    )
+    return (
+        cands.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+    )
