@@ -226,3 +226,66 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_tokens"),
     )
+
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id, list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS toks,
+           str_split(LOWER(TRIM(text)), ' ') AS all_toks
+    FROM documents WHERE doc_id < 100
+), n_docs AS (
+    SELECT COUNT(*) AS n FROM docs
+), tf AS (
+    SELECT doc_id, unnest(all_toks) AS term
+    FROM docs
+), tf_counts AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM tf GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df
+    FROM tf GROUP BY term
+), scored AS (
+    SELECT t.doc_id, t.term,
+           ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+    FROM tf_counts t, n_docs n
+    JOIN df d ON t.term = d.term
+)
+SELECT doc_id, term, tfidf, rnk
+FROM (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+    FROM scored
+)
+WHERE rnk <= 3
+""",
+    note="TF-IDF top-3 terms per document: term frequency x ln(N/df), "
+    "rounded before ranking with the term as total-order tiebreak. "
+    "Two shuffles (per-doc tf, global df broadcast back)",
+    tags=("llm", "text"),
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term")
+    )
+    n_docs = docs.count()  # tiny scalar; at scale use a broadcast subquery
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
