@@ -228,3 +228,102 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         F.round(F.coalesce("total", F.lit(0.0)), 4).alias("total"),
     )
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+""",
+    note="event funnel: users progressing view -> click(after view) -> "
+    "purchase(after click); each stage is one keyed aggregate joined to "
+    "the previous stage's first-event time",
+    tags=("temporal", "agg", "funnel"),
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id,
+           f.cohort_day,
+           datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+               AS day_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+    note="cohort retention: users bucketed by first-seen day, counted on "
+    "each later activity day (offset <= 7); the cohort dim joins back "
+    "broadcast at scale",
+    tags=("temporal", "agg", "cohort"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.expr("CAST(date_trunc('day', MIN(ts)) AS DATE)").alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.expr("CAST(date_trunc('day', ts) AS DATE)"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
