@@ -189,3 +189,69 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "metric", F.round("v", 4).alias("value")
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 4) AS lo,
+       ROUND(MAX(o_totalprice), 4) AS hi
+FROM orders
+GROUP BY 1
+""",
+    note="fixed-width numeric histogram via floor-binning (portable — no "
+    "width_bucket in DuckDB 1.0); one hash-agg shuffle regardless of "
+    "bin count",
+    tags=("agg", "histogram"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) o
+WHERE c.c_custkey <= 200
+""",
+    note="correlated LATERAL subquery with per-row ORDER BY/LIMIT — the "
+    "SQL-standard spelling of top-k-per-group (same result as the window "
+    "formulation, different plan: Catalyst decorrelates to a ranked join)",
+    tags=("join", "subquery", "lateral"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 200
+        """
+    )

@@ -319,3 +319,30 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_info.status").alias("status"),
         F.col("order_info.price").alias("price"),
     )
+
+
+@register(
+    "q_fn_nulls",
+    oracle="""
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O') AS status_or_null,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+       (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open,
+       (o_orderstatus IS DISTINCT FROM 'F') AS not_final
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    note="three-valued logic surface: NULLIF/COALESCE and null-safe "
+    "(IS [NOT] DISTINCT FROM) comparisons — identical semantics both "
+    "engines, unlike bare = which yields NULL",
+    tags=("fn", "nulls"),
+)
+def q_fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("NULLIF(o_orderstatus, 'O')").alias("status_or_null"),
+        F.expr("COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')").alias("status_filled"),
+        F.expr("NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL").alias("is_open"),
+        F.expr("o_orderstatus IS DISTINCT FROM 'F'").alias("not_final"),
+    )
