@@ -234,3 +234,37 @@ def q_agg_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     latest = latest_per_key(events, keys=["user_id"], ts="ts", tiebreak="event_id")
     return latest.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@register(
+    "q_agg_filter_clause",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+       COUNT(*) FILTER (WHERE o_totalprice > 250000.0) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_final
+FROM orders
+GROUP BY o_orderpriority
+""",
+    note="SQL-standard FILTER clause (conditional aggregation without CASE "
+    "scaffolding); one pass, one shuffle, N conditions",
+    tags=("agg", "filter"),
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+               COUNT(*) FILTER (WHERE o_totalprice > 250000.0) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_final
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -289,3 +289,39 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@register(
+    "q_llm_zipf",
+    oracle="""
+WITH counts AS (
+    SELECT unnest(str_split(LOWER(TRIM(text)), ' ')) AS term
+    FROM documents
+), freq AS (
+    SELECT term, COUNT(*) AS n
+    FROM counts GROUP BY term
+)
+SELECT term, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+FROM freq
+ORDER BY rank
+LIMIT 50
+""",
+    note="global term-frequency ranking (Zipf curve head): corpus heavy "
+    "hitters with deterministic count-then-term ordering. The global "
+    "window is bounded to the top-50 head, not the full vocabulary",
+    tags=("llm", "text", "agg"),
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
