@@ -268,3 +268,25 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "q_agg_any_all",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 1.0) AS all_multi,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       bool_and(l_shipdate >= TIMESTAMP '1995-01-01') AS all_after_95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    note="boolean aggregates (every/any): order-insensitive by algebra",
+    tags=("agg", "bool"),
+)
+def q_agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bool_and(l_quantity > 1.0)").alias("all_multi"),
+        F.expr("bool_or(l_discount > 0.09)").alias("any_deep_discount"),
+        F.expr("bool_and(l_shipdate >= TIMESTAMP '1995-01-01')").alias("all_after_95"),
+    )

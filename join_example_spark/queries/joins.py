@@ -467,3 +467,34 @@ def q_join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_ts").alias("purchase_ts"),
         F.col("r_ts").alias("last_view_ts"),
     )
+
+
+@register(
+    "q_join_range_bucketed",
+    oracle="""
+SELECT a.event_id AS l_event_id,
+       b.event_id AS r_event_id,
+       a.ts AS l_ts,
+       b.ts AS r_ts
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+ AND a.event_id <> b.event_id
+""",
+    note="the bucketed range-join rewrite (time axis -> equi-bucket key + "
+    "2-bucket explode + exact residual) declared against the PLAIN interval-"
+    "join oracle: the rewrite must be result-invariant, same proof pattern "
+    "as the salted join. This is the key-less-range scale plan of "
+    "operators/temporal.py:range_join_bucketed",
+    tags=("join", "temporal"),
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.temporal import range_join_bucketed
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = range_join_bucketed(ev, ev, "ts", "ts", window_seconds=3600, on=["user_id"])
+    return out.where(F.col("l_event_id") != F.col("r_event_id")).select(
+        "l_event_id", "r_event_id", "l_ts", "r_ts"
+    )
