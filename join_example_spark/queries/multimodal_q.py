@@ -16,6 +16,7 @@ This is the one sanctioned Python-boundary family in the batch surface
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from join_example_spark.multimodal import (
     decode_media,
@@ -62,3 +63,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "n_bytes", "width", "height", "checksum").join(
         resized.select("media_id", "out_width", "out_height"), "media_id"
     )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 200
+), plan AS (
+    SELECT media_id,
+           LEAST((n_bytes // 100) + 1, 32) AS n_frames
+    FROM media
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) AS frame_idx
+FROM plan
+""",
+    note="video frame-sampling plan: per-row frame-index explode with the "
+    "payload kept OUT of the exploded rows (don't replicate blobs across "
+    "frames — the 100 TB pattern); duration proxied by payload size (stub)",
+    tags=("multimodal", "llm"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.multimodal import documents_as_media, frame_sample_plan
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    plan = frame_sample_plan(documents_as_media(docs))
+    return plan.select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
