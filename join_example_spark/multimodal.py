@@ -84,19 +84,40 @@ def decode_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     most ``arrow.maxRecordsPerBatch`` rows, so executor memory is bounded
     by batch size × max payload, not partition size.
     """
+    import numpy as np
     import pandas as pd
+
+    def _checksums(payloads: "pd.Series") -> "np.ndarray":
+        # Vectorized Horner fold over the first 256 bytes: pad to a fixed
+        # (n, 256) byte matrix, then one numpy pass per position instead of
+        # a Python loop per byte. Identical math to _fake_decode_image
+        # (mod at every step keeps values < p so int64 never overflows).
+        n = len(payloads)
+        mat = np.zeros((n, 256), dtype=np.int64)
+        lens = np.zeros(n, dtype=np.int64)
+        for i, p in enumerate(payloads):  # per-row memcpy only, no arithmetic
+            b = np.frombuffer(p[:256], dtype=np.uint8)
+            mat[i, : len(b)] = b
+            lens[i] = len(b)
+        acc = np.zeros(n, dtype=np.int64)
+        for j in range(int(lens.max()) if n else 0):
+            active = j < lens
+            acc[active] = (acc[active] * 131 + mat[active, j]) % 1_000_000_007
+        return acc
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [_fake_decode_image(p) for p in pdf["payload"]]
+            if (pdf["payload"].map(len) == 0).any():
+                raise ValueError("empty payload")
+            cs = _checksums(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "checksum": [f["checksum"] for f in feats],
+                    "width": 64 + (cs % 1024),
+                    "height": 64 + ((cs // 1024) % 1024),
+                    "checksum": cs,
                 }
             )
 

@@ -225,3 +225,36 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         """
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+           AS is_current,
+       value
+FROM events
+WHERE event_type = 'purchase'
+""",
+    note="SCD-2 validity intervals: each per-user state version is valid "
+    "[ts, next ts); the open (current) version has NULL valid_to — the "
+    "standard warehouse dimension-history build, one window pass",
+    tags=("window", "temporal", "scd"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )
