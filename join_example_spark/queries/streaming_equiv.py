@@ -239,21 +239,23 @@ WITH v AS (
 ), c AS (
     SELECT e.user_id, MIN(e.ts) AS t_click
     FROM events e JOIN v ON e.user_id = v.user_id
-    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    WHERE e.event_type = 'click'
+      AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
     GROUP BY e.user_id
 ), p AS (
     SELECT e.user_id, MIN(e.ts) AS t_purchase
     FROM events e JOIN c ON e.user_id = c.user_id
-    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    WHERE e.event_type = 'purchase'
+      AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
     GROUP BY e.user_id
 )
 SELECT (SELECT COUNT(*) FROM v) AS n_view,
        (SELECT COUNT(*) FROM c) AS n_view_click,
        (SELECT COUNT(*) FROM p) AS n_view_click_purchase
 """,
-    note="event funnel: users progressing view -> click(after view) -> "
-    "purchase(after click); each stage is one keyed aggregate joined to "
-    "the previous stage's first-event time",
+    note="event funnel with conversion windows: first view -> click within "
+    "24h -> purchase within 24h of that click; each stage is one keyed "
+    "aggregate joined to the previous stage's first-event time",
     tags=("temporal", "agg", "funnel"),
 )
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,14 +268,20 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.expr("t_view + INTERVAL 24 HOUR"))
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
         .join(c, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.expr("t_click + INTERVAL 24 HOUR"))
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
