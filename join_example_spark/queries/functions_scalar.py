@@ -346,3 +346,30 @@ def q_fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL").alias("is_open"),
         F.expr("o_orderstatus IS DISTINCT FROM 'F'").alias("not_final"),
     )
+
+
+@register(
+    "q_fn_codec",
+    oracle="""
+SELECT p_partkey,
+       to_base64(encode(p_name)) AS name_b64,
+       lower(hex(encode(p_brand))) AS brand_hex,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256
+FROM part
+WHERE p_partkey <= 300
+""",
+    note="binary codecs + cryptographic digests (base64/hex/md5/sha256): "
+    "byte-identical across engines on UTF-8 input; hex lower()ed both "
+    "sides (case convention differs)",
+    tags=("fn", "codec"),
+)
+def q_fn_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.expr("base64(encode(p_name, 'UTF-8'))").alias("name_b64"),
+        F.expr("lower(hex(encode(p_brand, 'UTF-8')))").alias("brand_hex"),
+        F.md5(F.expr("encode(p_name, 'UTF-8')")).alias("name_md5"),
+        F.sha2(F.expr("encode(p_name, 'UTF-8')"), 256).alias("name_sha256"),
+    )
