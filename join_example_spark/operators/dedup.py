@@ -29,10 +29,22 @@ def normalized_text_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id representative per normalized-text hash."""
+    """Keep the lowest-id representative per normalized-text hash.
+
+    NULL text is not content: those rows pass through untouched rather than
+    collapsing into one "duplicate" group (md5(NULL)=NULL would make the
+    window treat every NULL-text doc as a copy of the lowest-id one).
+    """
     hashed = normalized_text_hash(df, text_col)
+    nulls = hashed.where(F.col(text_col).isNull())
     w = Window.partitionBy("text_hash").orderBy(F.col(id_col))
-    return hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    kept = (
+        hashed.where(F.col(text_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return kept.unionByName(nulls)
 
 
 def minhash_signature(
@@ -73,6 +85,13 @@ def minhash_lsh_candidates(
     num_perm/band_size (band_idx, band_hash) buckets, self-join on the
     bucket key (an equi-join — shuffle on compact keys), dedupe pairs.
     """
+    if not (0 < band_size <= num_perm) or num_perm % band_size != 0:
+        # A bad geometry would make SEQUENCE(0, -1) descend (garbage band
+        # -1 with end-relative SLICE) or silently drop trailing hashes.
+        raise ValueError(
+            f"band_size must divide num_perm: got num_perm={num_perm}, "
+            f"band_size={band_size}"
+        )
     n_bands = num_perm // band_size
     sigs = minhash_signature(df, id_col, text_col, num_perm)
     bands = sigs.select(
@@ -203,17 +222,25 @@ def simhash_band_pairs(
     are more selective — pick the largest radius the dedup policy needs.
     """
     n_bands = max_hamming + 1
-    assert 1 <= n_bands <= 16, "need 2..16 bands over 64 bits"
+    if not 1 <= n_bands <= 16:
+        raise ValueError(f"max_hamming must be in [0, 15], got {max_hamming}")
     sigs = simhash64(df, id_col, text_col)
     width = 64 // n_bands
     offsets = [
         (i, i * width, 64 - (n_bands - 1) * width if i == n_bands - 1 else width)
         for i in range(n_bands)
     ]
-    band_exprs = ", ".join(
-        f"named_struct('bi', {i}, 'bv', shiftright(simhash, {off}) & {(1 << width) - 1})"
-        for i, off, width in offsets
-    )
+    def _band(i: int, off: int, width: int) -> str:
+        # width=64 (single band / radius 0): the all-ones mask literal would
+        # parse as DECIMAL(20,0) and break bitwise AND — it's a no-op anyway.
+        masked = (
+            f"shiftright(simhash, {off})"
+            if width >= 64
+            else f"shiftright(simhash, {off}) & {(1 << width) - 1}"
+        )
+        return f"named_struct('bi', {i}, 'bv', {masked})"
+
+    band_exprs = ", ".join(_band(i, off, width) for i, off, width in offsets)
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),

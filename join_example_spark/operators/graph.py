@@ -53,10 +53,14 @@ def connected_components(
     # iterative working set shrinks from |V| to |V_active|.
     active = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     labels = active.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    if prev_sum is None:  # no edges at all — everything is a singleton
+    if labels.isEmpty():  # no edges at all — everything is a singleton
         return all_nodes.select("id", F.col("id").alias("cluster_id"))
 
+    # Convergence witness: exact per-round changed-row count (works for any
+    # id type — a numeric label-sum would crash on string ids under ANSI
+    # and could lose precision beyond 2^53). Note the fixpoint needs one
+    # confirming no-change round, so a component of diameter D converges
+    # within D+1 rounds; size max_iter accordingly.
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.id)
@@ -64,23 +68,25 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(nbr_min, "id", "left")
+        new_labels = (
+            labels.withColumnRenamed("label", "prev_label")
+            .join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("prev_label"), F.coalesce("nbr_label", F.col("prev_label"))
                 ).alias("label"),
+                "prev_label",
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = new_labels.where(F.col("label") != F.col("prev_label")).count()
+        labels = new_labels.drop("prev_label")
+        if changed == 0:
             singletons = all_nodes.join(active, "id", "left_anti").select(
                 "id", F.col("id").alias("cluster_id")
             )
             return labels.select("id", F.col("label").alias("cluster_id")).union(
                 singletons
             )
-        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -42,13 +42,16 @@ def cosine_topk(
     - Similarity is rounded before ranking, with the candidate id as a
       total-order tiebreak, so ranking is reproducible across engines.
     """
-    probes = emb.select(
+    probes = emb
+    if probe_pred:
+        # Filter BEFORE renaming: rewriting the predicate by substring
+        # replacement would corrupt identifiers containing id_col.
+        probes = probes.where(F.expr(probe_pred))
+    probes = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).alias("vec_p"),
     )
-    if probe_pred:
-        probes = probes.where(F.expr(probe_pred.replace(id_col, "probe_id")))
     cands = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(block_col).alias("blk"),

@@ -40,6 +40,10 @@ def salted_join(
     use for moderately-sized right sides that are too big to broadcast but
     far smaller than the skewed fact table).
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # Right/full outer would emit every unmatched right row n_salt
+        # times (one per replica) — not result-invariant.
+        raise ValueError(f"salted_join supports inner/left/semi/anti, got {how!r}")
     l = large.withColumn("_salt", F.pmod(F.hash(F.col(salt_src)), F.lit(n_salt)))
     r = small.withColumn(
         "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))

@@ -105,10 +105,11 @@ def asof_join(
     """As-of join: for each left row, the single latest right row with
     ``right_ts <= left_ts`` (optionally within ``tolerance``) per key.
 
-    Semantics match DuckDB ``ASOF JOIN`` (boundary ``<=``; on right-side
-    timestamp ties the row with the greatest timestamp wins — we
-    additionally break exact ties deterministically by the last right
-    column ordering, callers should project ambiguous columns away).
+    Semantics match DuckDB ``ASOF JOIN`` (boundary ``<=``): the right row
+    with the greatest timestamp wins. Exact-timestamp ties are broken
+    deterministically by ordering on every remaining right column (DuckDB's
+    own tie-pick among equal timestamps is unspecified, so oracle-compared
+    callers should still project only tie-invariant columns).
 
     Plan shape: equi-join on keys (shuffle or broadcast, Catalyst's choice)
     + residual ``<=`` filter + per-left-row ``row_number() = 1``. At 100 TB
@@ -119,6 +120,8 @@ def asof_join(
     callers that need oracle-grade determinism should pre-project a unique
     key and pass deterministic columns only).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
     l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]).withColumn(
         "_asof_lid", F.monotonically_increasing_id()
     )
@@ -133,8 +136,18 @@ def asof_join(
             F.col(f"r_{right_ts}") >= F.expr(f"l_{left_ts} - {tolerance}")
         )
     cond = ts_cond if cond is None else (cond & ts_cond)
-    joined = l.join(r, cond, "left" if how == "left" else "inner")
-    w = Window.partitionBy("_asof_lid").orderBy(F.col(f"r_{right_ts}").desc())
+    joined = l.join(r, cond, how)
+    # Deterministic tie-pick: after the timestamp, every remaining right
+    # column (stable order) breaks exact-ts ties the same way on every run
+    # and partitioning.
+    tie_cols = [
+        F.col(f"r_{c}").desc()
+        for c in right.columns
+        if c != right_ts
+    ]
+    w = Window.partitionBy("_asof_lid").orderBy(
+        F.col(f"r_{right_ts}").desc(), *tie_cols
+    )
     picked = (
         joined.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

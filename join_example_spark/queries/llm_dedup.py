@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from join_example_spark.operators.dedup import (
     minhash_lsh_candidates,
-    simhash_near_pairs,
     token_jaccard_pairs,
 )
 from join_example_spark.registry import register

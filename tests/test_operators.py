@@ -267,3 +267,94 @@ def test_simhash_band_pairs_complete_vs_brute_force(spark):
         for r in simhash_band_pairs(docs, max_hamming=3).collect()
     }
     assert got == truth
+
+
+def test_simhash_block_pairs_sound_subset_of_brute_force(spark):
+    # The block-column variant (contrast to exact banding) must be SOUND:
+    # everything it returns is a true hamming<=3 pair. (It is deliberately
+    # not complete — blocking is a recall/cost tradeoff.)
+    from join_example_spark.operators.dedup import simhash64, simhash_near_pairs
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(docs, max_hamming=3, block_col="lang").collect()
+    }
+    sigs = simhash64(docs)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.expr("bit_count(sa ^ sb)"))
+        .where(F.col("h") <= 3)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got <= truth
+
+
+def test_minhash_band_geometry_guard(spark):
+    from join_example_spark.operators.dedup import minhash_lsh_candidates
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="band_size must divide"):
+        minhash_lsh_candidates(docs, num_perm=8, band_size=16)
+    with pytest.raises(ValueError, match="band_size must divide"):
+        minhash_lsh_candidates(docs, num_perm=16, band_size=5)
+
+
+def test_simhash_radius_zero_finds_identical_fingerprints(spark):
+    from join_example_spark.operators.dedup import simhash64, simhash_band_pairs
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = simhash_band_pairs(docs, max_hamming=0)
+    assert got.where(F.col("hamming") != 0).count() == 0
+    assert got.count() > 0  # fixture corpus has exact-duplicate texts
+
+
+def test_asof_tie_break_is_deterministic(spark):
+    from join_example_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100)], "lid BIGINT, key BIGINT, ts BIGINT")
+    right = spark.createDataFrame(
+        [(2, 1, 90), (3, 1, 90)], "rid BIGINT, key BIGINT, ts BIGINT"
+    )
+    for _ in range(3):
+        out = asof_join(left, right, on=["key"], left_ts="ts", right_ts="ts")
+        # max-ts tie between rid 2 and 3 -> the remaining-columns ordering
+        # (desc) must always pick rid=3.
+        assert [r.r_rid for r in out.collect()] == [3]
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from join_example_spark.operators.skew import salted_join
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    li = read_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    s = read_table(spark, SF_SMOKE, "supplier")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(li, s, on="s_suppkey", salt_src="l_orderkey", how="full")
+
+
+def test_connected_components_string_ids(spark):
+    from join_example_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "id STRING"
+    )
+    edges = spark.createDataFrame([("b", "a"), ("b", "c")], "src STRING, dst STRING")
+    got = {
+        (r.id, r.cluster_id) for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")}
