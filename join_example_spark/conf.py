@@ -7,6 +7,8 @@ session-static. Verified against PySpark 4.1.2.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 #: Runtime session configs required for correctness & determinism.
@@ -50,11 +52,16 @@ def build_local_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         # Managed-table home for the bucketed-join path; kept out of the
-        # repo tree (the derby metastore and warehouse are scratch state).
-        .config("spark.sql.warehouse.dir", "/tmp/join_example_spark_warehouse")
+        # repo tree and made per-user/per-process: Derby is single-instance
+        # per database, so a shared path would fail with XSDB6 when two
+        # JVMs (bench + tests, or two CI jobs) run concurrently.
+        .config(
+            "spark.sql.warehouse.dir",
+            f"/tmp/join_example_spark_wh_{os.getuid()}_{os.getpid()}",
+        )
         .config(
             "spark.driver.extraJavaOptions",
-            "-Dderby.system.home=/tmp/join_example_spark_derby",
+            f"-Dderby.system.home=/tmp/join_example_spark_derby_{os.getuid()}_{os.getpid()}",
         )
         .getOrCreate()
     )

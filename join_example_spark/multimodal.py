@@ -77,12 +77,13 @@ def _fake_decode_image(payload: bytes) -> dict[str, Any]:
     }
 
 
-def decode_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def decode_media(media: DataFrame) -> DataFrame:
     """Decode/feature-extract media rows via Arrow-batched mapInPandas.
 
     Partition-preserving (no shuffle); the UDF sees pandas DataFrames of at
-    most ``arrow.maxRecordsPerBatch`` rows, so executor memory is bounded
-    by batch size × max payload, not partition size.
+    most ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows (tune THAT
+    conf for large payloads), so executor memory is bounded by batch size
+    × max payload, not partition size.
     """
     import numpy as np
     import pandas as pd

@@ -41,6 +41,13 @@ def _path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Convert the nanosAsLong int64 ``ts`` to TimestampType (exact ns→µs
+    truncation via integer division). The single home of this recipe —
+    batch and streaming readers must both go through it."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the ``events`` stream table with the ns-timestamp recipe.
 
@@ -49,8 +56,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     raw = spark.read.parquet(_path(sf_dir, "events"))
-    # ts div 1000: integer division on int64 — exact ns→µs truncation.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -47,6 +47,8 @@ EVENTS_RAW_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table from its parquet file (directory listing
     source — the moral equivalent of consuming a topic from offset 0)."""
+    from join_example_spark.sources.readers import normalize_event_ts
+
     ensure_session_confs(spark)
     # File-stream sources list a *directory*; pathGlobFilter scopes the
     # listing to the events file within the fixture dir.
@@ -55,7 +57,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def run_to_completion(
@@ -124,9 +126,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join within ±10 minutes, both sides watermarked.
 
-    KStream.join(KStream, JoinWindows.of(10m), grace): Spark buffers both
-    sides in state, expiring buffered rows once the watermark passes the
-    interval bound — bounded state at any scale."""
+    KStream.join(KStream, JoinWindows.of(10m), grace): symmetric — a
+    purchase within 10 minutes BEFORE or AFTER the view matches, exactly
+    like JoinWindows. Spark buffers both sides in state, expiring buffered
+    rows once the watermark passes the interval bound — bounded state at
+    any scale."""
     left = read_events_stream(spark, sf_dir).where(F.col("event_type") == "view")
     right = read_events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
     l = left.select(
@@ -142,7 +146,8 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(
         r,
         F.expr(
-            "l_user = r_user AND purchase_ts >= view_ts "
+            "l_user = r_user "
+            "AND purchase_ts >= view_ts - INTERVAL 10 MINUTES "
             "AND purchase_ts <= view_ts + INTERVAL 10 MINUTES"
         ),
         "inner",
@@ -154,9 +159,11 @@ def stream_dedup_within_watermark(spark: SparkSession, source_dir: str) -> DataF
 
     The streaming twin of exact dedup: state holds one entry per key only
     until the watermark passes — bounded memory on an unbounded stream."""
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(source_dir)
+    from join_example_spark.sources.readers import normalize_event_ts
+
     ensure_session_confs(spark)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(source_dir)
+    events = normalize_event_ts(raw)
     return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -201,11 +208,23 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str, gap_minutes: int = 30)
                 ts_us = int(ts.value // 1000)  # pandas ns -> µs
                 if start < 0:
                     start, last, n, total = ts_us, ts_us, 1, float(val)
-                elif ts_us - last >= gap_us:
+                elif ts_us - last > gap_us:
+                    # Strictly-greater gap splits: an exactly-gap pair MERGES,
+                    # matching Spark session_window and the q_stream_session
+                    # oracle (pinned in tests).
                     sessions.append((user_id, start, last, n, total))
                     start, last, n, total = ts_us, ts_us, 1, float(val)
+                elif ts_us < start - gap_us:
+                    # A late row older than the open session's reach forms its
+                    # own (already-closed) session. If it should have merged
+                    # with a previously EMITTED session, that emission is
+                    # final — the documented append-mode limitation.
+                    sessions.append((user_id, ts_us, ts_us, 1, float(val)))
                 else:
-                    last = ts_us
+                    # Merge, extending in BOTH directions: a late within-gap
+                    # row may precede the current session start.
+                    start = min(start, ts_us)
+                    last = max(last, ts_us)
                     n += 1
                     total += float(val)
             state.update((start, last, n, total))

@@ -70,7 +70,7 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     batch = views.join(
         purchases,
         (F.col("l_user") == F.col("r_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") >= F.expr("view_ts - INTERVAL 10 MINUTES"))
         & (F.col("purchase_ts") <= F.expr("view_ts + INTERVAL 10 MINUTES")),
     ).select("view_id", "purchase_id", "view_ts", "purchase_ts")
     problems = compare_frames(streamed.toPandas(), batch.toPandas())
@@ -346,3 +346,36 @@ def test_stateful_agg_recovers_from_checkpoint(spark, tmp_path):
     assert results[1] == (3, 7.0), results
     assert results[2] == (1, 3.0)
     assert results[3] == (1, 5.0)
+
+
+@pytest.mark.streaming
+def test_stateful_sessionizer_merges_exact_gap(spark, tmp_path):
+    """Boundary parity with session_window: a pair exactly gap apart MERGES
+    (split requires strictly greater); pinned separately because the sf
+    fixtures contain no exact-gap pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_700_000_000
+    src = tmp_path / "gap_events"
+    src.mkdir()
+    rows = [(1, t0), (2, t0 + 1800), (3, t0 + 1800 + 1801)]  # 30:00 then 30:01
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000_000 for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        src / "events.parquet",
+    )
+    out = demos.run_to_completion(
+        demos.sessionize_stateful(spark, str(src)), tmp_path / "gap_ck", "append"
+    )
+    got = sorted((r.n_events for r in out.collect()))
+    # events 1+2 merge (gap == 30:00 exactly); event 3 splits (30:01 > gap)
+    assert got == [1, 2], out.collect()
