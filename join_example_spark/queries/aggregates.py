@@ -253,8 +253,6 @@ GROUP BY o_orderpriority
     tags=("agg", "filter"),
 )
 def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from join_example_spark.sources.readers import register_temp_views
-
     register_temp_views(spark, sf_dir, ("orders",))
     return spark.sql(
         """

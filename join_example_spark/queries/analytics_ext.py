@@ -172,7 +172,9 @@ FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
 UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
 """,
     note="unpivot/melt — wide metric columns to long (metric, value) rows; "
-    "the inverse of q_pivot, a pure row-local transform (no shuffle)",
+    "the inverse of q_pivot, a pure row-local transform (no shuffle). "
+    "NULL values filtered explicitly: Spark unpivot KEEPS them while SQL "
+    "UNPIVOT drops them — aligned by the IS NOT NULL",
     tags=("reshape",),
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,7 +188,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["l_quantity", "l_extendedprice", "l_discount"],
         variableColumnName="metric",
         valueColumnName="v",
-    ).select(
+    ).where(F.col("v").isNotNull()).select(
         "l_orderkey", "l_linenumber", "metric", F.round("v", 4).alias("value")
     )
 

@@ -10,7 +10,7 @@ ROUND on double aggregates for oracle bit-parity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from join_example_spark.registry import register
@@ -21,7 +21,7 @@ from join_example_spark.sources.readers import read_table
     "q_tpch_q3",
     oracle="""
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 4) AS revenue,
        o.o_orderdate,
        o.o_orderpriority
 FROM customer c
@@ -54,7 +54,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.expr(
+                    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                    " AS DECIMAL(25,6))) AS DOUBLE)"
+                ),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -67,7 +71,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle="""
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 4) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -105,7 +109,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.expr(
+                    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                    " AS DECIMAL(25,6))) AS DOUBLE)"
+                ),
+                4,
             ).alias("revenue")
         )
         .select("n_name", "revenue")
@@ -117,7 +125,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey,
        c.c_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 4) AS revenue,
        ROUND(c.c_acctbal, 4) AS acctbal,
        n.n_name
 FROM customer c
@@ -150,7 +158,11 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.expr(
+                    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                    " AS DECIMAL(25,6))) AS DOUBLE)"
+                ),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -172,13 +184,13 @@ WITH big AS (
     SELECT l_orderkey
     FROM lineitem
     GROUP BY l_orderkey
-    HAVING SUM(l_quantity) > 150
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 150
 )
 SELECT c.c_custkey,
        o.o_orderkey,
        o.o_orderdate,
        ROUND(o.o_totalprice, 4) AS totalprice,
-       ROUND(SUM(l.l_quantity), 4) AS sum_qty
+       ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_qty
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -197,7 +209,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
+        .agg(
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)").alias("q")
+        )
         .where(F.col("q") > 150)
         .select("l_orderkey")
     )
@@ -207,7 +221,11 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .agg(
+            F.round(
+                F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)"), 4
+            ).alias("sum_qty")
+        )
         .select(
             "c_custkey",
             "o_orderkey",

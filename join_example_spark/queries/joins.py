@@ -13,7 +13,7 @@ equality component so it never degrades to a nested loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from join_example_spark.operators.temporal import asof_join, range_join

@@ -300,20 +300,14 @@ GROUP BY id
 def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.graph import connected_components
 
-    docs = (
-        read_table(spark, sf_dir, "documents")
-        .where(F.col("source").isin("src0", "src1"))
-        .select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
-        )
-    )
     # Edges: exactly the near-dup pair semantics (same predicates as the
     # oracle's raw_edges CTE) — reuse the blocked-join query directly.
     pairs = q_llm_dedup_near(spark, sf_dir)
-    nodes = docs.select("doc_id")
+    nodes = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select("doc_id")
+    )
     labels = connected_components(
         nodes,
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

@@ -18,11 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from join_example_spark.multimodal import (
-    decode_media,
-    documents_as_media,
-    resize_stub,
-)
+from join_example_spark.multimodal import decode_media, documents_as_media
 from join_example_spark.registry import register
 from join_example_spark.sources.readers import read_table
 
@@ -59,9 +55,20 @@ FROM decoded
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     decoded = decode_media(documents_as_media(docs))
-    resized = resize_stub(decoded, max_side=256)
-    return decoded.select("media_id", "n_bytes", "width", "height", "checksum").join(
-        resized.select("media_id", "out_width", "out_height"), "media_id"
+    # Resize dims computed inline on the SAME decode pass: Spark does not
+    # CSE mapInPandas subtrees, so a decoded-join-resize(decoded) shape
+    # would run the Python decode twice plus a shuffle join.
+    scale = F.least(
+        F.lit(1.0), F.lit(256.0) / F.greatest("width", "height").cast("double")
+    )
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        "checksum",
+        F.round(F.col("width") * scale).cast("bigint").alias("out_width"),
+        F.round(F.col("height") * scale).cast("bigint").alias("out_height"),
     )
 
 
