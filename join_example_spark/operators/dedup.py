@@ -263,3 +263,55 @@ def simhash_band_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def length_bucket_pairs(
+    docs: DataFrame,
+    payload_col: str,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    width: int = 20,
+) -> DataFrame:
+    """Candidate pairs under (same lang, |len diff| <= width) blocking.
+
+    The 100 TB rewrite shared by the token-set and n-gram Jaccard queries:
+    |a.len - b.len| <= width implies the pair co-occurs in at least one of
+    b's {bucket-1, bucket, bucket+1} at bucket = len DIV width, so the
+    quadratic candidate space becomes an equi-join on (lang, bucket) with
+    the exact length/lang residual re-applied. Each LEFT doc has exactly
+    one bucket, so a pair matches in at most one exploded neighbor bucket —
+    no pair-dedup needed (the invariant both callers rely on).
+
+    Output: ``id_a < id_b`` pairs with ``{payload_col}_a/_b`` carried for
+    the caller's exact similarity verify.
+    """
+    bucket = f"CAST({len_col} DIV {width} AS BIGINT)"
+    a = docs.withColumn("_bkt", F.expr(bucket))
+    b = docs.withColumn(
+        "_bkt",
+        F.explode(F.expr(f"ARRAY({bucket} - 1, {bucket}, {bucket} + 1)")),
+    )
+    aa = a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lang_col).alias("_lang_a"),
+        F.col(len_col).alias("_len_a"),
+        F.col(payload_col).alias(f"{payload_col}_a"),
+        "_bkt",
+    )
+    bb = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lang_col).alias("_lang_b"),
+        F.col(len_col).alias("_len_b"),
+        F.col(payload_col).alias(f"{payload_col}_b"),
+        "_bkt",
+    )
+    return (
+        aa.join(bb, ["_bkt"])
+        .where(
+            (F.col("_lang_a") == F.col("_lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_len_a") - F.col("_len_b")) <= width)
+        )
+        .select("id_a", "id_b", f"{payload_col}_a", f"{payload_col}_b")
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from join_example_spark.operators.dedup import (
+    length_bucket_pairs,
     minhash_lsh_candidates,
     token_jaccard_pairs,
 )
@@ -77,46 +78,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
         )
     )
-    # Length-bucket equi-blocking: |a.n_chars - b.n_chars| <= 20 implies the
-    # pair co-occurs in at least one of b's {bucket-1, bucket, bucket+1} at
-    # width 20 -> equi-join on (lang, bucket) + exact residual filter. At
-    # 100 TB this is a balanced hash shuffle, never a per-lang cartesian.
-    a = docs.withColumn("bucket", F.expr("CAST(n_chars DIV 20 AS BIGINT)"))
-    b = docs.withColumn(
-        "bucket",
-        F.explode(
-            F.expr(
-                "ARRAY(CAST(n_chars DIV 20 AS BIGINT) - 1,"
-                " CAST(n_chars DIV 20 AS BIGINT),"
-                " CAST(n_chars DIV 20 AS BIGINT) + 1)"
-            )
-        ),
-    )
-    aa = a.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("nc_a"),
-        F.col("toks").alias("toks_a"),
-        "bucket",
-    )
-    bb = b.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("nc_b"),
-        F.col("toks").alias("toks_b"),
-        "bucket",
-    )
-    pairs = (
-        aa.join(bb, ["bucket"])
-        .where(
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
-        )
-        .select("id_a", "id_b", "toks_a", "toks_b")
-    )
-    # No pair-dedup needed: each left doc has exactly one bucket, so a pair
-    # can match in at most one exploded neighbor bucket.
+    pairs = length_bucket_pairs(docs, payload_col="toks", width=20)
     jac = F.expr(
         "CAST(SIZE(ARRAY_INTERSECT(toks_a, toks_b)) AS DOUBLE)"
         " / CAST(SIZE(ARRAY_UNION(toks_a, toks_b)) AS DOUBLE)"
@@ -175,42 +137,7 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", shingles.alias("grams"))
         .where(F.size("grams") > 0)
     )
-    # Same 100 TB blocking plan as q_llm_dedup_near: equi-join on
-    # (lang, n_chars-bucket ± 1) then exact residual, never a cartesian.
-    a = docs.withColumn("bucket", F.expr("CAST(n_chars DIV 20 AS BIGINT)"))
-    b = docs.withColumn(
-        "bucket",
-        F.explode(
-            F.expr(
-                "ARRAY(CAST(n_chars DIV 20 AS BIGINT) - 1,"
-                " CAST(n_chars DIV 20 AS BIGINT),"
-                " CAST(n_chars DIV 20 AS BIGINT) + 1)"
-            )
-        ),
-    )
-    aa = a.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("nc_a"),
-        F.col("grams").alias("grams_a"),
-        "bucket",
-    )
-    bb = b.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("nc_b"),
-        F.col("grams").alias("grams_b"),
-        "bucket",
-    )
-    pairs = (
-        aa.join(bb, ["bucket"])
-        .where(
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
-        )
-        .select("id_a", "id_b", "grams_a", "grams_b")
-    )
+    pairs = length_bucket_pairs(docs, payload_col="grams", width=20)
     jac = F.expr(
         "CAST(SIZE(ARRAY_INTERSECT(grams_a, grams_b)) AS DOUBLE)"
         " / CAST(SIZE(ARRAY_UNION(grams_a, grams_b)) AS DOUBLE)"
