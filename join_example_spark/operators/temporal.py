@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def range_join(
@@ -111,49 +112,81 @@ def asof_join(
     own tie-pick among equal timestamps is unspecified, so oracle-compared
     callers should still project only tie-invariant columns).
 
-    Plan shape: equi-join on keys (shuffle or broadcast, Catalyst's choice)
-    + residual ``<=`` filter + per-left-row ``row_number() = 1``. At 100 TB
-    the join keys partition the work; the window is per-left-row so the
-    row_number shuffle reuses the join partitioning. Requires a unique left
-    row id column named ``_asof_lid`` to exist or be constructible from
-    ``left`` (we build one with monotonically_increasing_id when absent —
-    callers that need oracle-grade determinism should pre-project a unique
-    key and pass deterministic columns only).
+    Plan shape — the **linear merge formulation** (not join + rank): both
+    sides are unioned into one frame tagged by side, hash-partitioned on
+    the keys, sorted once by (ts, side, tie), and each left row picks up
+    ``last(right_payload, ignoreNulls)`` over the running window. One
+    shuffle per side, one sort, and — crucially — **no per-key pair
+    inflation**: the old join-then-rank shape joined every left row to ALL
+    earlier right rows of its key before ranking, which is quadratic in
+    key frequency and explodes on hot keys at 100 TB. Here the
+    intermediate is |left| + |right| rows regardless of key skew.
+    Right rows sort before left rows at equal timestamps, so the ``<=``
+    boundary is inclusive. Null-key / null-ts right rows can never match
+    and are dropped before the union (equi-join null semantics).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
-    l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]).withColumn(
-        "_asof_lid", F.monotonically_increasing_id()
+    lcols, rcols = left.columns, right.columns
+    tie_cols = [c for c in rcols if c != right_ts]
+    payload_t = right.schema
+    tie_t = StructType([f for f in right.schema.fields if f.name != right_ts])
+    lnulls = {f.name: f.dataType for f in left.schema.fields}
+
+    keys = [F.col(k).alias(f"_asof_k{i}") for i, k in enumerate(on)]
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        *[F.col(c).alias(f"l_{c}") for c in lcols],
+        F.lit(None).cast(payload_t).alias("_asof_payload"),
+        F.lit(None).cast(tie_t).alias("_asof_tie"),
     )
-    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
-    cond = None
+    rhs_filter = F.col(right_ts).isNotNull()
     for k in on:
-        c = F.col(f"l_{k}") == F.col(f"r_{k}")
-        cond = c if cond is None else (cond & c)
-    ts_cond = F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}")
-    if tolerance is not None:
-        ts_cond = ts_cond & (
-            F.col(f"r_{right_ts}") >= F.expr(f"l_{left_ts} - {tolerance}")
+        rhs_filter = rhs_filter & F.col(k).isNotNull()
+    rhs = right.where(rhs_filter).select(
+        *keys,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.lit(None).cast(lnulls[c]).alias(f"l_{c}") for c in lcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("_asof_payload"),
+        F.struct(*[F.col(c) for c in tie_cols]).alias("_asof_tie"),
+    )
+    merged = lhs.unionByName(rhs)
+    # Total order within a key: time, then side (right first => inclusive
+    # boundary), then the right tie-struct ascending so last() == the max
+    # remaining-columns row among equal timestamps (same pick as DuckDB-safe
+    # callers got from the previous desc-rank formulation).
+    w = (
+        Window.partitionBy(*[f"_asof_k{i}" for i in range(len(on))])
+        .orderBy(
+            F.col("_asof_ts").asc(),
+            F.col("_asof_side").asc(),
+            F.col("_asof_tie").asc_nulls_first(),
         )
-    cond = ts_cond if cond is None else (cond & ts_cond)
-    joined = l.join(r, cond, how)
-    # Deterministic tie-pick: after the timestamp, every remaining right
-    # column (stable order) breaks exact-ts ties the same way on every run
-    # and partitioning.
-    tie_cols = [
-        F.col(f"r_{c}").desc()
-        for c in right.columns
-        if c != right_ts
-    ]
-    w = Window.partitionBy("_asof_lid").orderBy(
-        F.col(f"r_{right_ts}").desc(), *tie_cols
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    picked = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_asof_lid")
+    filled = merged.withColumn(
+        "_asof_fill", F.last("_asof_payload", ignorenulls=True).over(w)
+    ).where(F.col("_asof_side") == 1)
+    if tolerance is not None:
+        # The carried row is the latest <= left_ts; if even it precedes the
+        # tolerance window, no right row qualifies.
+        filled = filled.withColumn(
+            "_asof_fill",
+            F.when(
+                F.col("_asof_fill").getField(right_ts)
+                >= F.expr(f"_asof_ts - {tolerance}"),
+                F.col("_asof_fill"),
+            ),
+        )
+    if how == "inner":
+        filled = filled.where(F.col("_asof_fill").isNotNull())
+    return filled.select(
+        *[F.col(f"l_{c}") for c in lcols],
+        *[F.col("_asof_fill").getField(c).alias(f"r_{c}") for c in rcols],
     )
-    return picked
 
 
 def latest_per_key(

@@ -24,8 +24,8 @@ SELECT l_returnflag,
                 THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_f,
        CAST(SUM(CASE WHEN l_linestatus = 'O'
                 THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_o,
-       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -81,15 +81,25 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_approx_percentile",
     oracle=None,  # sketch-based (KLL/GK); no exact SQL twin — rows-only.
     note="approx_percentile: the mergeable-sketch percentile path that "
-    "replaces exact percentile() at 100 TB (single pass, bounded memory)",
+    "replaces exact percentile() at 100 TB (single pass, bounded memory); "
+    "output is three scalar columns — the driver's canonicalizer cannot "
+    "sort array cells, so the sketch array is unpacked with element_at",
     tags=("agg", "percentile", "approx"),
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketched = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias(
             "price_quantiles"
         )
+    )
+    # Scalar projection: rows-only checks still canonicalize the output, and
+    # pandas sort_values chokes on list cells — emit scalars, never arrays.
+    return sketched.select(
+        "l_returnflag",
+        F.element_at("price_quantiles", 1).alias("p50_price"),
+        F.element_at("price_quantiles", 2).alias("p90_price"),
+        F.element_at("price_quantiles", 3).alias("p99_price"),
     )
 
 

@@ -236,22 +236,24 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_regex",
     oracle="""
 SELECT doc_id,
-       regexp_extract_all(text, '[a-z]+ing') AS ing_words,
-       len(regexp_extract_all(text, '[a-z]+ing')) AS n_ing,
+       COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+ing'), '|'), '') AS ing_words,
+       CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS BIGINT) AS n_ing,
        regexp_replace(text, '\\s+', '_', 'g') AS squashed,
        CASE WHEN regexp_matches(text, '(data|model|train)') THEN 1 ELSE 0 END AS mentions_ml
 FROM documents
 WHERE doc_id <= 200
 """,
     note="regexp_extract_all / global regexp_replace / rlike; DuckDB needs "
-    "the 'g' flag where Spark's regexp_replace is global by default",
+    "the 'g' flag where Spark's regexp_replace is global by default; the "
+    "match list is pipe-joined to a scalar because the driver's pandas "
+    "canonicalizer cannot sort array cells",
     tags=("fn", "regex"),
 )
 def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
     return docs.select(
         "doc_id",
-        F.expr("regexp_extract_all(text, '[a-z]+ing')").alias("ing_words"),
+        F.array_join(F.expr("regexp_extract_all(text, '[a-z]+ing')"), "|").alias("ing_words"),
         F.expr("size(regexp_extract_all(text, '[a-z]+ing'))").cast("bigint").alias("n_ing"),
         F.regexp_replace("text", r"\s+", "_").alias("squashed"),
         F.when(F.col("text").rlike("(data|model|train)"), 1).otherwise(0).alias("mentions_ml"),
@@ -265,7 +267,7 @@ SELECT l_returnflag,
        bit_and(l_orderkey & 255) AS and_low,
        bit_or(l_orderkey & 255) AS or_low,
        bit_xor(l_orderkey) AS xor_all,
-       SUM(CASE WHEN (l_orderkey >> 3) & 1 = 1 THEN 1 ELSE 0 END) AS bit3_set
+       CAST(SUM(CASE WHEN (l_orderkey >> 3) & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bit3_set
 FROM lineitem
 GROUP BY l_returnflag
 """,

@@ -60,8 +60,134 @@ def register(
     return deco
 
 
+#: Driver-facing verification order. The round-1 driver check consumed
+#: exactly the first 50 registry entries, so ordering is load-bearing:
+#: queries that still need a driver CORRECTNESS row go FIRST, driver-green
+#: rounds-1 queries go LAST. Within the head: the four round-1 red rows,
+#: then the two as-of queries (implementation rewritten in round 2), then
+#: every never-checked family; trivial/sibling-certified queries and the
+#: three rows-only (no-oracle) queries are deferred just behind the top 50.
+#: Names registered but absent from this list (i.e. queries added later)
+#: are placed before everything else so new work is always checked first.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-1 red rows, fixed this round — must re-verify
+    "q_pivot",
+    "q_fn_bitwise",
+    "q_fn_regex",
+    "q_agg_approx_percentile",
+    # as-of join rewritten this round — must re-verify
+    "q_join_asof",
+    "q_join_asof_left",
+    # never driver-checked (round-1 check stopped at entry 50)
+    "q_join_salted",
+    "q_scalar_subquery",
+    "q_join_ktable",
+    "q_join_exists_correlated",
+    "q_join_range_bucketed",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_near",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_minhash_exact",
+    "q_llm_sim_topk",
+    "q_llm_embed_near",
+    "q_llm_sim_ivf",
+    "q_llm_text_stats",
+    "q_llm_lang_filter",
+    "q_llm_langid",
+    "q_llm_tokens",
+    "q_llm_quality",
+    "q_llm_fingerprint",
+    "q_llm_pipeline",
+    "q_llm_tfidf",
+    "q_llm_zipf",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_scan_json_props",
+    "q_set_union_distinct",
+    "q_set_except",
+    "q_set_except_all",
+    "q_sort_limit",
+    "q_flagship_daily_enrich",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_resample_gapfill",
+    "q_funnel_stages",
+    "q_cohort_retention",
+    "q_win_rank",
+    "q_win_topk_per_group",
+    "q_win_running",
+    "q_win_lead_lag",
+    "q_win_ntile_percent",
+    "q_win_first_last",
+    "q_win_time_range",
+    "q_scd2_intervals",
+    # -------- top-50 boundary (everything above fits one driver check) ----
+    # deferred: trivial or certified via a sibling operator in the top 50
+    "q_llm_dedup_ngram",
+    "q_scan_parquet",
+    "q_scan_count",
+    "q_set_union_all",
+    "q_set_intersect",
+    "q_set_intersect_all",
+    "q_limit_offset",
+    # deferred: rows-only by design (no oracle — weaker check regardless)
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_simhash",
+    "q_llm_sim_knn_scale",
+    # driver-green in CORRECTNESS_r01 — lowest re-check priority
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_groupingsets",
+    "q_agg_having",
+    "q_agg_latest_per_key",
+    "q_agg_filter_clause",
+    "q_agg_any_all",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_explode_pos",
+    "q_unpivot",
+    "q_histogram",
+    "q_lateral_topk",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_project_rename",
+    "q_filter_pred",
+    "q_filter_branch",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_json",
+    "q_fn_map",
+    "q_fn_struct",
+    "q_fn_nulls",
+    "q_fn_codec",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_theta_range",
+    "q_join_cross",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills REGISTRY) and return it."""
+    """Import every query module (side effect: fills REGISTRY) and return it
+    re-ordered by ``DRIVER_PRIORITY`` (unlisted/new queries first)."""
     # Imports are localized so `import join_example_spark` stays cheap.
     from join_example_spark.queries import (  # noqa: F401
         aggregates,
@@ -81,4 +207,6 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    return REGISTRY
+    rank = {name: i for i, name in enumerate(DRIVER_PRIORITY)}
+    ordered = sorted(REGISTRY, key=lambda n: rank.get(n, -1))
+    return {name: REGISTRY[name] for name in ordered}

@@ -29,13 +29,17 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _cell(v) -> str:
+    # NaN gets a distinct token from SQL NULL: both engines surface a float
+    # NULL as NaN after pandas collection, so '<NaN>' still matches across
+    # sides, while a genuine NULL-vs-NaN divergence in an object column is
+    # no longer silently conflated.
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
-        return "<NULL>" if math.isnan(v) else repr(v)
+        return "<NaN>" if math.isnan(v) else repr(v)
     if isinstance(v, np.floating):
         fv = float(v)
-        return "<NULL>" if math.isnan(fv) else repr(fv)
+        return "<NaN>" if math.isnan(fv) else repr(fv)
     if isinstance(v, (bool, np.bool_)):
         return "T" if v else "F"
     if isinstance(v, (int, np.integer)):
@@ -58,17 +62,16 @@ def _cell(v) -> str:
     return str(v)
 
 
-def _harmonize(a: pd.DataFrame, b: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Column-wise dtype harmonization for representation-only differences.
+def _dtype_divergences(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Int-vs-float dtype divergence between the two sides is a HARD failure.
 
-    - int vs float column (nullable ints surface as float64 after collection
-      on one side but not the other): cast both to float64.
-    - datetime64 vs date objects: normalize datetimes-at-midnight only when
-      the opposite side is dates (DuckDB returns DATE as dtype object of
-      datetime.date; Spark returns DateType the same way — this guard is for
-      any pandas version drift).
+    The driver stringifies raw cells without harmonizing dtypes, so a DuckDB
+    HUGEINT sum landing as float64 (``10003.0``) against Spark's int64
+    (``10003``) hash-mismatches driver-side even when values are equal
+    (CORRECTNESS_r01: q_pivot, q_fn_bitwise). The old mirror cast both sides
+    to float64 here — exactly the leniency that let those bugs through.
     """
-    a, b = a.copy(), b.copy()
+    diverged = []
     for col in a.columns:
         da, db = a[col], b[col]
         ia = pd.api.types.is_integer_dtype(da)
@@ -76,9 +79,25 @@ def _harmonize(a: pd.DataFrame, b: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataF
         fa = pd.api.types.is_float_dtype(da)
         fb = pd.api.types.is_float_dtype(db)
         if (ia and fb) or (fa and ib):
-            a[col] = da.astype("float64")
-            b[col] = db.astype("float64")
-            continue
+            diverged.append(
+                f"dtype divergence on {col!r}: spark={da.dtype} oracle={db.dtype}"
+                " (driver hashes raw cells — CAST both sides to the same type)"
+            )
+    return diverged
+
+
+def _harmonize(a: pd.DataFrame, b: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Representation-only normalization (kept deliberately minimal).
+
+    datetime64 vs date objects: normalize datetimes-at-midnight only when
+    the opposite side is dates (DuckDB returns DATE as dtype object of
+    datetime.date; Spark returns DateType the same way — this guard is for
+    any pandas version drift). Int/float divergence is NOT harmonized — it
+    is reported as a failure by :func:`_dtype_divergences`.
+    """
+    a, b = a.copy(), b.copy()
+    for col in a.columns:
+        da, db = a[col], b[col]
         dta = pd.api.types.is_datetime64_any_dtype(da)
         dtb = pd.api.types.is_datetime64_any_dtype(db)
         if dta != dtb:
@@ -109,6 +128,7 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    problems.extend(_dtype_divergences(spark_pdf[s_cols], oracle_pdf[o_cols]))
     s_h, o_h = _harmonize(spark_pdf[s_cols], oracle_pdf[o_cols])
     _, s_rows = normalize(s_h)
     _, o_rows = normalize(o_h)

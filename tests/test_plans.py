@@ -58,6 +58,43 @@ def test_no_python_udfs_in_batch_queries(spark):
     assert not offenders, f"Python UDFs in batch plans: {offenders}"
 
 
+def test_all_query_outputs_are_flat_scalars(spark):
+    # The driver canonicalizes EVERY query's output (rows-only included)
+    # with pandas sort_values, which crashes on list cells (unhashable) —
+    # CORRECTNESS_r01: q_fn_regex, q_agg_approx_percentile. No declared
+    # query may emit array/map/struct output columns.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in _REG.items():
+        df = spec.fn(spark, SF_SMOKE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, f"non-scalar output columns: {offenders}"
+
+
+def test_asof_join_has_no_pair_inflation(spark):
+    # The as-of join must use the linear merge formulation: union + window,
+    # never join-then-rank (which inflates each left row by every earlier
+    # right row of its key — quadratic on hot keys at 100 TB).
+    for qname in ("q_join_asof", "q_join_asof_left"):
+        plan = executed_plan(_REG[qname].fn(spark, SF_SMOKE))
+        assert "Union" in plan and "Window" in plan, qname
+        for join_kind in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        ):
+            assert join_kind not in plan, f"{qname}: {join_kind} in as-of plan"
+
+
 def test_sort_limit_uses_take_ordered(spark):
     df = _REG["q_sort_limit"].fn(spark, SF_SMOKE)
     assert "TakeOrderedAndProject" in executed_plan(df)
