@@ -14,9 +14,10 @@ SQL reachability query.
 Scale notes:
 - each round is one shuffle (edge⋈label join + min-aggregate) — O(diameter)
   rounds total, and near-dup components have tiny diameters in practice;
-- the driver loop carries only a single scalar per round (the label sum,
-  a monotonically decreasing convergence witness) — no row data ever
-  reaches the driver;
+- the driver loop carries only a single scalar per round (the count of
+  rows whose label changed this round; zero means fixpoint — a count is
+  used rather than a label sum so string ids work and no precision is
+  lost) — no row data ever reaches the driver;
 - ``localCheckpoint`` truncates the growing lineage each round (on a real
   cluster, use a reliable ``checkpoint`` dir instead so executor loss
   doesn't replay the whole chain).

@@ -71,7 +71,8 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     fp = fold(tokens, 0, (acc, t) -> (acc*31 + len(t)*131 + ascii(t[0])) % p)
     — order-sensitive (a true rolling hash), single pass, JVM-only.
-    No DuckDB twin (no list fold in 1.0) — covered by unit tests + rows-only.
+    Oracle-certified: q_llm_fingerprint's DuckDB twin replays the identical
+    fold with ``list_reduce`` (queries/llm_text.py), so this is a Y query.
     """
     toks = f"split(TRIM({text_col}), ' ')"
     fold = (

@@ -1,8 +1,9 @@
 """§2.10 — text analysis over the ``documents`` corpus.
 
 Token stats, language/quality filtering, language-ID heuristic, BPE-ish
-token counting, quality features — all Y-oracle; the rolling-hash
-fingerprint is order-sensitive folding (no DuckDB fold in 1.0) — rows-only.
+token counting, quality features, and the rolling-hash fingerprint — all
+Y-oracle (the fingerprint's DuckDB twin replays the same fold via
+``list_reduce``).
 """
 
 from __future__ import annotations
