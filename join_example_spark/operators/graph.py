@@ -91,3 +91,106 @@ def connected_components(
                 singletons
             )
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """LS(E) = {(v, m(u)) : (u,v) ∈ E_sym, v > u}, m(u) = min(N(u) ∪ {u}).
+
+    Connects every strictly-larger neighbor of u to the minimum of u's
+    neighborhood — after this, every emitted pair points strictly downhill.
+    """
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """SS(E) = {(x, m(u)) : x ∈ N(u) ∪ {u}, x ≠ m(u)} over downhill edges.
+
+    Input pairs all satisfy v < u (large-star output); each node and its
+    smaller neighbors are re-pointed at the neighborhood minimum.
+    """
+    m = pairs.groupBy("u").agg(F.min("v").alias("m"))
+    via_nbrs = (
+        pairs.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    via_self = m.select("u", F.col("m").alias("v"))
+    return via_nbrs.union(via_self).distinct()
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds.
+
+    Same contract and result as :func:`connected_components` (every node
+    labeled with the minimum reachable id), but converges in **O(log n)
+    rounds instead of O(component diameter)** — the scale path when
+    components can chain (long paths), where plain min-label propagation
+    needs one round per hop. Algorithm follows the public
+    large-star/small-star MapReduce formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Per round: two groupBy shuffles + two distincts over the current pair
+    set; pair-set size is bounded by the symmetrized edge count and only
+    shrinks toward the star forest. Convergence witness is a scalar
+    (count, bit_xor of pair hashes) pair per round — no row data reaches
+    the driver; an xor collision is 2^-64-improbable and would be caught
+    by the oracle gate anyway.
+    """
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    pairs = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        pairs.select("u")
+        .union(pairs.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("id"))
+        .localCheckpoint(eager=True)
+    )
+    if pairs.isEmpty():
+        return all_nodes.select("id", F.col("id").alias("cluster_id"))
+
+    def _witness(p: DataFrame) -> tuple:
+        row = p.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    prev = _witness(pairs)
+    for _ in range(max_iter):
+        pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=True)
+        cur = _witness(pairs)
+        if cur == prev:
+            # Star forest: every non-root points directly at its root.
+            non_roots = pairs.select(
+                F.col("u").alias("id"), F.col("v").alias("cluster_id")
+            )
+            roots = (
+                active.join(non_roots.select("id"), "id", "left_anti")
+                .select("id", F.col("id").alias("cluster_id"))
+            )
+            singletons = all_nodes.join(active, "id", "left_anti").select(
+                "id", F.col("id").alias("cluster_id")
+            )
+            return non_roots.union(roots).union(singletons)
+        prev = cur
+    raise RuntimeError(f"connected_components_star: no fixpoint in {max_iter} rounds")

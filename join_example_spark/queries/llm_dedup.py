@@ -243,6 +243,65 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+@register(
+    "q_llm_dedup_cluster_star",
+    oracle="""
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id, lang, n_chars,
+           list_distinct(string_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+),
+raw_edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM toks a
+    JOIN toks b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+    WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(LEN(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+            >= 0.5
+),
+edges AS (
+    SELECT src, dst FROM raw_edges
+    UNION ALL
+    SELECT dst, src FROM raw_edges
+),
+reach(id, root) AS (
+    SELECT doc_id, doc_id FROM toks
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(root) AS cluster_id
+FROM reach
+GROUP BY id
+""",
+    note="same clustering contract as q_llm_dedup_cluster but via the "
+    "large-star/small-star formulation (operators/graph.py) — O(log n) "
+    "rounds instead of O(component diameter), the scale path when near-dup "
+    "components chain into long paths; identical recursive-CTE oracle "
+    "proves both formulations agree",
+    tags=("llm", "dedup", "graph"),
+)
+def q_llm_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import connected_components_star
+
+    pairs = q_llm_dedup_near(spark, sf_dir)
+    nodes = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select("doc_id")
+    )
+    labels = connected_components_star(
+        nodes,
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # Portable MinHash: polynomial char-fold token hash (identical in Spark and
 # DuckDB, verified bit-for-bit), k=8 permutations (a_i*h + b_i) mod p,
 # banded 2x4 for candidate generation. p small enough that a*h stays far

@@ -124,6 +124,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_time_range",
     "q_scd2_intervals",
     # -------- top-50 boundary (everything above fits one driver check) ----
+    # new in round 2 — verified locally; first in line for the next round's
+    # driver check without displacing the round-2 backlog above
+    "q_llm_dedup_cluster_star",
     # deferred: trivial or certified via a sibling operator in the top 50
     "q_llm_dedup_ngram",
     "q_scan_parquet",

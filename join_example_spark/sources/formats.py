@@ -61,6 +61,34 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet table hash-bucketed (and optionally sorted) on the join key.
+
+    THE storage-layout lever for repeated big joins at 100 TB: two tables
+    bucketed into the same bucket count on the join key co-locate matching
+    keys file-by-file, so a join between them plans with **no Exchange** —
+    the shuffle is paid once at write time and amortized over every
+    subsequent join/aggregation on that key
+    (pinned by tests/test_plans.py::test_bucketed_join_has_no_shuffle).
+    Bucketing requires the table catalog (``saveAsTable``); ``path`` makes
+    it external so the data lands where the caller wants it.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", header).csv(path)
 

@@ -242,6 +242,51 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(nodes, edges, max_iter=3)
 
 
+def test_connected_components_star_matches_propagation(spark):
+    from join_example_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    edges = spark.createDataFrame([(2, 1), (2, 3), (3, 4), (5, 6)], ["src", "dst"])
+    star = {
+        (r.id, r.cluster_id)
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    prop = {
+        (r.id, r.cluster_id)
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert star == prop == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7)}
+
+
+def test_connected_components_star_long_chain_logarithmic_rounds(spark):
+    from join_example_spark.operators.graph import connected_components_star
+
+    # Chain of 29 nodes (diameter 28): plain propagation needs ~29 rounds;
+    # star contraction must finish well within 12 (O(log n)).
+    nodes = spark.createDataFrame([(i,) for i in range(1, 30)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 29)], ["src", "dst"])
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_star(nodes, edges, max_iter=12).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 30)}
+
+
+def test_connected_components_star_string_ids(spark):
+    from join_example_spark.operators.graph import connected_components_star
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], ["id"])
+    edges = spark.createDataFrame([("b", "c"), ("c", "a")], ["src", "dst"])
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")}
+
+
 def test_simhash_band_pairs_complete_vs_brute_force(spark):
     # Pigeonhole banding must find EVERY pair within the radius — exact
     # recall, not probabilistic.

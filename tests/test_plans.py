@@ -95,6 +95,40 @@ def test_asof_join_has_no_pair_inflation(spark):
             assert join_kind not in plan, f"{qname}: {join_kind} in as-of plan"
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # Both sides bucketed into the same bucket count on the join key =>
+    # the join plans with zero Exchange: the shuffle was paid at write time.
+    # This is SCALE.md §2.2's storage-layout story, executed for real.
+    from join_example_spark.sources.formats import write_bucketed_table
+
+    cust = read_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(
+        cust, "bt_customer", 4, ("c_custkey",), ("c_custkey",),
+        path=str(tmp_path / "bt_customer"),
+    )
+    write_bucketed_table(
+        orders, "bt_orders", 4, ("o_custkey",), ("o_custkey",),
+        path=str(tmp_path / "bt_orders"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_orders").join(
+            spark.table("bt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
 def test_sort_limit_uses_take_ordered(spark):
     df = _REG["q_sort_limit"].fn(spark, SF_SMOKE)
     assert "TakeOrderedAndProject" in executed_plan(df)
