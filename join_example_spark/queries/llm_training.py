@@ -1,0 +1,192 @@
+"""Training-data pipeline surface: deterministic sampling, group-stable
+splits, benchmark decontamination, token-budget sharding, source mixtures.
+
+These are the operations between "deduped corpus" and "training shards" in
+a large-scale LLM data pipeline. All of them run on portable hashes
+(operators/sampling.py) so the declared queries carry exact DuckDB oracles;
+the 100 TB scale path swaps the char-fold for xxhash64 with the same plan
+shape. Every operator here is map-side or single-shuffle — nothing
+quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from join_example_spark.operators.sampling import (
+    HASH_P,
+    hash_sample,
+    id_hash,
+    id_hash_sql,
+    pack_chunks,
+    split_assign,
+    str_hash_sql,
+)
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table
+
+
+@register(
+    "q_llm_sample_hash",
+    oracle=f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {id_hash_sql("doc_id")} % 100 < 10
+""",
+    note="deterministic 10% corpus sample by id-hash bucket — map-side "
+    "filter, no shuffle, same rows on every run/partitioning (unlike "
+    "rand()-based sampling); the reproducible-dev-corpus operator",
+    tags=("llm", "training", "sample"),
+)
+def q_llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 10).select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "q_llm_split_assign",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN {str_hash_sql("source")} % 100 < 80 THEN 'train'
+            WHEN {str_hash_sql("source")} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    note="group-stable train/val/test split: the hash is over the GROUP "
+    "key (source), so every document of a source lands in one split — the "
+    "defense against near-dup leakage across the train/eval boundary. "
+    "Map-side only",
+    tags=("llm", "training", "split"),
+)
+def q_llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return split_assign(docs, "source").select("doc_id", "source", "split")
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle="""
+WITH tr AS (
+    SELECT doc_id, str_split(LOWER(TRIM(text)), ' ') AS toks
+    FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), bn AS (
+    SELECT doc_id, str_split(LOWER(TRIM(text)), ' ') AS toks
+    FROM documents WHERE source = 'src19'
+), tr_sh AS (
+    SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+3], ' ')))) AS sh
+    FROM tr WHERE len(toks) >= 4
+), bn_sh AS (
+    SELECT DISTINCT UNNEST(list_distinct(list_transform(
+               range(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+3], ' ')))) AS sh
+    FROM bn WHERE len(toks) >= 4
+)
+SELECT tr_sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tr_sh JOIN bn_sh ON tr_sh.sh = bn_sh.sh
+GROUP BY tr_sh.doc_id
+""",
+    note="benchmark decontamination: n-gram shingle overlap between the "
+    "training sources and a held-out benchmark source, as an equi-join on "
+    "the shingle — flags training docs that leak eval content. n=4 here "
+    "because the synthetic fixture's tiny vocabulary makes real-world "
+    "8-13-grams collisionless; the operator is n-parametric. Scale path: "
+    "shuffle the 64-bit shingle hash instead of the string (same plan "
+    "shape, ~10x narrower exchange); the word-shingle equi-join is the "
+    "same candidate-generation shape as the MinHash band join — never "
+    "all-pairs",
+    tags=("llm", "training", "decontaminate"),
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+
+    def shingles(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            "doc_id", F.expr("split(LOWER(TRIM(text)), ' ')").alias("toks")
+        ).where(F.size("toks") >= 4)
+        # sequence(1, n-3) ascends only because n >= 4 is guaranteed above
+        # (Spark's sequence DESCENDS when start > stop).
+        sh = F.expr(
+            "array_distinct(transform(sequence(1, size(toks) - 3),"
+            " i -> concat_ws(' ', slice(toks, i, 4))))"
+        )
+        return toked.select("doc_id", F.explode(sh).alias("sh"))
+
+    train = shingles(docs.where(F.col("source").isin("src0", "src1", "src2", "src3")))
+    bench = shingles(docs.where(F.col("source") == "src19")).select("sh").distinct()
+    return (
+        train.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+@register(
+    "q_llm_pack_chunks",
+    oracle="""
+WITH sized AS (
+    SELECT doc_id, source,
+           CAST(len(str_split(TRIM(text), ' ')) AS BIGINT) AS n_tok
+    FROM documents
+)
+SELECT doc_id, source, n_tok,
+       CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 256.0) AS BIGINT) AS shard_id
+FROM sized
+""",
+    note="token-budget sharding: shard = floor(running-tokens-before / "
+    "256) per source in doc_id order — the pack-the-corpus-into-shards "
+    "operator for training serialization. One hash shuffle on source + "
+    "one in-partition sort; deterministic order makes shard contents "
+    "reproducible artifacts",
+    tags=("llm", "training", "shard"),
+)
+def q_llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(TRIM(text), ' ')) AS BIGINT)").alias("n_tok"),
+    )
+    packed = pack_chunks(sized, "source", "doc_id", "n_tok", budget=256)
+    return packed.select(
+        "doc_id", "source", "n_tok", F.col("shard_id").cast("bigint").alias("shard_id")
+    )
+
+
+@register(
+    "q_llm_mix_sources",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {id_hash_sql("doc_id")} % 100 <
+                CASE WHEN source IN ('src0', 'src1') THEN 50
+                     WHEN source IN ('src2', 'src3', 'src4') THEN 20
+                     ELSE 5 END
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+""",
+    note="training-mixture construction: per-source sampling rates (high-"
+    "quality sources upweighted) applied via the deterministic id-hash — "
+    "one scan + one partial-aggregated groupBy, no per-source passes. The "
+    "kept-row variant is the same predicate as a WHERE clause; the "
+    "aggregate form audits realized vs target mixture weights",
+    tags=("llm", "training", "mixture"),
+)
+def q_llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), 50)
+        .when(F.col("source").isin("src2", "src3", "src4"), 20)
+        .otherwise(5)
+    )
+    kept = (id_hash("doc_id") % 100 < rate).cast("int")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+    )

@@ -127,6 +127,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 2 — verified locally; first in line for the next round's
     # driver check without displacing the round-2 backlog above
     "q_llm_dedup_cluster_star",
+    "q_llm_sample_hash",
+    "q_llm_split_assign",
+    "q_llm_decontaminate",
+    "q_llm_pack_chunks",
+    "q_llm_mix_sources",
     # deferred: trivial or certified via a sibling operator in the top 50
     "q_llm_dedup_ngram",
     "q_scan_parquet",
@@ -202,6 +207,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_dedup,
         llm_similarity,
         llm_text,
+        llm_training,
         multimodal_q,
         scans,
         setops,

@@ -403,3 +403,50 @@ def test_connected_components_string_ids(spark):
         (r.id, r.cluster_id) for r in connected_components(nodes, edges).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")}
+
+
+def test_hash_sample_is_partition_independent(spark):
+    from join_example_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 10).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(df.repartition(13, "doc_id"), "doc_id", 10).collect()
+    }
+    assert a == b
+    # ~10% within loose tolerance (deterministic, so exact across reruns)
+    assert 100 <= len(a) <= 300
+
+
+def test_split_assign_is_group_stable_and_total(spark):
+    from join_example_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 20}") for i in range(400)], "doc_id LONG, source STRING"
+    )
+    out = split_assign(df, "source")
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_group)
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_pack_chunks_respects_running_budget(spark):
+    from join_example_spark.operators.sampling import pack_chunks
+
+    rows = [(i, "s", 100) for i in range(1, 11)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_tok LONG")
+    out = {r.doc_id: r.shard_id for r in pack_chunks(df, "source", "doc_id", "n_tok", 256).collect()}
+    # cum_before: 0,100,...,900 -> shards 0,0,0,1,1,1,2,2,3,3
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 3, 10: 3}
+    # an oversized doc still gets a shard of its own (no truncation)
+    big = spark.createDataFrame(
+        [(1, "s", 1000), (2, "s", 5), (3, "s", 5)], "doc_id LONG, source STRING, n_tok LONG"
+    )
+    got = {r.doc_id: r.shard_id for r in pack_chunks(big, "source", "doc_id", "n_tok", 256).collect()}
+    assert got == {1: 0, 2: 3, 3: 3}
