@@ -44,6 +44,44 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+#: Raw parquet schema of the documents corpus (file streams need an
+#: explicit schema — streaming schema inference is banned at any scale).
+DOCUMENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest: documents stream → deterministic hash
+    sample → group-stable split assignment.
+
+    The training-pipeline operators (operators/sampling.py) are stateless
+    map-side expressions, so the SAME code runs batch or streaming — this
+    demo is literally the batch operators applied to ``readStream``. At
+    scale this is the continuous-ingest front of the pipeline: each
+    arriving file partition is sampled/split independently, no state, no
+    shuffle, and the deterministic hashes guarantee a document lands in
+    the same sample/split no matter when or where it arrives.
+    """
+    from join_example_spark.operators.sampling import hash_sample, split_assign
+
+    ensure_session_confs(spark)
+    docs = (
+        spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return split_assign(hash_sample(docs, "doc_id", 10), "source").select(
+        "doc_id", "source", "split"
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table from its parquet file (directory listing
     source — the moral equivalent of consuming a topic from offset 0)."""

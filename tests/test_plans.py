@@ -95,6 +95,29 @@ def test_asof_join_has_no_pair_inflation(spark):
             assert join_kind not in plan, f"{qname}: {join_kind} in as-of plan"
 
 
+def test_driver_priority_names_are_live(spark):
+    # DRIVER_PRIORITY controls which queries the driver's fixed-size
+    # correctness check reaches; a stale name (renamed/deleted query)
+    # silently no-ops, and a duplicate would double-count a slot.
+    from join_example_spark.registry import DRIVER_PRIORITY
+
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY), "duplicate names"
+    stale = [n for n in DRIVER_PRIORITY if n not in _REG]
+    assert not stale, f"DRIVER_PRIORITY names not in registry: {stale}"
+    # Unlisted registry names are allowed (they deliberately sort first),
+    # but flag them so each new query gets consciously placed.
+    unlisted = [n for n in _REG if n not in DRIVER_PRIORITY]
+    assert not unlisted, f"queries missing from DRIVER_PRIORITY: {unlisted}"
+
+
+def test_map_side_training_ops_have_no_exchange(spark):
+    # Deterministic sampling and split assignment are pure filters /
+    # projections over the scan: a shuffle here would be a plan regression.
+    for qname in ("q_llm_sample_hash", "q_llm_split_assign"):
+        plan = executed_plan(_REG[qname].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, f"{qname} shuffles: {plan}"
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # Both sides bucketed into the same bucket count on the join key =>
     # the join plans with zero Exchange: the shuffle was paid at write time.

@@ -379,3 +379,19 @@ def test_stateful_sessionizer_merges_exact_gap(spark, tmp_path):
     got = sorted((r.n_events for r in out.collect()))
     # events 1+2 merge (gap == 30:00 exactly); event 3 splits (30:01 > gap)
     assert got == [1, 2], out.collect()
+
+
+@pytest.mark.streaming
+def test_streaming_training_ingest_equals_batch(spark, tmp_path):
+    # The sampling/split operators are stateless map-side expressions, so
+    # the streaming ingest must produce exactly the batch answer.
+    streamed = _final(demos.stream_training_ingest(spark, SF_SMOKE), tmp_path, "ti")
+    batch = load_all()["q_llm_split_assign"].fn(spark, SF_SMOKE)
+    from join_example_spark.operators.sampling import hash_sample
+    from join_example_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    sampled_ids = {r.doc_id for r in hash_sample(docs, "doc_id", 10).collect()}
+    expected = batch.where(batch.doc_id.isin(sampled_ids))
+    problems = compare_frames(streamed.toPandas(), expected.toPandas())
+    assert not problems, problems
