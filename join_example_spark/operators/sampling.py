@@ -29,19 +29,22 @@ _HASH_B = 17
 
 
 def id_hash(col: str, p: int = HASH_P) -> Column:
-    """Portable integer hash of a non-negative id column, in [0, p).
+    """Portable integer hash of an id column, in [0, p).
 
     Reduce-then-multiply keeps the product below p**2 (~1e12) so it can
-    never overflow int64 no matter how large the raw id grows.
+    never overflow int64 no matter how large the raw id grows. The double
+    mod makes the result non-negative even for negative ids (both engines'
+    ``%`` keeps the dividend's sign — a bare mod would make a
+    ``hash % 100 < pct`` sample predicate always-true for negatives).
     """
     a_mod = _HASH_A % p
-    return F.expr(f"(({col} % {p}) * {a_mod} + {_HASH_B}) % {p}")
+    return F.expr(f"((({col} % {p}) + {p}) % {p} * {a_mod} + {_HASH_B}) % {p}")
 
 
 def id_hash_sql(col: str, p: int = HASH_P) -> str:
     """DuckDB twin of :func:`id_hash` (identical arithmetic)."""
     a_mod = _HASH_A % p
-    return f"((({col} % {p}) * {a_mod} + {_HASH_B}) % {p})"
+    return f"(((({col} % {p}) + {p}) % {p} * {a_mod} + {_HASH_B}) % {p})"
 
 
 def str_hash(col: str, p: int = HASH_P) -> Column:

@@ -61,6 +61,31 @@ def write_parquet(
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC source with explicit schema.
+
+    ORC is the second columnar interchange format Spark ships natively:
+    splittable, predicate-pushdown- and column-pruning-capable like parquet
+    (pinned by tests/test_formats.py::test_orc_round_trip_and_pushdown), so
+    an ORC-resident lake needs no conversion pass to be queried.
+    """
+    ensure_session_confs(spark)
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally hive-partitioned by low-cardinality keys."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

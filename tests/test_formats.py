@@ -68,3 +68,17 @@ def test_csv_explicit_schema_no_inference(spark, tmp_path):
     assert [f.dataType for f in back.schema.fields] == [
         f.dataType for f in src.schema.fields
     ]
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from join_example_spark.plans.audit import executed_plan
+    from join_example_spark.sources.formats import read_orc, write_orc
+
+    src = read_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, src.schema)
+    assert _sorted_rows(back) == _sorted_rows(src)
+    # predicate pushdown reaches the ORC scan like it does for parquet
+    plan = executed_plan(back.where(F.col("o_orderkey") < 100).select("o_orderkey"))
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan, plan
