@@ -66,6 +66,69 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Portable PII patterns — identical semantics in Java regex and DuckDB RE2.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "\\+1-555-[0-9]{4}"
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Gopher-style repetition signals, computed entirely per row.
+
+    - top_word_frac: count of the most frequent token / total tokens
+    - top_bigram_frac: count of the most frequent bigram / total bigrams
+      (NULL for single-token docs)
+
+    Scale note: unlike the textbook explode→groupBy(doc, token) formulation
+    (which shuffles every token of a 100 TB corpus), this uses higher-order
+    functions (TRANSFORM/FILTER/ARRAY_MAX) so the whole computation is a
+    narrow map — zero shuffle, embarrassingly parallel. Per-row cost is
+    O(distinct·n), bounded by document length. Spark ``sequence(a, b)``
+    DESCENDS when a > b, so the bigram build is guarded for n < 2.
+    """
+    toks = f"split(TRIM({text_col}), ' ')"
+    top_cnt = "ARRAY_MAX(TRANSFORM(ARRAY_DISTINCT({a}), t -> SIZE(FILTER({a}, x -> x = t))))"
+    bigrams = (
+        f"CASE WHEN SIZE({toks}) >= 2 THEN "
+        f"TRANSFORM(SEQUENCE(1, SIZE({toks}) - 1), "
+        f"i -> CONCAT(ELEMENT_AT({toks}, i), ' ', ELEMENT_AT({toks}, i + 1))) "
+        f"ELSE ARRAY() END"
+    )
+    return (
+        df.withColumn("n_tokens", F.expr(f"CAST(SIZE({toks}) AS BIGINT)"))
+        .withColumn(
+            "top_word_frac",
+            F.expr(f"CAST({top_cnt.format(a=toks)} AS DOUBLE) / SIZE({toks})"),
+        )
+        .withColumn("_bigrams", F.expr(bigrams))
+        .withColumn(
+            "top_bigram_frac",
+            F.expr(
+                "CASE WHEN SIZE(_bigrams) >= 1 THEN "
+                f"CAST({top_cnt.format(a='_bigrams')} AS DOUBLE) / SIZE(_bigrams) "
+                "ELSE CAST(NULL AS DOUBLE) END"
+            ),
+        )
+        .drop("_bigrams")
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Append ``out_col`` with emails/phones replaced by typed placeholders.
+
+    Pure JVM ``regexp_replace`` chain (replace-all is Spark's default); the
+    DuckDB twin needs the explicit ``'g'`` flag. Patterns are restricted to
+    constructs with identical semantics in Java regex and RE2.
+    """
+    return df.withColumn(
+        out_col,
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>"),
+            PHONE_PATTERN,
+            "<PHONE>",
+        ),
+    )
+
+
 def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append a polynomial rolling-hash fingerprint over tokens (mod 1e9+7).
 

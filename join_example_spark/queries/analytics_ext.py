@@ -267,3 +267,60 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         """
     )
+
+
+@register(
+    "q_gaps_islands",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), m AS (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > 3600000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), i AS (
+    SELECT user_id, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island_id
+    FROM m
+)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+FROM i GROUP BY user_id, island_id
+""",
+    note="gaps-and-islands sessionization (1 h inactivity gap): lag-marker + "
+    "running-sum island ids, then per-island rollup. One shuffle on user_id "
+    "feeds both windows; the final groupBy aggregates already-collapsed "
+    "islands (map-side combine), so it moves island counts, not events. "
+    "Epoch-microsecond arithmetic keeps both engines in exact integer math.",
+    tags=("window", "sessionize"),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 3_600_000_000),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("user_id", F.col("island_id").cast("bigint").alias("island_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )

@@ -132,6 +132,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_decontaminate",
     "q_llm_pack_chunks",
     "q_llm_mix_sources",
+    "q_llm_repetition",
+    "q_llm_pii_redact",
+    "q_gaps_islands",
     # deferred: trivial or certified via a sibling operator in the top 50
     "q_llm_dedup_ngram",
     "q_scan_parquet",
@@ -204,6 +207,7 @@ def load_all() -> dict[str, QuerySpec]:
         filters,
         functions_scalar,
         joins,
+        llm_cleaning,
         llm_dedup,
         llm_similarity,
         llm_text,
