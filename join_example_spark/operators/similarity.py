@@ -189,3 +189,71 @@ def lsh_ann_pairs(
             F.round("dist", 4).alias("euclidean_dist"),
         )
     )
+
+
+def kmeans_lloyd_stats(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """One deterministic Lloyd (k-means) iteration: assign → update → audit.
+
+    Seeds are the ``n_centroids`` lowest-id vectors (no RNG); assignment is
+    argmax cosine with centroid-id tiebreak (same quantizer as
+    :func:`ivf_topk`). The centroid update is made order-independent by the
+    decimal-sum bridge: components are ROUNDed, accumulated as
+    DECIMAL(25,6), and divided by the member count — bit-identical under
+    any partition order, so a SQL oracle can replay it exactly. Returns one
+    audit row per cell: member count, mean member-to-centroid similarity,
+    and the centroid shift |new - old| (the Lloyd convergence signal).
+
+    At 100 TB: centroids broadcast; assignment is map-side; the component
+    explode shuffles only after map-side partial aggregation, i.e. what
+    moves is O(cells × dims) partial sums, not member vectors.
+    """
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    cdot = F.expr(DOT_SQL.format(a=vec_col, b="cvec"))
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
+    cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cdot, round_digits))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"), "csim")
+    )
+    comp = cells.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+    newc = comp.groupBy("cell", "pos").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 4) AS DECIMAL(25,6))) AS DOUBLE)"
+            " / COUNT(*)"
+        ).alias("nc")
+    )
+    oldc = cents.select(
+        F.col("cent_id").alias("cell"), F.posexplode("cvec").alias("pos", "oval")
+    ).select("cell", "pos", F.round(F.col("oval").cast("double"), 4).alias("oc"))
+    shift = (
+        newc.join(F.broadcast(oldc), ["cell", "pos"])
+        .withColumn("d2", (F.col("nc") - F.col("oc")) * (F.col("nc") - F.col("oc")))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "ROUND(SQRT(CAST(SUM(CAST(d2 AS DECIMAL(38,20))) AS DOUBLE)), 4)"
+            ).alias("centroid_shift")
+        )
+    )
+    stats = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr("CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)").alias("avg_sim"),
+    )
+    return stats.join(shift, "cell").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_members",
+        "avg_sim",
+        "centroid_shift",
+    )

@@ -130,3 +130,62 @@ def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_sim_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_ann_pairs(emb, threshold_distance=1.2)
+
+
+@register(
+    "q_llm_kmeans_iter",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 8
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) AS csim
+    FROM embeddings e CROSS JOIN cents c
+), cells AS (
+    SELECT vec_id, embedding, cent_id AS cell, csim
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cent_id) AS arn
+        FROM assign
+    ) WHERE arn = 1
+), comp AS (
+    SELECT cell,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           unnest(embedding) AS val
+    FROM cells
+), newc AS (
+    SELECT cell, pos,
+           CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 4) AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*) AS nc
+    FROM comp GROUP BY cell, pos
+), oldc AS (
+    SELECT cent_id AS cell,
+           CAST(generate_subscripts(cvec, 1) - 1 AS INTEGER) AS pos,
+           ROUND(CAST(unnest(cvec) AS DOUBLE), 4) AS oc
+    FROM cents
+), shift AS (
+    SELECT n.cell,
+           ROUND(SQRT(CAST(SUM(CAST((n.nc - o.oc) * (n.nc - o.oc)
+                                    AS DECIMAL(38,20))) AS DOUBLE)), 4)
+             AS centroid_shift
+    FROM newc n JOIN oldc o ON n.cell = o.cell AND n.pos = o.pos
+    GROUP BY n.cell
+), stats AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_sim
+    FROM cells GROUP BY cell
+)
+SELECT CAST(s.cell AS BIGINT) AS cell, s.n_members, s.avg_sim, sh.centroid_shift
+FROM stats s JOIN shift sh ON s.cell = sh.cell
+""",
+    note="one deterministic k-means Lloyd iteration over embeddings: "
+    "broadcast-assign, decimal-bridged centroid update, per-cell audit "
+    "(member count, mean sim, centroid shift)",
+    tags=("llm", "similarity", "ml"),
+)
+def q_llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import kmeans_lloyd_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_stats(emb, n_centroids=8)
