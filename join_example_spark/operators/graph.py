@@ -194,3 +194,72 @@ def connected_components_star(
             return non_roots.union(roots).union(singletons)
         prev = cur
     raise RuntimeError(f"connected_components_star: no fixpoint in {max_iter} rounds")
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle census of an undirected graph: edges, wedges,
+    triangles, and the global clustering coefficient — one output row.
+
+    Uses the degree-oriented "forward" enumeration: every undirected edge
+    is oriented from its lower-(degree, id) endpoint to the higher one, and
+    wedges are enumerated only at each vertex's out-neighborhood. Out-degree
+    is bounded by O(√m) on any graph, so the wedge intermediate is
+    O(m^1.5) worst-case instead of Σ deg² — the standard scale guard
+    against high-degree hubs (a naive per-vertex wedge join explodes on a
+    hub with millions of neighbors; this caps it). Each triangle is counted
+    exactly once. The oracle side uses the independent a<b<c triple-join
+    formulation, so agreement cross-checks the orientation logic itself.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+
+    # Orient from lower (deg, id) to higher (deg, id).
+    with_deg = (
+        sym.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b"), "b")
+    )
+    oriented = with_deg.where(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("u"), F.col("b").alias("w"))
+
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
+    open_wedges = o1.join(o2, "u").where(F.col("v1") < F.col("v2"))
+    closed = open_wedges.join(
+        e,
+        (F.least("v1", "v2") == F.col("a")) & (F.greatest("v1", "v2") == F.col("b")),
+        "left_semi",
+    )
+
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).cast("bigint").alias("n_wedges")
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN "
+                "ROUND(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) "
+                "ELSE CAST(NULL AS DOUBLE) END"
+            ).alias("global_clustering"),
+        )
+    )

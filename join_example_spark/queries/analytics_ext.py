@@ -324,3 +324,51 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
     )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+SELECT 'event_type' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'props', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(props) AS BIGINT),
+       CAST(COUNT(DISTINCT props) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT)
+FROM events
+""",
+    note="one-pass column profiling (null count + exact distinct per column, "
+    "melted to long form): the Spark side computes every column's stats in "
+    "a SINGLE aggregate — Catalyst's Expand handles the multi-distinct — "
+    "so the table is scanned once, where the oracle's naive UNION ALL "
+    "formulation scans once per column. Same result, different plan: "
+    "that asymmetry is the point at 100 TB",
+    tags=("agg", "profile"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cols = ["event_type", "props", "user_id", "value"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+    wide = ev.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

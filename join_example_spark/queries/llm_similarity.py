@@ -189,3 +189,44 @@ def q_llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd_stats(emb, n_centroids=8)
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+), deg AS (
+    SELECT v, COUNT(*) AS deg FROM (
+        SELECT id_a AS v FROM pairs UNION ALL SELECT id_b AS v FROM pairs
+    ) GROUP BY v
+), agg AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(COALESCE(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)), 0)
+                   AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM pairs e1
+            JOIN pairs e2 ON e2.id_a = e1.id_b
+            JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+             AS n_triangles
+)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6)
+            ELSE CAST(NULL AS DOUBLE) END AS global_clustering
+FROM agg
+""",
+    note="triangle census of the embedding near-dup graph via degree-oriented "
+    "forward enumeration (O(m^1.5) wedge bound); oracle is the independent "
+    "a<b<c triple-join formulation, cross-checking the orientation logic",
+    tags=("llm", "similarity", "graph"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import triangle_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(emb, threshold=0.35)
+    return triangle_stats(pairs, src_col="id_a", dst_col="id_b")

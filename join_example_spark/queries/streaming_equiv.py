@@ -335,3 +335,47 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, event_type
+""",
+    note="materialized-view maintenance (KTable aggregation) equivalence: "
+    "the Spark side aggregates a frozen base (ts < Feb 1) and a later "
+    "delta batch SEPARATELY, then merges the partials — count-sum and "
+    "exact-decimal-sum partials compose associatively, so merge(base, "
+    "delta) must equal the oracle's one-shot full aggregation. This is "
+    "the algebraic fact that makes streaming upsert views and partial "
+    "(map-side) aggregation correct; decimal accumulation keeps the "
+    "merge bit-exact in any order",
+    tags=("streaming-equiv", "agg", "incremental"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    cutoff = F.lit("2024-02-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("psum"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cutoff))     # frozen matview
+    delta = partial(ev.where(F.col("ts") >= cutoff))   # incoming batch
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("psum").alias("s"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("s").cast("double").alias("total_value"),
+        )
+    )

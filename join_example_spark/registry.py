@@ -136,6 +136,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_pii_redact",
     "q_gaps_islands",
     "q_llm_kmeans_iter",
+    "q_graph_triangles",
+    "q_incremental_agg",
+    "q_profile_columns",
     # deferred: trivial or certified via a sibling operator in the top 50
     "q_llm_dedup_ngram",
     "q_scan_parquet",
