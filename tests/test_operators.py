@@ -450,3 +450,58 @@ def test_pack_chunks_respects_running_budget(spark):
     )
     got = {r.doc_id: r.shard_id for r in pack_chunks(big, "source", "doc_id", "n_tok", 256).collect()}
     assert got == {1: 0, 2: 3, 3: 3}
+
+
+def test_triangle_stats_known_graphs(spark):
+    from join_example_spark.operators.graph import triangle_stats
+
+    # K4: 6 edges, 12 wedges, 4 triangles, clustering 3*4/12 = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src LONG, dst LONG")
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (6, 12, 4)
+    assert row.global_clustering == 1.0
+
+    # Path 0-1-2-3: 3 edges, 2 wedges, 0 triangles
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src LONG, dst LONG")
+    row = triangle_stats(path).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (3, 2, 0)
+    assert row.global_clustering == 0.0
+
+    # Duplicate/reversed/self edges are canonicalized away
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0), (1, 2), (0, 2), (2, 0)], "src LONG, dst LONG"
+    )
+    row = triangle_stats(messy).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (3, 1)
+
+
+def test_repetition_features_known_doc(spark):
+    from join_example_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "solo")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[1].n_tokens == 4 and got[1].top_word_frac == 0.75
+    # bigrams of doc 1: "a a","a a","a b" -> top 2/3
+    assert abs(got[1].top_bigram_frac - 2 / 3) < 1e-12
+    assert got[2].top_word_frac == 0.5 and got[2].top_bigram_frac == 1.0
+    assert got[3].top_word_frac == 1.0 and got[3].top_bigram_frac is None
+
+
+def test_kmeans_lloyd_stats_converged_fixpoint(spark):
+    from join_example_spark.operators.similarity import kmeans_lloyd_stats
+
+    # Two orthogonal unit vectors, each duplicated: centroids are the two
+    # lowest ids; every member sits exactly on its centroid -> shift 0.
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.cell: r for r in kmeans_lloyd_stats(df, n_centroids=2).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.n_members == 2
+        assert r.centroid_shift == 0.0
+        assert r.avg_sim == 1.0
