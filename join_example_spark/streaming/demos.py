@@ -317,3 +317,63 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("view_id", "click_id", "view_ts", "click_ts")
+
+
+def stream_upsert_matview(
+    spark: SparkSession, source_dir: str, store_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """foreachBatch keyed-upsert sink: maintain a (user_id, event_type)
+    materialized view across micro-batches — the KTable aggregation as a
+    live stream, and the streaming twin of ``q_incremental_agg``.
+
+    Each micro-batch aggregates its own partials (count + exact decimal
+    sum), then MERGEs them with the current store by key: union + re-sum.
+    Decimal partials compose associatively, so the final view is
+    bit-identical to a one-shot batch aggregation regardless of how the
+    input was chopped into batches. The store is a versioned parquet
+    directory (v0, v1, …) written by executors — no row ever transits the
+    driver; on a lakehouse the same ``def merge`` body becomes MERGE INTO.
+    ``maxFilesPerTrigger=1`` makes every source file its own micro-batch.
+    """
+    ensure_session_confs(spark)
+    from join_example_spark.sources.readers import normalize_event_ts
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir.rstrip("/"))
+    )
+    events = normalize_event_ts(raw)
+
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("psum"),
+        )
+        versions = sorted(d for d in os.listdir(store_dir)) if os.path.isdir(store_dir) else []
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(os.path.join(store_dir, versions[-1]))
+            partial = prev.unionByName(partial)
+        merged = partial.groupBy("user_id", "event_type").agg(
+            F.sum("pn").alias("pn"), F.sum("psum").alias("psum")
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(store_dir, f"v{batch_id:06d}"))
+
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = sorted(d for d in os.listdir(store_dir))
+    final = spark.read.parquet(os.path.join(store_dir, versions[-1]))
+    return final.select(
+        "user_id",
+        "event_type",
+        F.col("pn").cast("bigint").alias("n_events"),
+        F.col("psum").cast("double").alias("total_value"),
+    )

@@ -395,3 +395,32 @@ def test_streaming_training_ingest_equals_batch(spark, tmp_path):
     expected = batch.where(batch.doc_id.isin(sampled_ids))
     problems = compare_frames(streamed.toPandas(), expected.toPandas())
     assert not problems, problems
+
+
+def test_stream_upsert_matview_equals_batch(spark, tmp_path):
+    """The foreachBatch keyed-upsert view, fed the events table chopped into
+    3 separate files (3 micro-batches), must equal the one-shot batch
+    aggregation bit-for-bit — the q_incremental_agg algebra, live."""
+    from join_example_spark.queries.streaming_equiv import q_incremental_agg
+    from join_example_spark.streaming.demos import stream_upsert_matview
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = tmp_path / "chunks"
+    # Chop the raw events file into 3 files WITHOUT touching the ns values
+    # (write back the raw int64 ts so the stream-side schema still applies).
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.where("event_id % 3 = 0").coalesce(1).write.parquet(f"{src}/c0")
+    raw.where("event_id % 3 = 1").coalesce(1).write.parquet(f"{src}/c1")
+    raw.where("event_id % 3 = 2").coalesce(1).write.parquet(f"{src}/c2")
+    import glob, shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{src}/c*/part-*.parquet"))):
+        shutil.copy(f, flat / f"chunk{i}.parquet")
+
+    got = stream_upsert_matview(
+        spark, str(flat), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    want = q_incremental_agg(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
