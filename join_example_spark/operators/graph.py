@@ -214,6 +214,10 @@ def triangle_stats(
     exactly once. The oracle side uses the independent a<b<c triple-join
     formulation, so agreement cross-checks the orientation logic itself.
     """
+    # The edge set is referenced four times below (canonical, symmetrized,
+    # degree, closure check) — materialize it once so an expensive upstream
+    # candidate join (e.g. the blocked cosine self-join) runs once, not four
+    # times. Same localCheckpoint pattern as connected_components.
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -221,6 +225,7 @@ def triangle_stats(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
