@@ -239,3 +239,192 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    note="TPC-H Q4 order-priority checking (adapted: late-shipment EXISTS "
+    "over shipdate vs orderdate+90d, no commitdate in fixture): correlated "
+    "EXISTS -> left-semi join, then a tiny per-priority count",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+SELECT ROUND(
+         100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE),
+         4) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    note="TPC-H Q14 promotion effect: one month of lineitem joined to a "
+    "broadcast part dim, conditional-vs-total revenue ratio. Both sums go "
+    "through the exact-decimal bridge; the single IEEE division and the "
+    "100.0 scaling run on identical operands both sides",
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'"
+                " THEN l_extendedprice * (1 - l_discount)"
+                " ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)"
+            ).alias("promo"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(25,6))) AS DOUBLE)"
+            ).alias("total"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 35)
+""",
+    note="TPC-H Q19 discounted revenue (adapted: brand/size/quantity "
+    "branches, no container/shipmode in fixture): disjunction of "
+    "conjunctive predicates spanning both join sides — the equi-join on "
+    "partkey still extracts cleanly (hash join, not nested-loop) and the "
+    "OR-of-ANDs runs as a post-join filter; part is broadcast",
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.where(branch).agg(
+        F.round(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(25,6))) AS DOUBLE)"
+            ),
+            4,
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+SELECT CAST(c.c_custkey % 10 AS BIGINT) AS code_digit,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE), 4) AS totacctbal
+FROM customer c
+WHERE c.c_custkey % 10 IN (1, 3, 5, 7, 9)
+  AND c.c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+      FROM customer c2
+      WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 10 IN (1, 3, 5, 7, 9)
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0
+  )
+GROUP BY c.c_custkey % 10
+""",
+    note="TPC-H Q22 global sales opportunity (adapted: custkey digit for "
+    "phone prefix, 'no 450k+ order' for 'no order' since every fixture "
+    "customer has orders): scalar AVG subquery (computed once, broadcast "
+    "as literal) + NOT EXISTS anti-join + small grouped agg. AVG is the "
+    "decimal-exact sum over an exact count — one IEEE division both sides",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT CAST(c.c_custkey % 10 AS BIGINT) AS code_digit,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE), 4) AS totacctbal
+        FROM customer c
+        WHERE c.c_custkey % 10 IN (1, 3, 5, 7, 9)
+          AND c.c_acctbal > (
+              SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 10 IN (1, 3, 5, 7, 9)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0
+          )
+        GROUP BY c.c_custkey % 10
+        """
+    )

@@ -78,6 +78,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # as-of join rewritten this round — must re-verify
     "q_join_asof",
     "q_join_asof_left",
+    # new TPC-H composites (round 2) — never driver-checked
+    "q_tpch_q4",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    "q_tpch_q22",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",
