@@ -372,3 +372,44 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus AS modal_status,
+       CAST(cnt AS BIGINT) AS modal_count
+FROM (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+)
+WHERE rn = 1
+""",
+    note="deterministic MODE per group: count-then-rank with an explicit "
+    "value tiebreak instead of the engine's mode() (whose tie behavior is "
+    "unspecified and engine-dependent). Two shuffles on tiny grouped data "
+    "(hash-agg partial combines map-side first)",
+    tags=("agg", "window"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            F.col("cnt").cast("bigint").alias("modal_count"),
+        )
+    )

@@ -397,3 +397,89 @@ def q_llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.9)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+@register(
+    "q_llm_dedup_keep_best",
+    oracle="""
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id, lang, n_chars,
+           list_distinct(string_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+),
+raw_edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM toks a
+    JOIN toks b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+    WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(LEN(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+            >= 0.5
+),
+edges AS (
+    SELECT src, dst FROM raw_edges
+    UNION ALL
+    SELECT dst, src FROM raw_edges
+),
+reach(id, root) AS (
+    SELECT doc_id, doc_id FROM toks
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (
+    SELECT id AS doc_id, MIN(root) AS cluster_id
+    FROM reach
+    GROUP BY id
+),
+ranked AS (
+    SELECT l.cluster_id, d.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+    FROM labels l
+    JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT cluster_id,
+       doc_id AS rep_doc_id,
+       CAST(n_chars AS BIGINT) AS rep_n_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked
+WHERE rn = 1
+""",
+    note="the dedup FINISHER: connected components over near-dup edges, "
+    "then keep exactly one representative per cluster (longest doc, "
+    "doc_id tiebreak — a deterministic total order under the row_number). "
+    "This is the step that turns 'clusters found' into 'corpus written': "
+    "one window shuffle on cluster_id after the clustering, no extra joins "
+    "beyond the label->doc attach",
+    tags=("llm", "dedup", "graph"),
+)
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    labels = q_llm_dedup_cluster(spark, sf_dir)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select("doc_id", "n_chars")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ws = Window.partitionBy("cluster_id")
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(ws))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("rep_n_chars"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )

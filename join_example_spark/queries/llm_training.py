@@ -190,3 +190,31 @@ def q_llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum(kept).cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "q_llm_sample_stratified",
+    oracle=f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {id_hash_sql("doc_id")} % 100 <
+      CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 20 ELSE 50 END
+""",
+    note="stratified deterministic sample: per-SOURCE keep-rates (5% / "
+    "20% / 50%) applied through the same portable id-hash — the "
+    "source-mixture rebalancing step of a training pipeline (downsample "
+    "the over-represented crawl, keep most of the curated set). Still a "
+    "pure map-side filter: the rate CASE rides the scan, no shuffle, no "
+    "per-stratum pass",
+    tags=("llm", "training", "sample"),
+)
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", F.lit(5))
+        .when(F.col("source") == "src1", F.lit(20))
+        .otherwise(F.lit(50))
+    )
+    return docs.where(id_hash("doc_id") % 100 < rate).select(
+        "doc_id", "source", "lang", "n_chars"
+    )

@@ -83,6 +83,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q14",
     "q_tpch_q19",
     "q_tpch_q22",
+    # new round-2 operators — never driver-checked
+    "q_llm_dedup_keep_best",
+    "q_agg_mode",
+    "q_llm_sample_stratified",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",
