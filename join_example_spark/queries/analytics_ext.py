@@ -413,3 +413,79 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("modal_count"),
         )
     )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+SELECT day, hr,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+       CAST(GROUPING(day) AS BIGINT) AS grp_day,
+       CAST(GROUPING(hr) AS BIGINT) AS grp_hr
+FROM (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+           value
+    FROM events
+)
+GROUP BY ROLLUP (day, hr)
+""",
+    note="hypertable-style time-hierarchy rollup: hourly, daily, and grand "
+    "totals of the event stream in ONE pass (Expand + hash-agg with "
+    "map-side partials), instead of three scans at three grains — the "
+    "continuous-aggregate idiom for time-series stores",
+    tags=("agg", "timeseries"),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        "value",
+    )
+    return ev.rollup("day", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(SUM(CAST((value) AS DECIMAL(25,6))) AS DOUBLE)").alias(
+            "total_value"
+        ),
+        F.grouping("day").cast("bigint").alias("grp_day"),
+        F.grouping("hr").cast("bigint").alias("grp_hr"),
+    )
+
+
+@register(
+    "q_win_share",
+    oracle="""
+WITH g AS (
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS rev
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(rev AS DOUBLE), 4) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share
+FROM g
+""",
+    note="ratio-to-total: aggregate once, then a whole-frame window SUM "
+    "over the (tiny) grouped result — the denominator never rescans the "
+    "fact table. Division is one IEEE op on decimal-exact operands, so the "
+    "share is bit-stable under any partitioning",
+    tags=("agg", "window"),
+)
+def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = read_table(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("SUM(CAST(l_extendedprice AS DECIMAL(25,6)))").alias("rev")
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("share"),
+    )

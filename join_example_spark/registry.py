@@ -87,6 +87,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_keep_best",
     "q_agg_mode",
     "q_llm_sample_stratified",
+    "q_time_rollup",
+    "q_win_share",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",

@@ -231,3 +231,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_new_tpch_composites_plan_shapes(spark):
+    # Q14/Q19: part must be the broadcast side of the lineitem join.
+    for name in ("q_tpch_q14", "q_tpch_q19"):
+        df = _REG[name].fn(spark, SF_SMOKE)
+        assert has_broadcast_hash_join(df), name
+    # Q4: the correlated EXISTS must rewrite to a semi join, never a
+    # cartesian/nested-loop on the correlation.
+    plan4 = executed_plan(_REG["q_tpch_q4"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan4, plan4[:1000]
+    # Q22: the NOT EXISTS must rewrite to an anti join, and the scalar AVG
+    # subquery must be a Subquery node (computed once), not a per-row join.
+    plan22 = executed_plan(_REG["q_tpch_q22"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan22, plan22[:1000]
+    assert "Subquery" in plan22, plan22[:1000]
+
+
+def test_keep_best_adds_one_window_past_clustering(spark):
+    # The finisher must not re-run pair generation: exactly one Window node
+    # computes both row_number and the cluster-size count.
+    plan = executed_plan(_REG["q_llm_dedup_keep_best"].fn(spark, SF_SMOKE))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_side(spark):
+    # The CASE-gated hash filter must ride the scan — no Exchange at all.
+    plan = executed_plan(_REG["q_llm_sample_stratified"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan[:1000]
