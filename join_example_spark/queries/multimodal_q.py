@@ -99,3 +99,36 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     plan = frame_sample_plan(documents_as_media(docs))
     return plan.select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
+@register(
+    "q_multimodal_prune",
+    oracle="""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(str_split(substr(text, 1, 256), ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
+    FROM documents
+    WHERE lang = 'en' AND n_chars >= 200
+)
+SELECT media_id, n_bytes, checksum,
+       64 + (checksum % 1024) AS width,
+       64 + ((checksum // 1024) % 1024) AS height
+FROM media
+""",
+    note="decode-after-prune ordering: the typed-metadata predicate (lang, "
+    "n_chars) is pushed to the parquet scan, so only the surviving rows "
+    "ever cross the Arrow boundary into the Python decode — at 100 TB the "
+    "filter saves the decode, not just the output. Plan-audited: "
+    "PushedFilters on the scan below the mapInPandas stage",
+    tags=("multimodal", "llm"),
+)
+def q_multimodal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    )
+    decoded = decode_media(documents_as_media(docs))
+    return decoded.select("media_id", "n_bytes", "checksum", "width", "height")

@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_sample_stratified",
     "q_time_rollup",
     "q_win_share",
+    "q_multimodal_prune",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",

@@ -261,3 +261,11 @@ def test_stratified_sample_is_map_side(spark):
     # The CASE-gated hash filter must ride the scan — no Exchange at all.
     plan = executed_plan(_REG["q_llm_sample_stratified"].fn(spark, SF_SMOKE))
     assert "Exchange" not in plan, plan[:1000]
+
+
+def test_multimodal_prune_filters_before_decode(spark):
+    # The metadata predicate must reach the parquet scan (below the Python
+    # stage) so pruned rows never cross the Arrow boundary.
+    df = _REG["q_multimodal_prune"].fn(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert pushed and any("lang" in p or "n_chars" in p for p in pushed), pushed
