@@ -489,3 +489,73 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
         ).alias("share"),
     )
+
+
+@register(
+    "q_profile_skew",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+), tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS total FROM per_key
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+FROM per_key, tot
+ORDER BY n DESC, user_id
+LIMIT 10
+""",
+    note="shuffle-key skew profiler: per-key cardinality + share of total "
+    "for the 10 heaviest keys — the diagnostic you run BEFORE picking a "
+    "salting factor or enabling AQE skew-join on a 100 TB shuffle. One "
+    "hash-agg (map-side partials), the total via a broadcast single-row "
+    "cross join, deterministic top-10 under a (count, key) total order",
+    tags=("agg", "profile"),
+)
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+SELECT event_type,
+       CAST(bit_and(k) AS BIGINT) AS k_and,
+       CAST(bit_or(k) AS BIGINT) AS k_or,
+       CAST(bit_xor(k) AS BIGINT) AS k_xor
+FROM (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+""",
+    note="bitwise aggregates (AND/OR/XOR) over a JSON-extracted flag field "
+    "— commutative/associative, so they combine map-side like any partial "
+    "agg; the flag-mask union/intersection idiom for feature flags",
+    tags=("agg", "bitwise"),
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("CAST(bit_and(k) AS BIGINT)").alias("k_and"),
+        F.expr("CAST(bit_or(k) AS BIGINT)").alias("k_or"),
+        F.expr("CAST(bit_xor(k) AS BIGINT)").alias("k_xor"),
+    )

@@ -230,3 +230,92 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_pairs(emb, threshold=0.35)
     return triangle_stats(pairs, src_col="id_a", dst_col="id_b")
+
+
+@register(
+    "q_llm_ann_recall",
+    oracle=f"""
+WITH xpairs AS (
+    SELECT p.vec_id AS probe_id,
+           c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM embeddings p
+    JOIN embeddings c
+      ON p.label = c.label
+     AND p.vec_id % 100 = 0
+     AND p.vec_id <> c.vec_id
+), exact AS (
+    SELECT probe_id, cand_id FROM (
+        SELECT probe_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM xpairs
+    ) WHERE rn <= 3
+), cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), cells AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn = 1
+), ipairs AS (
+    SELECT p.vec_id AS probe_id,
+           c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM cells p
+    JOIN cells c
+      ON p.cell = c.cell
+     AND p.vec_id % 100 = 0
+     AND p.vec_id <> c.vec_id
+), ivf AS (
+    SELECT probe_id, cand_id FROM (
+        SELECT probe_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM ipairs
+    ) WHERE rn <= 3
+), j AS (
+    SELECT e.probe_id, e.cand_id,
+           CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM exact e
+    LEFT JOIN ivf i ON i.probe_id = e.probe_id AND i.cand_id = e.cand_id
+)
+SELECT CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_micro
+FROM j
+""",
+    note="ANN quality audit: micro-averaged recall@3 of the IVF (nprobe=1) "
+    "path against the exact blocked top-k, computed as integer hit counts "
+    "(order-independent) with ONE final IEEE division. This is the "
+    "measurement a pipeline runs before trusting an approximate index at "
+    "scale — and the recall-vs-cost dial (n_centroids/nprobe) it tunes",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, k=3, probe_pred="vec_id % 100 = 0").select(
+        "probe_id", "cand_id"
+    )
+    approx = ivf_topk(emb, n_centroids=16, k=3, probe_pred="vec_id % 100 = 0").select(
+        "probe_id", "cand_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["probe_id", "cand_id"], "left")
+    return j.agg(
+        F.countDistinct("probe_id").cast("bigint").alias("n_probes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_matched"),
+    ).select(
+        "n_probes",
+        "n_exact",
+        "n_matched",
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_micro"),
+    )

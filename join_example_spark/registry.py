@@ -90,6 +90,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_time_rollup",
     "q_win_share",
     "q_multimodal_prune",
+    "q_profile_skew",
+    "q_agg_bitwise",
+    "q_llm_ann_recall",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",
