@@ -559,3 +559,124 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(bit_or(k) AS BIGINT)").alias("k_or"),
         F.expr("CAST(bit_xor(k) AS BIGINT)").alias("k_xor"),
     )
+
+
+@register(
+    "q_scalar_correlated",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 4) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+    SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+""",
+    note="CORRELATED scalar subquery (vs q_scalar_subquery's uncorrelated "
+    "one): each order against its own customer's average. Catalyst "
+    "decorrelates to one per-customer aggregate + an equi-join — one "
+    "shuffle on custkey, never a per-row re-scan. AVG decimal-bridged",
+    tags=("join", "subquery"),
+)
+def q_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 4) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+            FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+    note="behavioral transition matrix (Markov bigram counts of the event "
+    "stream): one window shuffle on user_id for the LEAD, then a tiny "
+    "hash-agg over (from, to) — the path-analysis primitive behind "
+    "funnels/next-action models. event_id breaks timestamp ties",
+    tags=("window", "agg", "behavioral"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+#: Shared text of the recursive order-chain query; only the day-difference
+#: expression differs per engine ({datediff}).
+_CHAIN_SQL = """
+WITH RECURSIVE lnk AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LEAD(o_orderkey) OVER w AS nxt_key,
+           LEAD(o_orderdate) OVER w AS nxt_dt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), edges AS (
+    SELECT o_orderkey AS src, nxt_key AS dst
+    FROM lnk
+    WHERE nxt_key IS NOT NULL AND {datediff} <= 30
+), starts AS (
+    SELECT l.o_orderkey AS start_key
+    FROM lnk l
+    LEFT JOIN edges e ON e.dst = l.o_orderkey
+    WHERE e.dst IS NULL
+), chain(start_key, cur_key, depth) AS (
+    SELECT start_key, start_key, 1 FROM starts
+    UNION ALL
+    SELECT c.start_key, e.dst, c.depth + 1
+    FROM chain c JOIN edges e ON e.src = c.cur_key
+), per_start AS (
+    SELECT start_key, MAX(depth) AS chain_len FROM chain GROUP BY start_key
+)
+SELECT CAST(chain_len AS BIGINT) AS chain_len, CAST(COUNT(*) AS BIGINT) AS n_chains
+FROM per_start GROUP BY chain_len
+"""
+
+
+@register(
+    "q_recursive_chain",
+    oracle=_CHAIN_SQL.format(datediff="date_diff('day', o_orderdate, nxt_dt)"),
+    note="RECURSIVE CTE (Spark 4 WITH RECURSIVE): per-customer reorder "
+    "chains — successive orders <=30 days apart linked into paths, "
+    "recursion walks each path from its start (out-degree <=1, so UNION "
+    "ALL recursion is duplicate-free and terminates; Spark doesn't yet "
+    "support UNION-distinct recursion, which cyclic graphs would need — "
+    "connected components stays on the operators/graph.py loop for that "
+    "reason). Depth reaches 5 at sf0.01; identical recursive SQL runs on "
+    "DuckDB as the oracle",
+    tags=("composite", "recursive", "window"),
+)
+def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CHAIN_SQL.format(datediff="datediff(nxt_dt, o_orderdate)"))

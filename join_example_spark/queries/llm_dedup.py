@@ -483,3 +483,54 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_fuzzy",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, lang, n_chars, LOWER(TRIM(text)) AS ntext
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(levenshtein(a.ntext, b.ntext) AS BIGINT) AS edit_dist,
+       ROUND(CAST(levenshtein(a.ntext, b.ntext) AS DOUBLE)
+             / CAST(GREATEST(LENGTH(a.ntext), LENGTH(b.ntext)) AS DOUBLE), 6)
+           AS edit_ratio
+FROM norm a
+JOIN norm b
+  ON a.lang = b.lang
+ AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 20
+WHERE CAST(levenshtein(a.ntext, b.ntext) AS DOUBLE)
+      / CAST(GREATEST(LENGTH(a.ntext), LENGTH(b.ntext)) AS DOUBLE) <= 0.7
+""",
+    note="edit-distance fuzzy near-dup: the same (lang, length-bucket) "
+    "equi-blocking as the Jaccard path, with JVM levenshtein as the exact "
+    "verify, thresholded on the RELATIVE ratio dist/max(len) (this "
+    "corpus's duplicates are token-reorderings, so absolute distances run "
+    "~0.6-0.75 of length; 0.7 separates the tail). The ratio is one IEEE "
+    "division of exact ints — bit-stable. Quadratic only WITHIN a block; "
+    "levenshtein's O(len^2) cost argues for tight blocking, which "
+    "|len diff|<=20 provides (edit distance >= length difference)",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select("doc_id", "lang", "n_chars", F.expr("LOWER(TRIM(text))").alias("ntext"))
+    )
+    pairs = length_bucket_pairs(docs, payload_col="ntext", width=20)
+    dist = F.expr("levenshtein(ntext_a, ntext_b)")
+    ratio = dist.cast("double") / F.expr(
+        "CAST(GREATEST(LENGTH(ntext_a), LENGTH(ntext_b)) AS DOUBLE)"
+    )
+    return (
+        pairs.withColumn("edit_dist", dist.cast("bigint"))
+        .withColumn("edit_ratio", F.round(ratio, 6))
+        .where(ratio <= 0.7)
+        .select("id_a", "id_b", "edit_dist", "edit_ratio")
+    )

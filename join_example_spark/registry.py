@@ -93,6 +93,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_profile_skew",
     "q_agg_bitwise",
     "q_llm_ann_recall",
+    "q_scalar_correlated",
+    "q_event_transitions",
+    "q_llm_dedup_fuzzy",
+    "q_recursive_chain",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",
