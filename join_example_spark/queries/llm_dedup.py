@@ -461,7 +461,10 @@ WHERE rn = 1
 def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    labels = q_llm_dedup_cluster(spark, sf_dir)
+    # Labels via the O(log n) star-contraction formulation — same clustering
+    # contract as q_llm_dedup_cluster (both hash-match the same recursive-CTE
+    # oracle), measurably faster as the embedded step of a longer pipeline.
+    labels = q_llm_dedup_cluster_star(spark, sf_dir)
     docs = (
         read_table(spark, sf_dir, "documents")
         .where(F.col("source").isin("src0", "src1"))
