@@ -680,3 +680,152 @@ def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir, ("orders",))
     return spark.sql(_CHAIN_SQL.format(datediff="datediff(nxt_dt, o_orderdate)"))
+
+
+def _z_expr(x: str, y: str, bits: int, dialect: str) -> str:
+    """Bit-interleaved Morton (Z-order) value of two ``bits``-wide ints.
+
+    Identical arithmetic on both engines; only the shift syntax differs
+    (Spark: shiftleft/shiftright functions, DuckDB: << / >> operators).
+    """
+    parts = []
+    for i in range(bits):
+        if dialect == "spark":
+            parts.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            parts.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def _zorder_sql(dialect: str) -> str:
+    x = "CAST(o_custkey % 1024 AS BIGINT)"
+    if dialect == "spark":
+        y = "CAST(datediff(o_orderdate, DATE '1996-01-01') % 1024 AS BIGINT)"
+    else:
+        y = "CAST(date_diff('day', DATE '1996-01-01', o_orderdate) % 1024 AS BIGINT)"
+    z = _z_expr("xv", "yv", 10, dialect)
+    return f"""
+WITH keyed AS (
+    SELECT {x} AS xv, {y} AS yv FROM orders
+), zed AS (
+    SELECT xv, yv, {z} AS zval FROM keyed
+)
+SELECT CAST(zval >> 14 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(xv) - MIN(xv) AS BIGINT) AS x_span,
+       CAST(MAX(yv) - MIN(yv) AS BIGINT) AS y_span
+FROM zed
+GROUP BY zval >> 14
+"""
+
+
+@register(
+    "q_zorder_layout",
+    oracle=_zorder_sql("duck"),
+    note="Z-order (Morton) layout keys: bit-interleave (custkey mod 1024, "
+    "order-day mod 1024) and audit the 64 coarse z-buckets — each bucket's "
+    "x/y spans stay bounded (<=1024/2^3), which is exactly why writing "
+    "files sorted by zval gives parquet min/max pruning on BOTH dimensions "
+    "at once. The sort-key computation is pure JVM bit arithmetic on the "
+    "scan; at 100 TB you'd repartitionByRange(zval) before the write",
+    tags=("layout", "agg"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders",))
+    return spark.sql(_zorder_sql("spark"))
+
+
+#: Snapshot-diff shared SQL: the "new" snapshot is a deterministic transform
+#: of customer (acctbal bump for custkey%7==0, rows dropped for %13==0), so
+#: the diff operator itself is what's under test and both engines see the
+#: same input. Real pipelines compare a row-hash over all columns; the
+#: single-column inequality here keeps the certified surface minimal.
+_SNAPSHOT_DIFF_SQL = """
+WITH newsnap AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0
+                THEN ROUND(c_acctbal + 100.0, 2)
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+), j AS (
+    SELECT o.c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN 'deleted'
+                WHEN o.c_acctbal <> n.c_acctbal THEN 'modified'
+                ELSE 'unchanged' END AS change_type
+    FROM customer o
+    LEFT JOIN newsnap n ON o.c_custkey = n.c_custkey
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY change_type
+"""
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_SQL,
+    note="snapshot reconciliation: old-vs-new table diff classifying every "
+    "key as unchanged/modified/deleted via one co-partitioned left join "
+    "(add 'inserted' with a full outer). The 100 TB shape: both snapshots "
+    "shuffle on the key once — or zero times if both are bucketed on it; "
+    "compare a row-hash instead of single columns for wide tables",
+    tags=("join", "agg", "quality"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("customer",))
+    return spark.sql(_SNAPSHOT_DIFF_SQL)
+
+
+@register(
+    "q_outlier_iqr",
+    oracle="""
+WITH b AS (
+    SELECT source,
+           quantile_cont(n_chars, 0.25) AS q1,
+           quantile_cont(n_chars, 0.75) AS q3
+    FROM documents GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars < b.q1 - 1.5 * (b.q3 - b.q1)
+                       OR d.n_chars > b.q3 + 1.5 * (b.q3 - b.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(b.q1, 4) AS q1, ROUND(b.q3, 4) AS q3
+FROM documents d
+JOIN b ON b.source = d.source
+GROUP BY d.source, b.q1, b.q3
+""",
+    note="IQR outlier screen per stratum: exact percentiles once per "
+    "source (tiny grouped result, broadcast back to the fact scan), fence "
+    "check as a JVM map — the length-outlier pre-filter of a corpus "
+    "quality pipeline. Spark percentile() == DuckDB quantile_cont "
+    "(parity proven by q_agg_percentile)",
+    tags=("agg", "quality", "percentile"),
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    b = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    j = docs.join(F.broadcast(b), "source")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("n_chars") < F.col("q1") - 1.5 * iqr) | (
+        F.col("n_chars") > F.col("q3") + 1.5 * iqr
+    )
+    return j.groupBy("source", "q1", "q3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_outliers",
+        F.round("q1", 4).alias("q1"),
+        F.round("q3", 4).alias("q3"),
+    )

@@ -97,6 +97,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_event_transitions",
     "q_llm_dedup_fuzzy",
     "q_recursive_chain",
+    "q_zorder_layout",
+    "q_snapshot_diff",
+    "q_outlier_iqr",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",
