@@ -700,11 +700,16 @@ def _z_expr(x: str, y: str, bits: int, dialect: str) -> str:
 
 
 def _zorder_sql(dialect: str) -> str:
-    x = "CAST(o_custkey % 1024 AS BIGINT)"
+    # Double-mod keeps both coordinates in [0, 1024) even if a key is
+    # negative or a date precedes the epoch — a negative operand would
+    # sign-extend through the shifts and scramble the interleave (caught by
+    # tests/test_round2_ops.py::test_zorder_buckets_bound_both_spans).
+    x = "CAST(((o_custkey % 1024) + 1024) % 1024 AS BIGINT)"
     if dialect == "spark":
-        y = "CAST(datediff(o_orderdate, DATE '1996-01-01') % 1024 AS BIGINT)"
+        d = "datediff(o_orderdate, DATE '1994-01-01')"
     else:
-        y = "CAST(date_diff('day', DATE '1996-01-01', o_orderdate) % 1024 AS BIGINT)"
+        d = "date_diff('day', DATE '1994-01-01', o_orderdate)"
+    y = f"CAST((({d} % 1024) + 1024) % 1024 AS BIGINT)"
     z = _z_expr("xv", "yv", 10, dialect)
     return f"""
 WITH keyed AS (
