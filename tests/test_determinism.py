@@ -22,6 +22,12 @@ SENSITIVE = [
     "q_llm_sim_topk",     # float dot-product fold + rank ties
     "q_llm_dedup_cluster",  # iterative fixpoint under different partitioning
     "q_multimodal_decode",  # Arrow batch boundaries differ with partitioning
+    # round-2 additions
+    "q_llm_dedup_keep_best",  # star-contraction fixpoint + window ties
+    "q_recursive_chain",      # recursive-CTE frontier joins per step
+    "q_win_share",            # whole-frame window over decimal sums
+    "q_llm_ann_recall",       # two float-fold rank paths joined
+    "q_agg_mode",             # count-rank ties under different merge trees
 ]
 
 
