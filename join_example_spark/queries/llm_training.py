@@ -218,3 +218,50 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(id_hash("doc_id") % 100 < rate).select(
         "doc_id", "source", "lang", "n_chars"
     )
+
+
+@register(
+    "q_llm_chunk_overlap",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS n
+    FROM documents
+), c AS (
+    SELECT doc_id, n, unnest(generate_series(0, n - 1, 48)) AS s
+    FROM t
+)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(LEAST(s + 64, n) AS BIGINT) AS end_tok,
+       CAST(LEAST(s + 64, n) - s AS BIGINT) AS chunk_tokens
+FROM c
+""",
+    note="sliding-window document chunking (64-token chunks, stride 48 -> "
+    "16-token overlap): per-row sequence explode of chunk START OFFSETS "
+    "only — the text itself is never replicated into the exploded rows "
+    "(slice at consumption time), the same no-blob-inflation rule as the "
+    "video frame-sample plan. Map-side only, no shuffle",
+    tags=("llm", "training", "chunk"),
+)
+def q_llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr("CAST(SIZE(SPLIT(TRIM(text), ' ')) AS BIGINT)").alias("n"),
+    )
+    c = t.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n") - 1, F.lit(48).cast("bigint"))
+        ).alias("s"),
+    )
+    return c.select(
+        "doc_id",
+        (F.col("s") / 48).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.col("s") + 64, F.col("n")).cast("bigint").alias("end_tok"),
+        (F.least(F.col("s") + 64, F.col("n")) - F.col("s")).cast("bigint").alias("chunk_tokens"),
+    )

@@ -109,3 +109,26 @@ def test_transition_counts_conserve_events(spark):
     n_users = ev.select("user_id").distinct().count()
     rows = _REG["q_event_transitions"].fn(spark, SF_SMOKE).collect()
     assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_chunk_overlap_tiles_every_document(spark):
+    from collections import defaultdict
+
+    chunks = defaultdict(list)
+    for r in _REG["q_llm_chunk_overlap"].fn(spark, SF_SMOKE).collect():
+        chunks[r.doc_id].append(r)
+    docs = dict(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.expr("SIZE(SPLIT(TRIM(text), ' '))"))
+        .collect()
+    )
+    assert set(chunks) == set(docs)
+    for doc_id, rows in chunks.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        n = docs[doc_id]
+        # First chunk starts at 0; strides are exactly 48; tiles cover [0, n).
+        assert rows[0].start_tok == 0
+        assert all(b.start_tok - a.start_tok == 48 for a, b in zip(rows, rows[1:]))
+        assert rows[-1].end_tok == n
+        for r in rows:
+            assert r.chunk_tokens == r.end_tok - r.start_tok <= 64
