@@ -99,3 +99,33 @@ def test_connected_components_matches_union_find(spark, g):
         for r in connected_components(ndf, edf, max_iter=25).collect()
     }
     assert got == ref
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_interleave_is_injective_and_bounded(spark, pairs):
+    from join_example_spark.queries.analytics_ext import _z_expr
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "x LONG, y LONG").withColumn(
+        "z", F.expr(_z_expr("x", "y", 10, "spark"))
+    )
+    rows = df.collect()
+    # Injective: distinct (x, y) -> distinct z; bounded to 20 bits; and the
+    # Python-reference interleave agrees bit for bit.
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(zs)
+    for r in rows:
+        ref = 0
+        for i in range(10):
+            ref |= ((r.x >> i) & 1) << (2 * i)
+            ref |= ((r.y >> i) & 1) << (2 * i + 1)
+        assert r.z == ref and 0 <= r.z < (1 << 20)

@@ -269,3 +269,10 @@ def test_multimodal_prune_filters_before_decode(spark):
     df = _REG["q_multimodal_prune"].fn(spark, SF_SMOKE)
     pushed = pushed_filters(df)
     assert pushed and any("lang" in p or "n_chars" in p for p in pushed), pushed
+
+
+def test_outlier_iqr_broadcasts_fence_table(spark):
+    # The tiny per-source fence aggregate must broadcast back to the fact
+    # scan, not shuffle the documents table a second time.
+    df = _REG["q_outlier_iqr"].fn(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
