@@ -265,3 +265,102 @@ def q_llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("s") + 64, F.col("n")).cast("bigint").alias("end_tok"),
         (F.least(F.col("s") + 64, F.col("n")) - F.col("s")).cast("bigint").alias("chunk_tokens"),
     )
+
+
+@register(
+    "q_llm_train_pipeline",
+    oracle=f"""
+WITH sampled AS (
+    SELECT doc_id, source, text
+    FROM documents
+    WHERE {id_hash_sql("doc_id")} % 100 < 50
+), keep AS (
+    SELECT doc_id, source, text
+    FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(LOWER(TRIM(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM sampled
+    ) WHERE rn = 1
+), sized AS (
+    SELECT doc_id, source,
+           CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS n
+    FROM keep
+), chunks AS (
+    SELECT doc_id, source, n,
+           unnest(generate_series(0, n - 1, 48)) AS s
+    FROM sized
+), toks AS (
+    SELECT doc_id, source,
+           CAST(LEAST(s + 64, n) - s AS BIGINT) AS chunk_tokens, s
+    FROM chunks
+), sharded AS (
+    SELECT source, chunk_tokens,
+           CAST(FLOOR(COALESCE(SUM(chunk_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id, s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 1024.0) AS BIGINT) AS shard_id
+    FROM toks
+)
+SELECT source, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS shard_tokens
+FROM sharded
+GROUP BY source, shard_id
+""",
+    note="the corpus->training-shards pipeline as ONE Catalyst plan: "
+    "deterministic 50% hash sample (map-side) -> exact dedup keep-lowest "
+    "(one shuffle on the content hash) -> 64/48 sliding chunks (offset "
+    "explode, no text replication) -> 1024-token shard assignment "
+    "(running-sum window per source) -> per-shard audit. Four stages, TWO "
+    "shuffles total (measured: the final (source, shard_id) group-by "
+    "reuses the window's source-hash partitioning — source alone already "
+    "co-locates every group), everything JVM-side; each stage is also "
+    "certified standalone by its own declared query",
+    tags=("llm", "training", "pipeline"),
+)
+def q_llm_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    sampled = hash_sample(docs, "doc_id", 50).select("doc_id", "source", "text")
+    wdup = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    keep = (
+        sampled.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    sized = keep.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(SIZE(SPLIT(TRIM(text), ' ')) AS BIGINT)").alias("n"),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n") - 1, F.lit(48).cast("bigint"))
+        ).alias("s"),
+    )
+    toks = chunks.select(
+        "doc_id",
+        "source",
+        "s",
+        (F.least(F.col("s") + 64, F.col("n")) - F.col("s")).cast("bigint").alias("chunk_tokens"),
+    )
+    wshard = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sharded = toks.withColumn(
+        "shard_id",
+        F.floor(F.coalesce(F.sum("chunk_tokens").over(wshard), F.lit(0)) / 1024.0).cast(
+            "bigint"
+        ),
+    )
+    return sharded.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("bigint").alias("shard_tokens"),
+    )

@@ -101,6 +101,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_snapshot_diff",
     "q_outlier_iqr",
     "q_llm_chunk_overlap",
+    "q_llm_train_pipeline",
     # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",

@@ -276,3 +276,11 @@ def test_outlier_iqr_broadcasts_fence_table(spark):
     # scan, not shuffle the documents table a second time.
     df = _REG["q_outlier_iqr"].fn(spark, SF_SMOKE)
     assert has_broadcast_hash_join(df)
+
+
+def test_train_pipeline_has_exactly_two_shuffles(spark):
+    # sample is map-side; dedup shuffles on the content hash; the shard
+    # window shuffles on source; the final (source, shard_id) group-by must
+    # REUSE the source partitioning (source alone co-locates every group).
+    plan = executed_plan(_REG["q_llm_train_pipeline"].fn(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
