@@ -1,0 +1,760 @@
+"""The remaining TPC-H classics (Q1/Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
+Q20/Q21) adapted to the fixture star schema, completing the 22-query suite
+started in composite.py.
+
+Adaptation rules (FIXTURES.md): no ``partsupp`` table — supply cost is
+proxied by the observed unit price ``l_extendedprice / l_quantity`` (Q2) or
+a fixed fraction of ``p_retailprice`` (Q9), and supplier/part relationships
+are derived from lineitem facts (Q11/Q16/Q20). No ``l_commitdate`` /
+``l_receiptdate`` / ``l_shipmode`` — "late" means shipped more than N days
+after the order date (Q12/Q21), and Q12 groups by ``l_returnflag`` instead
+of ship mode. Filter constants are chosen so every query is non-empty at
+sf0.001 (only 10 suppliers, in nations {3,8,12,13,15,18,19,20,21,24}).
+
+Every double aggregate goes through the exact-decimal bridge and is
+ROUNDed on output; counts are BIGINT; every LIMIT sits under a unique-key
+total order (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from join_example_spark.registry import register
+from join_example_spark.sources.readers import read_table, register_temp_views
+
+_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def _dsum(expr: str) -> str:
+    return _DSUM.format(expr=expr)
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    note="TPC-H Q1 pricing summary: the canonical wide scan-agg — eight "
+    "aggregates over one pass of lineitem, 4-6 groups out. Map-side partial "
+    "aggregation collapses 100TB to kilobytes before the single shuffle",
+    tags=("composite", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.expr(_dsum("l_quantity")), 4).alias("sum_qty"),
+            F.round(F.expr(_dsum("l_extendedprice")), 4).alias("sum_base_price"),
+            F.round(
+                F.expr(_dsum("l_extendedprice * (1 - l_discount)")), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.expr(_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")),
+                4,
+            ).alias("sum_charge"),
+            F.round(
+                F.expr(_dsum("l_quantity") + " / CAST(COUNT(*) AS DOUBLE)"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.expr(_dsum("l_extendedprice") + " / CAST(COUNT(*) AS DOUBLE)"),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.expr(_dsum("l_discount") + " / CAST(COUNT(*) AS DOUBLE)"), 4
+            ).alias("avg_disc"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+        )
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+psr AS (
+    SELECT ps.l_partkey, ps.l_suppkey, ps.supply_cost,
+           eu.s_name, eu.s_acctbal, eu.n_name
+    FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+),
+mc AS (
+    SELECT l_partkey, MIN(supply_cost) AS min_cost
+    FROM psr GROUP BY l_partkey
+)
+SELECT ROUND(psr.s_acctbal, 4) AS acctbal,
+       psr.s_name,
+       psr.n_name,
+       p.p_partkey,
+       psr.supply_cost
+FROM psr
+JOIN mc ON mc.l_partkey = psr.l_partkey AND psr.supply_cost = mc.min_cost
+JOIN part p ON p.p_partkey = psr.l_partkey
+WHERE p.p_size BETWEEN 10 AND 20
+ORDER BY acctbal DESC, psr.l_suppkey, p.p_partkey
+LIMIT 100
+""",
+    note="TPC-H Q2 minimum-cost supplier (adapted: no partsupp — supply "
+    "cost is the min observed unit price l_extendedprice/l_quantity per "
+    "(part, supplier)): derive partsupp by aggregation, restrict to EUROPE "
+    "suppliers, keep rows matching the per-part min via an equi-join on the "
+    "min-aggregate. The min-join runs on the compact derived table, never "
+    "on raw lineitem; supplier dims broadcast. supply_cost is emitted "
+    "UNROUNDED: the quotient double is bit-identical on both sides, while "
+    "ROUND(quotient, 4) is not (Spark rounds the shortest decimal repr, "
+    "DuckDB rounds in binary — they disagree within half an ulp of a "
+    "x.xxxx5 boundary, observed at sf0.001)",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    psr = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    mc = psr.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        psr.join(
+            mc,
+            (psr.l_partkey == mc.mc_partkey)
+            & (psr.supply_cost == mc.min_cost),
+        )
+        .join(F.broadcast(p), psr.l_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 4).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "supply_cost",
+            "l_suppkey",
+        )
+        .orderBy(F.col("acctbal").desc(), F.col("l_suppkey"), F.col("p_partkey"))
+        .limit(100)
+        .drop("l_suppkey")
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    note="TPC-H Q6 forecast revenue change: pure scan-filter-agg, zero "
+    "joins, zero groups — the pushdown showcase. All three predicates reach "
+    "the parquet reader (PushedFilters), a single partial-agg shuffle of "
+    "one decimal cell follows",
+    tags=("composite", "agg", "filter"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(F.expr(_dsum("l_extendedprice * l_discount")), 4).alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 4) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+""",
+    note="TPC-H Q7 volume shipping: bidirectional nation-pair trade flow. "
+    "The disjunctive nation predicate sits above two broadcast nation "
+    "joins; lineitem->orders is the only fact-fact shuffle",
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
+    n2 = read_table(spark, sf_dir, "nation").withColumnRenamed("n_name", "cust_nation")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    rev_pair = (F.col("supp_nation") == "NATION_8") & (
+        F.col("cust_nation") == "NATION_3"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .where(pair | rev_pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.expr(_dsum("l_extendedprice * (1 - l_discount)")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+SELECT o_year,
+       ROUND(nation_volume / total_volume, 4) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) AS nation_volume,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_volume
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND p.p_type = 'STANDARD'
+    GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+) t
+""",
+    note="TPC-H Q8 national market share: conditional-sum / total-sum ratio "
+    "per year — one grouped aggregation computes both operands of the "
+    "division (no second pass over the facts). Five dims broadcast around "
+    "the lineitem->orders shuffle",
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation")
+    n2 = (
+        read_table(spark, sf_dir, "nation")
+        .withColumnRenamed("n_name", "supp_nation")
+        .withColumnRenamed("n_nationkey", "supp_nationkey")
+    )
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), n1.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n1.n_regionkey)
+        .join(F.broadcast(n2), F.col("supp_nationkey") == s.s_nationkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.expr(
+                _dsum(
+                    "CASE WHEN supp_nation = 'NATION_3'"
+                    " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+                )
+            ).alias("nation_volume"),
+            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias(
+                "total_volume"
+            ),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 4).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.1 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+""",
+    note="TPC-H Q9 product-type profit (adapted: no ps_supplycost — cost is "
+    "proxied as 10% of p_retailprice per unit): profit decomposition by "
+    "supplier nation and order year. The LIKE filter prunes part before "
+    "its broadcast; profit is accumulated as one decimal expression",
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.expr(
+                    _dsum(
+                        "l_extendedprice * (1 - l_discount)"
+                        " - 0.1 * p_retailprice * l_quantity"
+                    )
+                ),
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+WITH pv AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, ROUND(value, 4) AS value
+FROM pv
+WHERE value > (
+    SELECT 1.5 * CAST(SUM(CAST(l2.l_extendedprice * (1 - l2.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(COUNT(DISTINCT l2.l_partkey) AS DOUBLE)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    WHERE n2.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+)
+""",
+    note="TPC-H Q11 important stock (adapted: no partsupp — part 'value' is "
+    "revenue through suppliers of three EUROPE nations, threshold 0.5% of "
+    "the total): grouped sum vs scalar-subquery threshold. The scalar total "
+    "re-accumulates from raw rows through the decimal bridge (never re-sums "
+    "the per-part doubles), so both sides are order-independent; Catalyst "
+    "evaluates it once and broadcasts the literal",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(
+        """
+        WITH pv AS (
+            SELECT l.l_partkey,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, ROUND(value, 4) AS value
+        FROM pv
+        WHERE value > (
+            SELECT 1.5 * CAST(SUM(CAST(l2.l_extendedprice * (1 - l2.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                       / CAST(COUNT(DISTINCT l2.l_partkey) AS DOUBLE)
+            FROM lineitem l2
+            JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+            WHERE n2.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+        )
+        """
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+""",
+    note="TPC-H Q12 shipping-priority impact (adapted: no l_shipmode — "
+    "grouped by l_returnflag; 'late' = shipped >60 days after order date, "
+    "no commit/receipt dates): fact-fact join with a cross-table residual "
+    "predicate, then conditional counts",
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+           ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+    note="TPC-H Q13 customer order-count distribution (adapted: the comment "
+    "NOT LIKE filter becomes an order-priority exclusion): left join keeps "
+    "zero-order customers, COUNT(col) skips the null-extended rows, then a "
+    "second tiny aggregation over the per-customer counts",
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("custdist")
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    note="TPC-H Q15 top supplier: quarter revenue per supplier, keep the "
+    "max via a scalar subquery over the same derived view. The decimal "
+    "bridge makes per-supplier revenue bit-identical on both sides, so the "
+    "double equality against MAX is exact; Catalyst computes the CTE once "
+    "under AQE reuse",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    note="TPC-H Q16 parts/supplier relationship (adapted: supplier-part "
+    "pairs derived from lineitem, negative account balance stands in for "
+    "the complaints filter): distinct-count per (brand,type,size) with a "
+    "broadcast anti-join excluding flagged suppliers",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+SELECT ROUND(COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 0.0) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+      SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE))
+      FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+    note="TPC-H Q17 small-quantity-order revenue (adapted: brand-only part "
+    "filter and a 0.5x-average threshold so the query is non-empty at "
+    "sf0.001): correlated per-part AVG subquery — Catalyst decorrelates to "
+    "an aggregate + join on partkey. AVG is the decimal-exact sum over an "
+    "exact count both sides, so the < comparison sees identical operands",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT ROUND(COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 0.0) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+              SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE))
+              FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 40.0
+  )
+""",
+    note="TPC-H Q20 potential part promotion (adapted: no ps_availqty — a "
+    "supplier qualifies by having shipped >40 units of some red part in "
+    "1997): agg-derived IN list -> left-semi join against a tiny supplier "
+    "dim. The HAVING threshold runs on the compact (supplier, part) "
+    "aggregate, not raw lineitem",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12")
+    )
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualified = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr(_dsum("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 40.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE n.n_name = 'NATION_3'
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s.s_name
+""",
+    note="TPC-H Q21 suppliers who kept orders waiting (adapted: 'late' = "
+    "shipped >90 days after order date, no commit/receipt dates): the "
+    "classic EXISTS + NOT-EXISTS double correlation — sole late supplier "
+    "on a multi-supplier order. Catalyst turns them into a left-semi and a "
+    "null-aware left-anti join on orderkey",
+    tags=("composite", "join", "agg", "subquery"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("supplier", "nation", "lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE n.n_name = 'NATION_3'
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s.s_name
+        """
+    )

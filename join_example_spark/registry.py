@@ -150,6 +150,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -------- top-50 boundary (everything above fits one driver check) ----
     # new in round 2 — verified locally; first in line for the next round's
     # driver check without displacing the round-2 backlog above
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
     "q_llm_dedup_cluster_star",
     "q_llm_sample_hash",
     "q_llm_split_assign",
@@ -232,6 +246,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         analytics_ext,
         composite,
+        composite2,
         filters,
         functions_scalar,
         joins,
