@@ -249,6 +249,38 @@ def test_new_tpch_composites_plan_shapes(spark):
     assert "Subquery" in plan22, plan22[:1000]
 
 
+def test_tpch_suite_completion_plan_shapes(spark):
+    # The 14 round-2 adaptations that complete the 22-query TPC-H suite.
+    # None may fall back to a cartesian / nested-loop join — every
+    # correlation must extract an equi-join component.
+    suite = (
+        "q_tpch_q1", "q_tpch_q2", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q15",
+        "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
+    )
+    for name in suite:
+        plan = executed_plan(_REG[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Q1/Q6 are single-pass scan-aggs: exactly one shuffle (the partial->
+    # final agg exchange), so 100 TB collapses map-side before moving.
+    # Q1 groups (hash exchange); Q6 is a global agg (single-partition
+    # exchange of one decimal cell per task).
+    plan1 = executed_plan(_REG["q_tpch_q1"].fn(spark, SF_SMOKE))
+    assert plan1.count("Exchange hashpartitioning") == 1, plan1[:1000]
+    plan6 = executed_plan(_REG["q_tpch_q6"].fn(spark, SF_SMOKE))
+    assert plan6.count("Exchange hashpartitioning") == 0, plan6[:1000]
+    assert plan6.count("Exchange SinglePartition") == 1, plan6[:1000]
+    # Q21's EXISTS/NOT-EXISTS double correlation must decorrelate to
+    # semi + anti joins on the order key.
+    plan21 = executed_plan(_REG["q_tpch_q21"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan21, plan21[:1000]
+    assert "LeftAnti" in plan21, plan21[:1000]
+    # Q2's top-100 must be TakeOrderedAndProject (never a global sort).
+    plan2 = executed_plan(_REG["q_tpch_q2"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan2, plan2[:1000]
+
+
 def test_keep_best_adds_one_window_past_clustering(spark):
     # The finisher must not re-run pair generation: exactly one Window node
     # computes both row_number and the cluster-size count.
