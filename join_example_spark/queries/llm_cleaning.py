@@ -106,3 +106,66 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("redacted").alias("redacted_md5"),
         F.length("redacted").cast("bigint").alias("redacted_len"),
     )
+
+@register(
+    "q_llm_char_entropy",
+    oracle="""
+WITH pref AS (
+    SELECT doc_id, LEFT(text, 512) AS p, LENGTH(LEFT(text, 512)) AS n
+    FROM documents
+), chars AS (
+    SELECT doc_id, n, unnest(string_split(p, '')) AS ch
+    FROM pref
+), counts AS (
+    SELECT doc_id, n, ch, COUNT(*) AS c
+    FROM chars GROUP BY doc_id, n, ch
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS prefix_len,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       CAST(ROUND(SUM(CAST((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)
+                           AS DECIMAL(25,6))), 4) AS DOUBLE) AS char_entropy
+FROM counts
+GROUP BY doc_id, n
+""",
+    note="Shannon character entropy over a 512-char prefix — the "
+    "compressibility / perplexity proxy used to screen boilerplate and "
+    "gibberish in corpus filtering. The prefix cap bounds the char-level "
+    "explode to 512 rows/doc regardless of document size, so the two "
+    "shuffles (per-(doc,char) count, per-doc fold) move bounded data at "
+    "100 TB. Each -(p)ln(p) term is an identical IEEE expression on both "
+    "sides; the per-doc fold runs through the decimal bridge so summation "
+    "order cannot flip the output, and the ROUND happens in exact decimal "
+    "space BEFORE the double cast — ROUND(double, 4) is engine-divergent "
+    "when the exact sum lands on a ...50 half-boundary (observed at sf0.01)",
+    tags=("llm", "text"),
+)
+def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.substring("text", 1, 512).alias("p"),
+        F.length(F.substring("text", 1, 512)).alias("n"),
+    )
+    chars = pref.select(
+        "doc_id", "n", F.explode(F.split("p", "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = "(CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)"
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("distinct_chars"),
+            F.expr(
+                f"CAST(ROUND(SUM(CAST({term} AS DECIMAL(25,6))), 4) AS DOUBLE)"
+            ).alias("char_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("prefix_len"),
+            "distinct_chars",
+            "char_entropy",
+        )
+    )

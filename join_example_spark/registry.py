@@ -164,6 +164,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q17",
     "q_tpch_q20",
     "q_tpch_q21",
+    "q_llm_char_entropy",
     "q_llm_dedup_cluster_star",
     "q_llm_sample_hash",
     "q_llm_split_assign",
