@@ -28,6 +28,11 @@ SENSITIVE = [
     "q_win_share",            # whole-frame window over decimal sums
     "q_llm_ann_recall",       # two float-fold rank paths joined
     "q_agg_mode",             # count-rank ties under different merge trees
+    # TPC-H completion + entropy (round 2)
+    "q_tpch_q1",              # eight decimal aggregates under different merge trees
+    "q_tpch_q2",              # double-equality min-join + rounded-order LIMIT ties
+    "q_tpch_q15",             # MAX-equality scalar subquery on decimal-bridged sums
+    "q_llm_char_entropy",     # decimal-space fold of IEEE ln() terms
 ]
 
 
