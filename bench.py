@@ -46,9 +46,14 @@ def main() -> None:
     registry = load_all()
 
     # Warm the JVM/codegen paths once on the smallest SF so per-query times
-    # measure the plan, not first-call JIT/classloading.
-    warm = registry["q_flagship_daily_enrich"].fn(spark, "/root/testdata/sf0.001")
-    warm.write.format("noop").mode("overwrite").save()
+    # measure the plan, not first-call JIT/classloading. Round-2 lesson: one
+    # broken query in warmup zeroed the whole round's bench (rc=1, no JSON)
+    # — every stage below is fenced so a partial bench always beats silence.
+    try:
+        warm = registry["q_flagship_daily_enrich"].fn(spark, "/root/testdata/sf0.001")
+        warm.write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+        _log(f"WARMUP FAILED (continuing unwarmed): {exc}")
     # Warm the file-listing/footer metadata for the bench SF so the first
     # registry query isn't charged the one-time listing cost.
     from pyspark.sql import functions as F
@@ -56,17 +61,29 @@ def main() -> None:
     from join_example_spark.sources.readers import TABLES, read_table
 
     for t in TABLES:
-        read_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
+        try:
+            read_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
+        except Exception as exc:  # noqa: BLE001
+            _log(f"METADATA WARMUP FAILED for {t} (continuing): {exc}")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in registry.items():
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            _log(f"{name}: ERROR {errors[name]}")
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         _log(f"{name}: {timings[name]}s")
 
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception as exc:  # noqa: BLE001
+        _log(f"spark.stop() failed (ignored): {exc}")
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -76,7 +93,11 @@ def main() -> None:
         sf_val = sf
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
-        json.dump({"queries": timings, "sf": sf_val, "total_sec": total}, f, indent=1)
+        json.dump(
+            {"queries": timings, "errors": errors, "sf": sf_val, "total_sec": total},
+            f,
+            indent=1,
+        )
 
     def payload(qmap: dict[str, float]) -> str:
         return json.dumps(
@@ -87,6 +108,7 @@ def main() -> None:
                 "queries": qmap,
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "detail_file": "bench_full.json",
             },
             separators=(",", ":"),
@@ -109,4 +131,22 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — ALWAYS emit parseable JSON
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        err_doc = json.dumps(
+            {
+                "metric": "declared_suite_seconds",
+                "value": -1.0,
+                "unit": "sec",
+                "queries": {},
+                "fatal": f"{type(exc).__name__}: {exc}"[:800],
+            },
+            separators=(",", ":"),
+        )[:_STDOUT_BUDGET]
+        sys.stdout.write(err_doc + "\n")
+        sys.stdout.flush()
+        sys.exit(0)

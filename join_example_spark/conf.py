@@ -15,10 +15,14 @@ from pyspark.sql import SparkSession
 #:
 #: - ``timeZone=UTC``: timestamps must collect identically to DuckDB's
 #:   (tz-naive, UTC) reads.
-#: - ``nanosAsLong=true``: the ``events`` table is parquet TIMESTAMP(NANOS),
-#:   which Spark 4.x refuses to read natively (PARQUET_TYPE_ILLEGAL). With
-#:   this flag the column arrives as ns-since-epoch int64 and is converted
-#:   by :func:`join_example_spark.sources.readers.read_events`.
+#: - ``nanosAsLong=true``: the ``events`` table has shipped as parquet
+#:   TIMESTAMP(NANOS) in some fixture generations, which Spark 4.x refuses
+#:   to read natively (PARQUET_TYPE_ILLEGAL). With this flag that encoding
+#:   arrives as ns-since-epoch int64; the current generation is
+#:   TIMESTAMP(MICROS)/ntz which the flag does not affect. Either way
+#:   :func:`join_example_spark.sources.readers.normalize_event_ts`
+#:   dispatches on the arriving dtype — keep the flag so BOTH generations
+#:   read correctly.
 #: - AQE on (default in 4.x, set explicitly): runtime shuffle coalescing,
 #:   skew-join splitting, and runtime broadcast demotion — the knobs that
 #:   make these plans survive a 100 TB scale-up.

@@ -272,6 +272,7 @@ def length_bucket_pairs(
     lang_col: str = "lang",
     len_col: str = "n_chars",
     width: int = 20,
+    extra_key_col: str | None = None,
 ) -> DataFrame:
     """Candidate pairs under (same lang, |len diff| <= width) blocking.
 
@@ -283,6 +284,12 @@ def length_bucket_pairs(
     one bucket, so a pair matches in at most one exploded neighbor bucket —
     no pair-dedup needed (the invariant both callers rely on).
 
+    ``extra_key_col``: optional second blocking key added to the equi-join
+    (e.g. a min-token-hash). This caps block fan-out: a boilerplate-heavy
+    corpus can concentrate documents into few (lang, length) blocks, and
+    the within-block pair work goes quadratic at scale without a second,
+    content-derived key splitting those blocks.
+
     Output: ``id_a < id_b`` pairs with ``{payload_col}_a/_b`` carried for
     the caller's exact similarity verify.
     """
@@ -292,12 +299,15 @@ def length_bucket_pairs(
         "_bkt",
         F.explode(F.expr(f"ARRAY({bucket} - 1, {bucket}, {bucket} + 1)")),
     )
+    join_keys = ["_bkt"] + ([extra_key_col] if extra_key_col else [])
+    extra = [extra_key_col] if extra_key_col else []
     aa = a.select(
         F.col(id_col).alias("id_a"),
         F.col(lang_col).alias("_lang_a"),
         F.col(len_col).alias("_len_a"),
         F.col(payload_col).alias(f"{payload_col}_a"),
         "_bkt",
+        *extra,
     )
     bb = b.select(
         F.col(id_col).alias("id_b"),
@@ -305,9 +315,10 @@ def length_bucket_pairs(
         F.col(len_col).alias("_len_b"),
         F.col(payload_col).alias(f"{payload_col}_b"),
         "_bkt",
+        *extra,
     )
     return (
-        aa.join(bb, ["_bkt"])
+        aa.join(bb, join_keys)
         .where(
             (F.col("_lang_a") == F.col("_lang_b"))
             & (F.col("id_a") < F.col("id_b"))

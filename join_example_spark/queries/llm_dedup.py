@@ -490,9 +490,15 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_dedup_fuzzy",
-    oracle="""
+    oracle=f"""
 WITH norm AS (
-    SELECT doc_id, lang, n_chars, LOWER(TRIM(text)) AS ntext
+    SELECT doc_id, lang, n_chars, LOWER(TRIM(text)) AS ntext,
+           list_aggregate(
+             list_transform(list_distinct(str_split(LOWER(TRIM(text)), ' ')),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(str_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                    (acc, b) -> (acc * 31 + b) % {_MH_P})),
+             'min') AS mintok
     FROM documents
     WHERE source IN ('src0', 'src1')
 )
@@ -505,28 +511,39 @@ SELECT a.doc_id AS id_a,
 FROM norm a
 JOIN norm b
   ON a.lang = b.lang
+ AND a.mintok = b.mintok
  AND a.doc_id < b.doc_id
  AND abs(a.n_chars - b.n_chars) <= 20
 WHERE CAST(levenshtein(a.ntext, b.ntext) AS DOUBLE)
       / CAST(GREATEST(LENGTH(a.ntext), LENGTH(b.ntext)) AS DOUBLE) <= 0.7
 """,
-    note="edit-distance fuzzy near-dup: the same (lang, length-bucket) "
-    "equi-blocking as the Jaccard path, with JVM levenshtein as the exact "
-    "verify, thresholded on the RELATIVE ratio dist/max(len) (this "
-    "corpus's duplicates are token-reorderings, so absolute distances run "
-    "~0.6-0.75 of length; 0.7 separates the tail). The ratio is one IEEE "
-    "division of exact ints — bit-stable. Quadratic only WITHIN a block; "
-    "levenshtein's O(len^2) cost argues for tight blocking, which "
-    "|len diff|<=20 provides (edit distance >= length difference)",
+    note="edit-distance fuzzy near-dup: (lang, length-bucket) equi-blocking "
+    "PLUS a min-token-hash second key (portable polynomial hash, identical "
+    "both engines), then JVM levenshtein as the exact verify, thresholded "
+    "on the RELATIVE ratio dist/max(len) (this corpus's duplicates are "
+    "token-reorderings, so absolute distances run ~0.6-0.75 of length; 0.7 "
+    "separates the tail — and reorderings preserve the token SET, so the "
+    "min-token key keeps them). The second key caps block fan-out: a "
+    "boilerplate-heavy corpus concentrating docs into few (lang, length) "
+    "blocks would otherwise go O(b^2 * L^2) within a block at scale. The "
+    "ratio is one IEEE division of exact ints — bit-stable",
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    poly = (
+        "aggregate(split(t, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P})"
+    )
     docs = (
         read_table(spark, sf_dir, "documents")
         .where(F.col("source").isin("src0", "src1"))
         .select("doc_id", "lang", "n_chars", F.expr("LOWER(TRIM(text))").alias("ntext"))
+        .withColumn(
+            "_mintok",
+            F.expr(f"array_min(transform(array_distinct(split(ntext, ' ')), t -> {poly}))"),
+        )
     )
-    pairs = length_bucket_pairs(docs, payload_col="ntext", width=20)
+    pairs = length_bucket_pairs(docs, payload_col="ntext", width=20, extra_key_col="_mintok")
     dist = F.expr("levenshtein(ntext_a, ntext_b)")
     ratio = dist.cast("double") / F.expr(
         "CAST(GREATEST(LENGTH(ntext_a), LENGTH(ntext_b)) AS DOUBLE)"

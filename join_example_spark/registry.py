@@ -70,31 +70,102 @@ def register(
 #: Names registered but absent from this list (i.e. queries added later)
 #: are placed before everything else so new work is always checked first.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-1 red rows, fixed this round — must re-verify
+    # ---- round-3 head. Unlisted (newly added) queries rank BEFORE all of
+    # this, so keep the must-verify set comfortably inside the top 50. ----
+    # The 8 events-ERR rows of CORRECTNESS_r02 — prove the ts-encoding fix
+    # driver-side (q_join_asof also carries the round-2 linear-merge rewrite
+    # that has never had a passing driver row).
+    "q_join_asof",
+    "q_join_asof_left",
+    "q_time_rollup",
+    "q_profile_skew",
+    "q_agg_bitwise",
+    "q_event_transitions",
+    "q_join_ktable",
+    "q_join_range_bucketed",
+    # entry()'s flagship — the driver's own smoke query, never checked
+    "q_flagship_daily_enrich",
+    # never-checked events-reading families (were EVENTS-BROKEN pre-fix)
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_win_lead_lag",
+    "q_win_time_range",
+    "q_win_first_last",
+    "q_resample_gapfill",
+    "q_funnel_stages",
+    "q_cohort_retention",
+    "q_scd2_intervals",
+    "q_scan_count",
+    "q_scan_json_props",
+    "q_set_union_all",
+    "q_set_intersect",
+    # never-checked TPC-H completions (round 2, below the r2 prefix)
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    # never-checked round-2 training/analysis ops
+    "q_llm_char_entropy",
+    "q_llm_dedup_cluster_star",
+    "q_llm_sample_hash",
+    "q_llm_split_assign",
+    "q_llm_decontaminate",
+    "q_llm_pack_chunks",
+    "q_llm_mix_sources",
+    "q_llm_repetition",
+    "q_llm_pii_redact",
+    "q_gaps_islands",
+    "q_llm_kmeans_iter",
+    "q_graph_triangles",
+    # -------- top-50 boundary (everything above fits one driver check) ----
+    "q_incremental_agg",
+    "q_profile_columns",
+    # never-checked windows/sorts/setops/scans — next in line
+    "q_win_rank",
+    "q_win_topk_per_group",
+    "q_win_running",
+    "q_win_ntile_percent",
+    "q_sort_limit",
+    "q_limit_offset",
+    "q_set_union_distinct",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect_all",
+    "q_scan_parquet",
+    "q_multimodal_frames",
+    "q_llm_dedup_ngram",
+    # deferred: rows-only by design (no oracle — weaker check regardless)
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_simhash",
+    "q_llm_sim_knn_scale",
+    # driver-green in CORRECTNESS_r02 — re-check only after everything else
     "q_pivot",
     "q_fn_bitwise",
     "q_fn_regex",
     "q_agg_approx_percentile",
-    # as-of join rewritten this round — must re-verify
-    "q_join_asof",
-    "q_join_asof_left",
-    # new TPC-H composites (round 2) — never driver-checked
     "q_tpch_q4",
     "q_tpch_q14",
     "q_tpch_q19",
     "q_tpch_q22",
-    # new round-2 operators — never driver-checked
     "q_llm_dedup_keep_best",
     "q_agg_mode",
     "q_llm_sample_stratified",
-    "q_time_rollup",
     "q_win_share",
     "q_multimodal_prune",
-    "q_profile_skew",
-    "q_agg_bitwise",
     "q_llm_ann_recall",
     "q_scalar_correlated",
-    "q_event_transitions",
     "q_llm_dedup_fuzzy",
     "q_recursive_chain",
     "q_zorder_layout",
@@ -102,12 +173,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_outlier_iqr",
     "q_llm_chunk_overlap",
     "q_llm_train_pipeline",
-    # never driver-checked (round-1 check stopped at entry 50)
     "q_join_salted",
     "q_scalar_subquery",
-    "q_join_ktable",
     "q_join_exists_correlated",
-    "q_join_range_bucketed",
     "q_llm_dedup_exact",
     "q_llm_dedup_near",
     "q_llm_dedup_cluster",
@@ -125,71 +193,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_tfidf",
     "q_llm_zipf",
     "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_scan_json_props",
-    "q_set_union_distinct",
-    "q_set_except",
-    "q_set_except_all",
-    "q_sort_limit",
-    "q_flagship_daily_enrich",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_resample_gapfill",
-    "q_funnel_stages",
-    "q_cohort_retention",
-    "q_win_rank",
-    "q_win_topk_per_group",
-    "q_win_running",
-    "q_win_lead_lag",
-    "q_win_ntile_percent",
-    "q_win_first_last",
-    "q_win_time_range",
-    "q_scd2_intervals",
-    # -------- top-50 boundary (everything above fits one driver check) ----
-    # new in round 2 — verified locally; first in line for the next round's
-    # driver check without displacing the round-2 backlog above
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_llm_char_entropy",
-    "q_llm_dedup_cluster_star",
-    "q_llm_sample_hash",
-    "q_llm_split_assign",
-    "q_llm_decontaminate",
-    "q_llm_pack_chunks",
-    "q_llm_mix_sources",
-    "q_llm_repetition",
-    "q_llm_pii_redact",
-    "q_gaps_islands",
-    "q_llm_kmeans_iter",
-    "q_graph_triangles",
-    "q_incremental_agg",
-    "q_profile_columns",
-    # deferred: trivial or certified via a sibling operator in the top 50
-    "q_llm_dedup_ngram",
-    "q_scan_parquet",
-    "q_scan_count",
-    "q_set_union_all",
-    "q_set_intersect",
-    "q_set_intersect_all",
-    "q_limit_offset",
-    # deferred: rows-only by design (no oracle — weaker check regardless)
-    "q_llm_dedup_minhash",
-    "q_llm_dedup_simhash",
-    "q_llm_sim_knn_scale",
     # driver-green in CORRECTNESS_r01 — lowest re-check priority
     "q_agg_global",
     "q_agg_group",

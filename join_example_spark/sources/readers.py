@@ -7,18 +7,27 @@ Design notes (100 TB posture):
   normalization below is expressed as Catalyst column expressions, never
   Python UDFs.
 - No schema inference beyond the parquet footer (deterministic).
-- ``events.ts`` is parquet ``TIMESTAMP(NANOS)`` which Spark 4.x cannot read
-  natively; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as
-  int64 nanoseconds. We convert with *integer* division (``ts div 1000``)
-  so the µs value is exact (a float division would round through a 53-bit
-  mantissa and can be off by 1 µs at 2024-era epochs). The result is
-  bit-identical to DuckDB's ns→µs truncating read — verified empirically.
+- ``events.ts`` has shipped under TWO encodings across fixture
+  generations, so the reader dispatches on the arriving dtype instead of
+  hard-coding either (a hard-coded recipe broke 30 queries in round 2):
+
+  * parquet ``TIMESTAMP(NANOS)`` — Spark 4.x cannot read it natively;
+    with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as
+    int64 nanoseconds and we convert with *integer* division
+    (``ts div 1000``) so the µs value is exact (a float division would
+    round through a 53-bit mantissa and can be off by 1 µs at 2024-era
+    epochs). Bit-identical to DuckDB's ns→µs truncating read.
+  * parquet ``TIMESTAMP(MICROS)`` / ``isAdjustedToUTC=false`` — arrives
+    as ``timestamp_ntz``; under the UTC session a plain
+    ``cast("timestamp")`` is bit-identical to DuckDB's read (verified
+    value-for-value at sf0.001).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from join_example_spark.conf import ensure_session_confs
 
@@ -42,17 +51,56 @@ def _path(sf_dir: str, name: str) -> str:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Convert the nanosAsLong int64 ``ts`` to TimestampType (exact ns→µs
-    truncation via integer division). The single home of this recipe —
-    batch and streaming readers must both go through it."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ``ts`` to TimestampType regardless of fixture encoding.
+
+    Dispatches on the dtype the scan delivers (the single home of this
+    recipe — batch and streaming readers must both go through it):
+
+    - ``bigint``         → nanosAsLong int64 ns; exact ns→µs truncation
+      via integer division (``timestamp_micros(ts div 1000)``).
+    - ``timestamp_ntz``  → TIMESTAMP_MICROS/isAdjustedToUTC=false;
+      ``cast("timestamp")`` under the UTC session (bit-identical to
+      DuckDB).
+    - ``timestamp``      → already the target type; pass through.
+    - anything else      → raise with the observed dtype (loud failure on
+      the next silent fixture drift, not 30 broken queries downstream).
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if dtype == "timestamp":
+        return df
+    raise TypeError(
+        f"events.ts arrived as unexpected dtype {dtype!r}; expected 'bigint' "
+        "(TIMESTAMP(NANOS) via nanosAsLong), 'timestamp_ntz' "
+        "(TIMESTAMP_MICROS, isAdjustedToUTC=false), or 'timestamp'. "
+        "The fixture encoding drifted again — extend normalize_event_ts."
+    )
+
+
+def probe_stream_schema(
+    spark: SparkSession, source_dir: str, glob: str | None = None
+) -> StructType:
+    """Footer-probe a directory's parquet schema for use as a file-stream
+    schema (streaming sources require an explicit schema; inferring it from
+    the actual footer instead of hard-coding keeps the stream readers
+    encoding-agnostic, exactly like the batch side). Footer-only — no data
+    scan, one listing, same cost the stream source itself pays at start."""
+    ensure_session_confs(spark)
+    reader = spark.read
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(source_dir.rstrip("/")).schema
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the ``events`` stream table with the ns-timestamp recipe.
+    """Read the ``events`` stream table, normalizing ``ts``.
 
-    Returns ``ts`` as a proper ``TimestampType`` (µs precision, truncated
-    from ns exactly like DuckDB does), all other columns untouched.
+    Returns ``ts`` as a proper ``TimestampType`` (µs precision, matching
+    DuckDB's read bit-for-bit under either fixture encoding), all other
+    columns untouched.
     """
     ensure_session_confs(spark)
     raw = spark.read.parquet(_path(sf_dir, "events"))

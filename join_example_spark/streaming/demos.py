@@ -31,7 +31,9 @@ from pyspark.sql.types import (
 from join_example_spark.conf import ensure_session_confs
 
 #: Raw parquet schema of events with the ns timestamp as int64 (the
-#: nanosAsLong representation — file streams need an explicit schema).
+#: nanosAsLong representation). Kept for tests that synthesize int64-ns
+#: fixtures; real fixture dirs are footer-probed instead
+#: (readers.probe_stream_schema) so either ts encoding streams correctly.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -85,13 +87,20 @@ def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table from its parquet file (directory listing
     source — the moral equivalent of consuming a topic from offset 0)."""
-    from join_example_spark.sources.readers import normalize_event_ts
+    from join_example_spark.sources.readers import (
+        normalize_event_ts,
+        probe_stream_schema,
+    )
 
     ensure_session_confs(spark)
     # File-stream sources list a *directory*; pathGlobFilter scopes the
-    # listing to the events file within the fixture dir.
+    # listing to the events file within the fixture dir. The stream schema
+    # is footer-probed so either ts encoding (int64-ns or timestamp_ntz)
+    # arrives intact, then normalize_event_ts dispatches on it.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            probe_stream_schema(spark, sf_dir, "events.parquet")
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
@@ -197,10 +206,15 @@ def stream_dedup_within_watermark(spark: SparkSession, source_dir: str) -> DataF
 
     The streaming twin of exact dedup: state holds one entry per key only
     until the watermark passes — bounded memory on an unbounded stream."""
-    from join_example_spark.sources.readers import normalize_event_ts
+    from join_example_spark.sources.readers import (
+        normalize_event_ts,
+        probe_stream_schema,
+    )
 
     ensure_session_confs(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(source_dir)
+    raw = spark.readStream.schema(
+        probe_stream_schema(spark, source_dir)
+    ).parquet(source_dir)
     events = normalize_event_ts(raw)
     return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -336,10 +350,13 @@ def stream_upsert_matview(
     ``maxFilesPerTrigger=1`` makes every source file its own micro-batch.
     """
     ensure_session_confs(spark)
-    from join_example_spark.sources.readers import normalize_event_ts
+    from join_example_spark.sources.readers import (
+        normalize_event_ts,
+        probe_stream_schema,
+    )
 
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probe_stream_schema(spark, source_dir))
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir.rstrip("/"))
     )

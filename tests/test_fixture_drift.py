@@ -1,0 +1,161 @@
+"""Fixture-drift guard + events-encoding regression tests.
+
+Round 2 lost its entire driver bench to a silent fixture change (events.ts
+flipped parquet TIMESTAMP(NANOS) -> TIMESTAMP(MICROS)/ntz). These tests make
+the NEXT drift loud and local:
+
+- the footer types of all 10 fixture tables are pinned against the
+  expectations below, failing with the observed arrow schema;
+- ``normalize_event_ts`` is pinned to produce identical TimestampType
+  values from BOTH historical ts encodings, and to raise loudly on an
+  unknown one.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from join_example_spark.sources.readers import (
+    TABLES,
+    normalize_event_ts,
+    read_events,
+)
+from tests.conftest import SF_SMOKE
+
+#: column -> set of acceptable arrow type strings. A set (not a single
+#: value) wherever the fixture has legitimately shipped multiple encodings.
+EXPECTED_FOOTER_TYPES: dict[str, dict[str, set[str]]] = {
+    "region": {
+        "r_regionkey": {"int32"},
+        "r_name": {"string"},
+    },
+    "nation": {
+        "n_nationkey": {"int32"},
+        "n_name": {"string"},
+        "n_regionkey": {"int32"},
+    },
+    "customer": {
+        "c_custkey": {"int64"},
+        "c_name": {"string"},
+        "c_nationkey": {"int32"},
+        "c_acctbal": {"double"},
+        "c_mktsegment": {"string"},
+    },
+    "supplier": {
+        "s_suppkey": {"int64"},
+        "s_name": {"string"},
+        "s_nationkey": {"int32"},
+        "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"int64"},
+        "p_name": {"string"},
+        "p_brand": {"string"},
+        "p_type": {"string"},
+        "p_size": {"int32"},
+        "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"int64"},
+        "o_custkey": {"int64"},
+        "o_orderstatus": {"string"},
+        "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp[us]"},
+        "o_orderpriority": {"string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"int64"},
+        "l_partkey": {"int64"},
+        "l_suppkey": {"int64"},
+        "l_linenumber": {"int32"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_tax": {"double"},
+        "l_returnflag": {"string"},
+        "l_linestatus": {"string"},
+        "l_shipdate": {"timestamp[us]"},
+    },
+    "events": {
+        "event_id": {"int64"},
+        # BOTH encodings this fixture has ever shipped. Anything else must
+        # fail here (and normalize_event_ts raises), not 30 queries deep.
+        "ts": {"timestamp[ns]", "timestamp[us]"},
+        "user_id": {"int64"},
+        "event_type": {"string"},
+        "value": {"double"},
+        "props": {"string"},
+    },
+    "documents": {
+        "doc_id": {"int64"},
+        "text": {"string"},
+        "lang": {"string"},
+        "source": {"string"},
+        "n_chars": {"int64"},
+    },
+    "embeddings": {
+        "vec_id": {"int64"},
+        "embedding": {"list<element: float>"},
+        "label": {"int32"},
+    },
+}
+
+
+@pytest.mark.parametrize("table", TABLES)
+def test_fixture_footer_types_pinned(table):
+    schema = pq.ParquetFile(f"{SF_SMOKE}/{table}.parquet").schema_arrow
+    observed = {f.name: str(f.type) for f in schema}
+    expected = EXPECTED_FOOTER_TYPES[table]
+    drifted = {
+        col: observed.get(col, "<MISSING>")
+        for col, ok in expected.items()
+        if observed.get(col, "<MISSING>") not in ok
+    }
+    assert not drifted, (
+        f"fixture drift in {table}.parquet: columns {drifted} no longer match "
+        f"{ {c: sorted(expected[c]) for c in drifted} }. Full observed schema: "
+        f"{observed}. Update readers/EXPECTED_FOOTER_TYPES deliberately."
+    )
+
+
+def test_read_events_yields_timestamp_type(spark):
+    df = read_events(spark, SF_SMOKE)
+    assert isinstance(df.schema["ts"].dataType, TimestampType), df.dtypes
+
+
+def test_normalize_event_ts_both_encodings_identical(spark, tmp_path):
+    """The same instants written as int64-ns and as timestamp[us] must
+    normalize to identical TimestampType values (and match a literal)."""
+    # 2024-01-02 03:04:05.678901 UTC, plus a sub-µs-ns case that must
+    # truncate (not round) to match DuckDB.
+    ns_values = [1_704_164_645_678_901_000, 1_704_164_645_678_901_999]
+    pq.write_table(
+        pa.table({"ts": pa.array(ns_values, pa.int64())}),
+        tmp_path / "nanos.parquet",
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array([v // 1000 for v in ns_values], pa.timestamp("us"))}),
+        tmp_path / "micros.parquet",
+    )
+    got_ns = normalize_event_ts(
+        spark.read.parquet(str(tmp_path / "nanos.parquet"))
+    )
+    got_us = normalize_event_ts(
+        spark.read.parquet(str(tmp_path / "micros.parquet"))
+    )
+    assert isinstance(got_ns.schema["ts"].dataType, TimestampType)
+    assert isinstance(got_us.schema["ts"].dataType, TimestampType)
+    a = sorted(r.ts for r in got_ns.collect())
+    b = sorted(r.ts for r in got_us.collect())
+    assert a == b, (a, b)
+    assert str(a[0]) == "2024-01-02 03:04:05.678901", a
+
+
+def test_normalize_event_ts_unknown_dtype_raises(spark):
+    df = spark.range(1).select(F.lit("oops").alias("ts"))
+    with pytest.raises(TypeError, match="unexpected dtype 'string'"):
+        normalize_event_ts(df)

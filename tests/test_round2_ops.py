@@ -77,6 +77,16 @@ def test_fuzzy_pairs_respect_threshold_and_order(spark):
         assert r.edit_dist >= 1
 
 
+def test_fuzzy_block_fanout_capped_by_mintok_key(spark):
+    # The candidate join must carry the content-derived min-token-hash as a
+    # SECOND equi-key (skewed (lang, length) blocks would otherwise go
+    # quadratic at scale). _mintok exists only as a join key, so its
+    # presence in the physical plan proves the join uses it.
+    df = _REG["q_llm_dedup_fuzzy"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_mintok" in plan, "fuzzy-dedup join lost its second blocking key"
+
+
 def test_ann_recall_arithmetic_consistent(spark):
     row = _REG["q_llm_ann_recall"].fn(spark, SF_SMOKE).collect()[0]
     assert 0 < row.n_probes
