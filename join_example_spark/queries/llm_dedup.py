@@ -554,3 +554,149 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(ratio <= 0.7)
         .select("id_a", "id_b", "edit_dist", "edit_ratio")
     )
+
+
+# DuckDB-side dot product twin (same sequential left-fold in DOUBLE as the
+# Spark DOT_SQL fold — kept textually in sync with llm_similarity._DUCK_DOT).
+_DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+@register(
+    "q_llm_dedup_semantic",
+    oracle=f"""
+WITH RECURSIVE
+raw_edges AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+),
+edges AS (
+    SELECT src, dst FROM raw_edges
+    UNION ALL
+    SELECT dst, src FROM raw_edges
+),
+reach(id, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (
+    SELECT id AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+)
+SELECT l.cluster_id,
+       MIN(l.vec_id) AS rep_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM labels l
+GROUP BY l.cluster_id
+""",
+    note="SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs "
+    "(label-blocked, sim >= 0.35 — the q_llm_embed_near edge semantics) as "
+    "edges, O(log n) star-contraction connected components, then one "
+    "representative per cluster (min vec_id) with cluster size. The "
+    "embedding twin of q_llm_dedup_keep_best: at 100 TB the edge set comes "
+    "from the blocked/ANN candidate path (never all-pairs), and components "
+    "contract logarithmically — no quadratic stage anywhere",
+    tags=("llm", "dedup", "similarity", "graph"),
+)
+def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import connected_components_star
+    from join_example_spark.operators.similarity import cosine_near_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(emb, threshold=0.35)
+    nodes = emb.select("vec_id")
+    labels = connected_components_star(
+        nodes,
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="vec_id",
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.min("id").alias("rep_vec_id"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+        .select("cluster_id", "rep_vec_id", "cluster_size")
+    )
+
+
+@register(
+    "q_llm_dedup_block_audit",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id, lang, n_chars // 20 AS bkt,
+           list_aggregate(
+             list_transform(list_distinct(str_split(LOWER(TRIM(text)), ' ')),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(str_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                    (acc, b) -> (acc * 31 + b) % {_MH_P})),
+             'min') AS mintok
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+),
+coarse AS (
+    SELECT COUNT(*) AS c FROM norm GROUP BY lang, bkt
+),
+fine AS (
+    SELECT COUNT(*) AS c FROM norm GROUP BY lang, bkt, mintok
+)
+SELECT scheme, n_blocks, max_block, candidate_pairs
+FROM (
+    SELECT 'lang_len' AS scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(MAX(c) AS BIGINT) AS max_block,
+           CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM coarse
+    UNION ALL
+    SELECT 'lang_len_mintok' AS scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(MAX(c) AS BIGINT) AS max_block,
+           CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM fine
+)
+""",
+    note="blocking-skew OBSERVABILITY for the dedup blockers: per-block "
+    "sizes and the implied within-block candidate-pair count for the "
+    "(lang, len-bucket) scheme vs the mintok-refined scheme — the number "
+    "you check BEFORE a 100 TB dedup run to know whether a boilerplate-"
+    "heavy corpus is about to go quadratic in one block (exact-bucket "
+    "sizes; the ±1-bucket neighbor explode of the real pair join adds a "
+    "constant factor, not skew)",
+    tags=("llm", "dedup", "profile"),
+)
+def q_llm_dedup_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    poly = (
+        "aggregate(split(t, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P})"
+    )
+    norm = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("n_chars DIV 20").alias("bkt"),
+            F.expr(
+                "array_min(transform(array_distinct(split(LOWER(TRIM(text)), ' ')),"
+                f" t -> {poly}))"
+            ).alias("mintok"),
+        )
+    )
+
+    def scheme(name: str, keys: list[str]) -> DataFrame:
+        sizes = norm.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+        return sizes.agg(
+            F.lit(name).alias("scheme"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.max("c").cast("bigint").alias("max_block"),
+            F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias("candidate_pairs"),
+        )
+
+    return scheme("lang_len", ["lang", "bkt"]).unionByName(
+        scheme("lang_len_mintok", ["lang", "bkt", "mintok"])
+    )

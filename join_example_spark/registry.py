@@ -72,6 +72,9 @@ def register(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-3 head. Unlisted (newly added) queries rank BEFORE all of
     # this, so keep the must-verify set comfortably inside the top 50. ----
+    # new in round 3 — never driver-checked
+    "q_llm_dedup_semantic",
+    "q_llm_dedup_block_audit",
     # The 8 events-ERR rows of CORRECTNESS_r02 — prove the ts-encoding fix
     # driver-side (q_join_asof also carries the round-2 linear-merge rewrite
     # that has never had a passing driver row).
