@@ -319,3 +319,82 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
         ).alias("recall_micro"),
     )
+
+
+@register(
+    "q_llm_embed_quantize",
+    oracle="""
+WITH scaled AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           GREATEST(list_aggregate(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS scale
+    FROM embeddings
+), quant AS (
+    SELECT vec_id, dvec, scale,
+           list_transform(dvec, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)) AS qvec
+    FROM scaled
+)
+SELECT vec_id,
+       CAST(list_aggregate(qvec, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(qvec, 'max') AS BIGINT) AS q_max,
+       list_aggregate(list_transform(list_zip(dvec, qvec),
+         p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)), 'max')
+           AS max_abs_err,
+       list_aggregate(list_transform(list_zip(dvec, qvec),
+         p -> CAST(p[1] AS DOUBLE) * (CAST(p[2] AS DOUBLE) * scale)), 'sum')
+       / NULLIF(
+           sqrt(list_aggregate(list_transform(dvec, x -> x * x), 'sum'))
+           * sqrt(list_aggregate(list_transform(list_zip(dvec, qvec),
+               p -> (CAST(p[2] AS DOUBLE) * scale) * (CAST(p[2] AS DOUBLE) * scale)), 'sum')),
+           0.0)
+           AS cos_orig_deq
+FROM quant
+""",
+    note="int8 symmetric embedding quantization + reconstruction audit: "
+    "per-vector scale = max|x|/127, q = floor(x/scale + 0.5) (floor-based "
+    "so both engines round identically — engine ROUND() ties differ), "
+    "emitting the quantized range, max absolute reconstruction error, and "
+    "original-vs-dequantized cosine as RAW doubles (identical sequential "
+    "fold order both sides — bit-stable without ROUND). The 100 TB story: "
+    "4x memory cut for the ANN candidate store, and this query IS the "
+    "audit that gates switching retrieval onto the quantized index. "
+    "Zero-shuffle: pure map over the embeddings scan",
+    tags=("llm", "similarity", "quantize"),
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
+        )
+        .withColumn(
+            "scale",
+            F.expr(
+                "GREATEST(array_max(transform(dvec, x -> abs(x))), 1e-30D) / 127.0D"
+            ),
+        )
+        .withColumn(
+            "qvec",
+            F.expr("transform(dvec, x -> CAST(FLOOR(x / scale + 0.5D) AS BIGINT))"),
+        )
+        .select(
+            "vec_id",
+            F.expr("CAST(array_min(qvec) AS BIGINT)").alias("q_min"),
+            F.expr("CAST(array_max(qvec) AS BIGINT)").alias("q_max"),
+            F.expr(
+                "array_max(zip_with(dvec, qvec,"
+                " (x, q) -> abs(x - CAST(q AS DOUBLE) * scale)))"
+            ).alias("max_abs_err"),
+            F.expr(
+                "aggregate(zip_with(dvec, qvec,"
+                "   (x, q) -> x * (CAST(q AS DOUBLE) * scale)), 0D, (acc, v) -> acc + v)"
+                " / NULLIF("
+                "   sqrt(aggregate(transform(dvec, x -> x * x), 0D, (acc, v) -> acc + v))"
+                "   * sqrt(aggregate(zip_with(dvec, qvec,"
+                "       (x, q) -> (CAST(q AS DOUBLE) * scale) * (CAST(q AS DOUBLE) * scale)),"
+                "       0D, (acc, v) -> acc + v)), 0.0D)"
+            ).alias("cos_orig_deq"),
+        )
+    )

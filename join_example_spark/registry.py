@@ -75,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 3 — never driver-checked
     "q_llm_dedup_semantic",
     "q_llm_dedup_block_audit",
+    "q_llm_embed_quantize",
     # The 8 events-ERR rows of CORRECTNESS_r02 — prove the ts-encoding fix
     # driver-side (q_join_asof also carries the round-2 linear-merge rewrite
     # that has never had a passing driver row).

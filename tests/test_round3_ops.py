@@ -1,0 +1,62 @@
+"""Unit/property tests for the round-3 operators (the oracle mirror covers
+hash-parity; these pin the algebraic invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from join_example_spark.registry import load_all
+from join_example_spark.sources.readers import read_table
+from tests.conftest import SF_SMOKE
+
+_REG = load_all()
+
+
+def test_semantic_clusters_partition_the_embeddings(spark):
+    # Every vector lands in exactly one cluster; sizes sum to the table.
+    out = _REG["q_llm_dedup_semantic"].fn(spark, SF_SMOKE)
+    n_vecs = read_table(spark, SF_SMOKE, "embeddings").count()
+    agg = out.agg(
+        F.sum("cluster_size").alias("total"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("cluster_size").alias("min_size"),
+    ).collect()[0]
+    assert agg.total == n_vecs
+    assert 1 <= agg.n_clusters <= n_vecs
+    assert agg.min_size >= 1
+    # The representative is a member: rep_vec_id must carry its own cluster_id.
+    reps = out.select(F.col("rep_vec_id").alias("vec_id"), "cluster_id")
+    labels_of_reps = out.select(
+        F.col("rep_vec_id").alias("vec_id"),
+        F.col("cluster_id").alias("expected"),
+    )
+    # rep is the MIN member id and cluster_id is the min label — they match.
+    mism = reps.join(labels_of_reps, "vec_id").where(
+        F.col("cluster_id") != F.col("expected")
+    )
+    assert mism.count() == 0
+
+
+def test_block_audit_refined_scheme_never_coarser(spark):
+    rows = {r.scheme: r for r in _REG["q_llm_dedup_block_audit"].fn(spark, SF_SMOKE).collect()}
+    coarse, fine = rows["lang_len"], rows["lang_len_mintok"]
+    # Adding a key can only split blocks: more (or equal) blocks, smaller
+    # (or equal) max block, and strictly fewer-or-equal candidate pairs.
+    assert fine.n_blocks >= coarse.n_blocks
+    assert fine.max_block <= coarse.max_block
+    assert fine.candidate_pairs <= coarse.candidate_pairs
+    assert coarse.max_block >= 1 and coarse.candidate_pairs >= 0
+
+
+def test_embed_quantize_invariants(spark):
+    rows = _REG["q_llm_embed_quantize"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # int8 range by construction (scale = max|x|/127).
+        assert -127 <= r.q_min <= r.q_max <= 127
+        # Reconstruction error bounded by half a quantization step ...
+        # which equals scale/2; scale <= max|x|/127 so err is tiny vs unit
+        # vectors. Loose sanity bound: well under one step of 2/127.
+        assert 0.0 <= r.max_abs_err < 2.0 / 127.0
+        # Dequantized vector still points the same way.
+        assert r.cos_orig_deq is None or r.cos_orig_deq > 0.999
