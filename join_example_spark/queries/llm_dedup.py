@@ -700,3 +700,102 @@ def q_llm_dedup_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scheme("lang_len", ["lang", "bkt"]).unionByName(
         scheme("lang_len_mintok", ["lang", "bkt", "mintok"])
     )
+
+
+@register(
+    "q_llm_dedup_incremental",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, lang, n_chars, LOWER(TRIM(text)) AS ntext,
+           list_distinct(string_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents WHERE source = 'src0'
+),
+batch AS (
+    SELECT doc_id, lang, n_chars, LOWER(TRIM(text)) AS ntext,
+           list_distinct(string_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents WHERE source = 'src1'
+),
+exact_dup AS (
+    SELECT DISTINCT b.doc_id
+    FROM batch b JOIN corpus c ON md5(b.ntext) = md5(c.ntext)
+),
+near_dup AS (
+    SELECT DISTINCT b.doc_id
+    FROM batch b JOIN corpus c
+      ON b.lang = c.lang
+     AND abs(b.n_chars - c.n_chars) <= 20
+    WHERE CAST(LEN(list_intersect(b.toks, c.toks)) AS DOUBLE)
+            / CAST(LEN(list_distinct(list_concat(b.toks, c.toks))) AS DOUBLE)
+            >= 0.5
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+            ELSE 'kept' END AS status
+FROM batch b
+LEFT JOIN exact_dup e ON b.doc_id = e.doc_id
+LEFT JOIN near_dup n ON b.doc_id = n.doc_id
+""",
+    note="INCREMENTAL ingest dedup — the production pattern for a "
+    "continuously-growing corpus: dedupe the ARRIVING batch (src1) against "
+    "the EXISTING corpus (src0) without re-deduping the corpus. Exact "
+    "check is a semi-join on the content hash; near check is the same "
+    "(lang, length-bucket +-1) blocked token-Jaccard as the batch path but "
+    "CROSS-dataset (batch side keeps its single bucket, corpus side "
+    "explodes +-1 — same one-match invariant). Exact beats near in the "
+    "verdict. At 100 TB the corpus side is the stored hash/signature "
+    "index, not a rescan — the plan shape (two semi-joins against compact "
+    "keys) is already that",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks_expr = "array_distinct(split(LOWER(TRIM(text)), ' '))"
+    bkt = "CAST(n_chars DIV 20 AS BIGINT)"
+    corpus = docs.where(F.col("source") == "src0")
+    batch = docs.where(F.col("source") == "src1")
+
+    bh = batch.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    ch = corpus.select(F.md5(F.lower(F.trim(F.col("text")))).alias("h")).distinct()
+    exact_ids = bh.join(ch, "h").select("doc_id").distinct()
+
+    btoks = batch.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(toks_expr).alias("toks"),
+        F.expr(bkt).alias("_bkt"),
+    )
+    ctoks = corpus.select(
+        F.col("lang").alias("c_lang"),
+        F.col("n_chars").alias("c_len"),
+        F.expr(toks_expr).alias("c_toks"),
+        F.explode(F.expr(f"ARRAY({bkt} - 1, {bkt}, {bkt} + 1)")).alias("_bkt"),
+    )
+    jac = F.expr(
+        "CAST(SIZE(ARRAY_INTERSECT(toks, c_toks)) AS DOUBLE)"
+        " / CAST(SIZE(ARRAY_UNION(toks, c_toks)) AS DOUBLE)"
+    )
+    near_ids = (
+        btoks.join(ctoks, "_bkt")
+        .where(
+            (F.col("lang") == F.col("c_lang"))
+            & (F.abs(F.col("n_chars") - F.col("c_len")) <= 20)
+            & (jac >= 0.5)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN _e IS NOT NULL THEN 'dup_exact'"
+                " WHEN _n IS NOT NULL THEN 'dup_near'"
+                " ELSE 'kept' END"
+            ).alias("status"),
+        )
+    )

@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_semantic",
     "q_llm_dedup_block_audit",
     "q_llm_embed_quantize",
+    "q_llm_dedup_incremental",
     # The 8 events-ERR rows of CORRECTNESS_r02 — prove the ts-encoding fix
     # driver-side (q_join_asof also carries the round-2 linear-merge rewrite
     # that has never had a passing driver row).
@@ -129,11 +130,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_pack_chunks",
     "q_llm_mix_sources",
     "q_llm_repetition",
+    # -------- top-50 boundary (everything above fits one driver check) ----
     "q_llm_pii_redact",
     "q_gaps_islands",
     "q_llm_kmeans_iter",
     "q_graph_triangles",
-    # -------- top-50 boundary (everything above fits one driver check) ----
     "q_incremental_agg",
     "q_profile_columns",
     # never-checked windows/sorts/setops/scans — next in line

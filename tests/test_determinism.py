@@ -33,6 +33,10 @@ SENSITIVE = [
     "q_tpch_q2",              # double-equality min-join + rounded-order LIMIT ties
     "q_tpch_q15",             # MAX-equality scalar subquery on decimal-bridged sums
     "q_llm_char_entropy",     # decimal-space fold of IEEE ln() terms
+    # round-3 additions
+    "q_llm_dedup_semantic",   # star-contraction fixpoint over cosine edges
+    "q_llm_embed_quantize",   # raw-double folds (no ROUND) must survive partitioning
+    "q_llm_dedup_fuzzy",      # mintok second blocking key + levenshtein verify
 ]
 
 

@@ -48,6 +48,31 @@ def test_block_audit_refined_scheme_never_coarser(spark):
     assert coarse.max_block >= 1 and coarse.candidate_pairs >= 0
 
 
+def test_incremental_dedup_covers_batch_and_agrees_with_exact(spark):
+    out = _REG["q_llm_dedup_incremental"].fn(spark, SF_SMOKE)
+    docs = read_table(spark, SF_SMOKE, "documents")
+    batch_n = docs.where(F.col("source") == "src1").count()
+    # Every batch doc gets exactly one verdict.
+    assert out.count() == batch_n
+    assert out.select("doc_id").distinct().count() == batch_n
+    # dup_exact verdicts must have a true content-hash twin in the corpus.
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus_hashes = {
+        r.h for r in docs.where(F.col("source") == "src0").select(h.alias("h")).collect()
+    }
+    batch_hash = {
+        r.doc_id: r.h
+        for r in docs.where(F.col("source") == "src1")
+        .select("doc_id", h.alias("h"))
+        .collect()
+    }
+    for r in out.collect():
+        if r.status == "dup_exact":
+            assert batch_hash[r.doc_id] in corpus_hashes
+        elif r.status == "kept":
+            assert batch_hash[r.doc_id] not in corpus_hashes
+
+
 def test_embed_quantize_invariants(spark):
     rows = _REG["q_llm_embed_quantize"].fn(spark, SF_SMOKE).collect()
     assert rows
