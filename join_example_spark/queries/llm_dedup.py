@@ -799,3 +799,106 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("status"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_simhash_exact",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source = 'src0' AND LEN(TRIM(text)) > 0
+), hashed AS (
+    SELECT doc_id,
+           list_transform(toks,
+             t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(str_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, b) -> (acc * 31 + b) % {_MH_P})) AS th
+    FROM toks
+), sigs AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(0, 15),
+               i -> CASE WHEN list_aggregate(list_transform(th,
+                        h -> CASE WHEN (h // CAST(pow(2, i) AS BIGINT)) % 2 = 1
+                             THEN 1 ELSE -1 END), 'sum') > 0
+                    THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)),
+             (a, b) -> a + b) AS sig
+    FROM hashed
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND ((a.sig // 1) % 16 = (b.sig // 1) % 16
+       OR (a.sig // 16) % 16 = (b.sig // 16) % 16
+       OR (a.sig // 256) % 16 = (b.sig // 256) % 16
+       OR (a.sig // 4096) % 16 = (b.sig // 4096) % 16)
+)
+SELECT id_a, id_b,
+       CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIT)) <= 3
+""",
+    note="PORTABLE 16-bit SimHash with exact multi-index banding — the "
+    "oracle-certified twin of the xxhash64 q_llm_dedup_simhash (which "
+    "stays the 64-bit scale default), mirroring how q_llm_dedup_minhash_"
+    "exact certifies the MinHash path. Per-token polynomial hashes (same "
+    "fold as the MinHash twin), bit i of the signature = sign of the "
+    "+-1 vote sum over tokens, 4x4-bit bands, pigeonhole guarantees 100% "
+    "recall at hamming radius 3, bit_count(xor) exact verify. All integer "
+    "arithmetic (div/mod/pow-of-2) — bit-identical across engines",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    poly = (
+        "aggregate(split(t, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P})"
+    )
+    sig = (
+        "aggregate(transform(sequence(0, 15),"
+        " i -> CASE WHEN aggregate(transform(th,"
+        "          h -> CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), i)) % 2 = 1"
+        "               THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v) > 0"
+        "      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    sigs = (
+        read_table(spark, sf_dir, "documents")
+        .where((F.col("source") == "src0") & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(array_distinct(split(LOWER(TRIM(text)), ' ')), t -> {poly})"
+            ).alias("th"),
+        )
+        .select("doc_id", F.expr(sig).alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), j -> STRUCT(j AS band_idx,"
+                " (sig div shiftleft(CAST(1 AS BIGINT), j * 4)) % 16 AS band_val))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -73,6 +73,53 @@ def test_incremental_dedup_covers_batch_and_agrees_with_exact(spark):
             assert batch_hash[r.doc_id] not in corpus_hashes
 
 
+def test_simhash_exact_banding_has_full_recall_within_radius(spark):
+    """Pigeonhole guarantee: the banded candidate join must recover EVERY
+    pair within hamming radius 3 — verified against a DuckDB brute-force
+    (no banding) over independently-computed signatures."""
+    from tests.oracle_utils import duckdb_connection
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in _REG["q_llm_dedup_simhash_exact"].fn(spark, SF_SMOKE).collect()
+    }
+    con = duckdb_connection(SF_SMOKE)
+    try:
+        brute = con.sql("""
+WITH toks AS (
+    SELECT doc_id, list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents WHERE source = 'src0' AND LEN(TRIM(text)) > 0
+), hashed AS (
+    SELECT doc_id,
+           list_transform(toks,
+             t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(str_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, b) -> (acc * 31 + b) % 1000003)) AS th
+    FROM toks
+), sigs AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(0, 15),
+               i -> CASE WHEN list_aggregate(list_transform(th,
+                        h -> CASE WHEN (h // CAST(pow(2, i) AS BIGINT)) % 2 = 1
+                             THEN 1 ELSE -1 END), 'sum') > 0
+                    THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)),
+             (a, b) -> a + b) AS sig
+    FROM hashed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIT)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIT)) <= 3
+""").fetchall()
+    finally:
+        con.close()
+    want = {(r[0], r[1], r[2]) for r in brute}
+    assert got == want, (
+        f"banding recall broken: missing={want - got} extra={got - want}"
+    )
+
+
 def test_embed_quantize_invariants(spark):
     rows = _REG["q_llm_embed_quantize"].fn(spark, SF_SMOKE).collect()
     assert rows
