@@ -326,3 +326,69 @@ def length_bucket_pairs(
         )
         .select("id_a", "id_b", f"{payload_col}_a", f"{payload_col}_b")
     )
+
+
+def incremental_dedup_verdicts(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Per-document dedup verdict of an ARRIVING batch against an EXISTING
+    corpus: ``(doc_id, status)`` with status in kept/dup_exact/dup_near
+    (exact wins).
+
+    Exact = content-hash semi-join; near = cross-dataset (lang, length-
+    bucket ±1) blocked token-Jaccard ≥ 0.5 (batch side keeps its single
+    bucket, corpus side explodes ±1 — the one-match invariant of
+    :func:`length_bucket_pairs`, cross-dataset). Verdicts depend only on
+    (document, corpus) — never on other batch documents — so judging a
+    stream micro-batch at a time produces exactly the one-shot answer;
+    both the batch query (`q_llm_dedup_incremental`) and the streaming
+    ingest demo (`stream_incremental_dedup`) call this one function.
+
+    Both inputs need columns ``doc_id, lang, n_chars, text``. At 100 TB
+    the corpus side is the stored hash/signature index, not a rescan.
+    """
+    toks_expr = "array_distinct(split(LOWER(TRIM(text)), ' '))"
+    bkt = "CAST(n_chars DIV 20 AS BIGINT)"
+
+    bh = batch.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    ch = corpus.select(F.md5(F.lower(F.trim(F.col("text")))).alias("h")).distinct()
+    exact_ids = bh.join(ch, "h").select("doc_id").distinct()
+
+    btoks = batch.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(toks_expr).alias("toks"),
+        F.expr(bkt).alias("_bkt"),
+    )
+    ctoks = corpus.select(
+        F.col("lang").alias("c_lang"),
+        F.col("n_chars").alias("c_len"),
+        F.expr(toks_expr).alias("c_toks"),
+        F.explode(F.expr(f"ARRAY({bkt} - 1, {bkt}, {bkt} + 1)")).alias("_bkt"),
+    )
+    jac = F.expr(
+        "CAST(SIZE(ARRAY_INTERSECT(toks, c_toks)) AS DOUBLE)"
+        " / CAST(SIZE(ARRAY_UNION(toks, c_toks)) AS DOUBLE)"
+    )
+    near_ids = (
+        btoks.join(ctoks, "_bkt")
+        .where(
+            (F.col("lang") == F.col("c_lang"))
+            & (F.abs(F.col("n_chars") - F.col("c_len")) <= 20)
+            & (jac >= 0.5)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN _e IS NOT NULL THEN 'dup_exact'"
+                " WHEN _n IS NOT NULL THEN 'dup_near'"
+                " ELSE 'kept' END"
+            ).alias("status"),
+        )
+    )

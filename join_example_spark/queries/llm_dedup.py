@@ -749,55 +749,12 @@ LEFT JOIN near_dup n ON b.doc_id = n.doc_id
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.dedup import incremental_dedup_verdicts
+
     docs = read_table(spark, sf_dir, "documents")
-    toks_expr = "array_distinct(split(LOWER(TRIM(text)), ' '))"
-    bkt = "CAST(n_chars DIV 20 AS BIGINT)"
-    corpus = docs.where(F.col("source") == "src0")
-    batch = docs.where(F.col("source") == "src1")
-
-    bh = batch.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
-    ch = corpus.select(F.md5(F.lower(F.trim(F.col("text")))).alias("h")).distinct()
-    exact_ids = bh.join(ch, "h").select("doc_id").distinct()
-
-    btoks = batch.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.expr(toks_expr).alias("toks"),
-        F.expr(bkt).alias("_bkt"),
-    )
-    ctoks = corpus.select(
-        F.col("lang").alias("c_lang"),
-        F.col("n_chars").alias("c_len"),
-        F.expr(toks_expr).alias("c_toks"),
-        F.explode(F.expr(f"ARRAY({bkt} - 1, {bkt}, {bkt} + 1)")).alias("_bkt"),
-    )
-    jac = F.expr(
-        "CAST(SIZE(ARRAY_INTERSECT(toks, c_toks)) AS DOUBLE)"
-        " / CAST(SIZE(ARRAY_UNION(toks, c_toks)) AS DOUBLE)"
-    )
-    near_ids = (
-        btoks.join(ctoks, "_bkt")
-        .where(
-            (F.col("lang") == F.col("c_lang"))
-            & (F.abs(F.col("n_chars") - F.col("c_len")) <= 20)
-            & (jac >= 0.5)
-        )
-        .select("doc_id")
-        .distinct()
-    )
-    return (
-        batch.select("doc_id")
-        .join(exact_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
-        .join(near_ids.withColumn("_n", F.lit(1)), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN _e IS NOT NULL THEN 'dup_exact'"
-                " WHEN _n IS NOT NULL THEN 'dup_near'"
-                " ELSE 'kept' END"
-            ).alias("status"),
-        )
+    return incremental_dedup_verdicts(
+        batch=docs.where(F.col("source") == "src1"),
+        corpus=docs.where(F.col("source") == "src0"),
     )
 
 

@@ -394,3 +394,52 @@ def stream_upsert_matview(
         F.col("pn").cast("bigint").alias("n_events"),
         F.col("psum").cast("double").alias("total_value"),
     )
+
+
+def stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Continuous-ingest dedup: the arriving documents stream judged against
+    the STATIC corpus — the live twin of ``q_llm_dedup_incremental``.
+
+    Each micro-batch runs the SAME ``incremental_dedup_verdicts`` operator
+    (foreachBatch), appending per-doc verdicts to a parquet sink. Verdicts
+    depend only on (document, corpus) — never on other batch documents — so
+    the union of per-micro-batch verdicts equals the one-shot batch answer
+    no matter how the input is chopped (asserted in tests). At 100 TB this
+    is the ingest front door: corpus index broadcast/bucketed, each arriving
+    partition judged and routed independently, exactly-once via the
+    checkpoint.
+    """
+    from join_example_spark.operators.dedup import incremental_dedup_verdicts
+    from join_example_spark.sources.readers import probe_stream_schema, read_table
+
+    ensure_session_confs(spark)
+    corpus = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source") == "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+    )
+    arriving = (
+        spark.readStream.schema(
+            probe_stream_schema(spark, sf_dir, "documents.parquet")
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .where(F.col("source") == "src1")
+    )
+
+    def judge(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup_verdicts(
+            batch=batch_df.select("doc_id", "lang", "n_chars", "text"),
+            corpus=corpus,
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        arriving.writeStream.foreachBatch(judge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

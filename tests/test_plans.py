@@ -113,9 +113,19 @@ def test_driver_priority_names_are_live(spark):
 def test_map_side_training_ops_have_no_exchange(spark):
     # Deterministic sampling and split assignment are pure filters /
     # projections over the scan: a shuffle here would be a plan regression.
-    for qname in ("q_llm_sample_hash", "q_llm_split_assign"):
+    # q_llm_embed_quantize joins them (round 3): quantization + its audit
+    # are one pass over the embeddings scan by design.
+    for qname in ("q_llm_sample_hash", "q_llm_split_assign", "q_llm_embed_quantize"):
         plan = executed_plan(_REG[qname].fn(spark, SF_SMOKE))
         assert "Exchange" not in plan, f"{qname} shuffles: {plan}"
+
+
+def test_incremental_dedup_joins_are_hash_joins(spark):
+    # Batch-vs-corpus dedup must plan as hash/sort-merge equi-joins on the
+    # content hash and (lang-or-bucket) keys — never a nested loop (the
+    # corpus side is the big one at scale).
+    plan = executed_plan(_REG["q_llm_dedup_incremental"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):

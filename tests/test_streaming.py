@@ -424,3 +424,17 @@ def test_stream_upsert_matview_equals_batch(spark, tmp_path):
     )
     want = q_incremental_agg(spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@pytest.mark.streaming
+def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
+    """The streaming ingest-dedup (foreachBatch over the arriving stream)
+    must produce exactly the batch q_llm_dedup_incremental verdicts — the
+    operator judges each document against the corpus only, so chopping the
+    input into micro-batches cannot change any verdict."""
+    got = demos.stream_incremental_dedup(
+        spark, SF_SMOKE, str(tmp_path / "verdicts"), str(tmp_path / "ck")
+    )
+    want = load_all()["q_llm_dedup_incremental"].fn(spark, SF_SMOKE)
+    problems = compare_frames(got.toPandas(), want.toPandas())
+    assert not problems, problems
