@@ -169,3 +169,56 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy",
         )
     )
+
+
+@register(
+    "q_llm_quality_gate",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST(LEN(list_distinct(string_split(LOWER(TRIM(text)), ' '))) AS DOUBLE)
+             / CAST(LEN(string_split(LOWER(TRIM(text)), ' ')) AS DOUBLE) AS score
+    FROM documents
+    WHERE text IS NOT NULL AND LEN(TRIM(text)) > 0
+),
+ranked AS (
+    SELECT doc_id, lang, score,
+           CAST(ntile(4) OVER (PARTITION BY lang ORDER BY score, doc_id) AS BIGINT)
+               AS quartile
+    FROM scored
+)
+SELECT doc_id, lang, score, quartile
+FROM ranked
+WHERE quartile > 1
+""",
+    note="per-language quality-quantile curation gate: score = distinct-"
+    "token ratio (exact int ratio — bit-stable), docs in the BOTTOM "
+    "quartile of their own language are dropped. The threshold is RANK-"
+    "based (ntile with a unique doc_id tiebreak), not a float-"
+    "interpolated percentile value, so the keep/drop boundary is bit-"
+    "exact on both engines and under any partitioning. The real-corpus "
+    "pattern: per-language thresholds avoid high-resource languages "
+    "setting the bar for low-resource ones. One window shuffle on lang",
+    tags=("llm", "cleaning", "quality"),
+)
+def q_llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CAST(size(array_distinct(split(LOWER(TRIM(text)), ' '))) AS DOUBLE)"
+                " / CAST(size(split(LOWER(TRIM(text)), ' ')) AS DOUBLE)"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+        .where(F.col("quartile") > 1)
+        .select("doc_id", "lang", "score", "quartile")
+    )

@@ -120,6 +120,24 @@ WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIT)) <= 3
     )
 
 
+def test_quality_gate_keeps_top_three_quartiles_per_lang(spark):
+    out = _REG["q_llm_quality_gate"].fn(spark, SF_SMOKE)
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    )
+    per_lang_total = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    per_lang_kept = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, total in per_lang_total.items():
+        kept = per_lang_kept.get(lang, 0)
+        # ntile(4) drops exactly the first bucket: ceil/floor arithmetic
+        # puts total - ceil(total/4) .. total - floor(total/4) in keep range.
+        assert total - (total // 4 + (1 if total % 4 else 0)) <= kept <= total - total // 4
+    # No kept quartile is 1, and quartiles are within range.
+    qs = {r.quartile for r in out.select("quartile").distinct().collect()}
+    assert qs <= {2, 3, 4}
+
+
 def test_embed_quantize_invariants(spark):
     rows = _REG["q_llm_embed_quantize"].fn(spark, SF_SMOKE).collect()
     assert rows
