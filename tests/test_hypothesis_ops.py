@@ -129,3 +129,77 @@ def test_zorder_interleave_is_injective_and_bounded(spark, pairs):
             ref |= ((r.x >> i) & 1) << (2 * i)
             ref |= ((r.y >> i) & 1) << (2 * i + 1)
         assert r.z == ref and 0 <= r.z < (1 << 20)
+
+
+@st.composite
+def _docs(draw, max_rows=8):
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    n = draw(st.integers(0, max_rows))
+    rows = []
+    for i in range(n):
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=6))
+        text = " ".join(toks)
+        lang = draw(st.sampled_from(["en", "fr"]))
+        rows.append((i, lang, len(text), text))
+    return rows
+
+
+@given(corpus=_docs(), batch=_docs())
+@settings(**_SETTINGS)
+def test_incremental_dedup_matches_python_reference(spark, corpus, batch):
+    from join_example_spark.operators.dedup import incremental_dedup_verdicts
+
+    def ref(batch_rows, corpus_rows):
+        out = {}
+        corpus_texts = {t.lower().strip() for _, _, _, t in corpus_rows}
+        for did, lang, n, text in batch_rows:
+            if text.lower().strip() in corpus_texts:
+                out[did] = "dup_exact"
+                continue
+            near = False
+            bt = set(text.lower().strip().split(" "))
+            for _, clang, cn, ctext in corpus_rows:
+                if clang != lang or abs(n - cn) > 20:
+                    continue
+                ct = set(ctext.lower().strip().split(" "))
+                if len(bt | ct) and len(bt & ct) / len(bt | ct) >= 0.5:
+                    near = True
+                    break
+            out[did] = "dup_near" if near else "kept"
+        return out
+
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"
+    got = {
+        r.doc_id: r.status
+        for r in incremental_dedup_verdicts(
+            spark.createDataFrame(batch, schema),
+            spark.createDataFrame(corpus, schema),
+        ).collect()
+    }
+    assert got == ref(batch, corpus)
+
+
+@given(g=_graph())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contraction_agrees_with_min_label_propagation(spark, g):
+    # The O(log n) large-star/small-star formulation must produce the exact
+    # labeling of the O(diameter) min-label loop on any graph shape —
+    # including chains, cliques, and singletons.
+    from join_example_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes, edges = g
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id BIGINT")
+    edf = spark.createDataFrame(edges or [], "src BIGINT, dst BIGINT")
+    a = {
+        (r.id, r.cluster_id)
+        for r in connected_components(ndf, edf, id_col="id").collect()
+    }
+    b = {
+        (r.id, r.cluster_id)
+        for r in connected_components_star(ndf, edf, id_col="id").collect()
+    }
+    assert a == b
