@@ -222,3 +222,87 @@ def q_llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quartile") > 1)
         .select("doc_id", "lang", "score", "quartile")
     )
+
+
+@register(
+    "q_llm_bigram_surprisal",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(LOWER(TRIM(text)), ' ') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND LEN(TRIM(text)) > 0
+),
+occ AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM toks
+),
+gcounts AS (
+    SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg
+),
+tot AS (
+    SELECT COUNT(*) AS n FROM occ
+),
+agg AS (
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(SUM(CAST(ln(CAST(t.n AS DOUBLE) / g.c) AS DECIMAL(25,6))), 4)
+                AS DOUBLE) AS surprisal_sum
+    FROM occ o
+    JOIN gcounts g USING (bg)
+    CROSS JOIN tot t
+    GROUP BY o.doc_id
+)
+SELECT doc_id, n_bigrams, surprisal_sum,
+       surprisal_sum / n_bigrams AS avg_surprisal
+FROM agg
+""",
+    note="corpus-LM quality score: mean bigram surprisal ln(N/c) of each "
+    "document against the corpus's own bigram statistics — the cheap "
+    "perplexity stand-in used to flag gibberish (high surprisal) and "
+    "boilerplate (low) without an external model. Plan: one explode + "
+    "count shuffle for the global bigram table, one broadcast of the "
+    "1-row total, one equi-join occurrences->counts, one per-doc fold. "
+    "Each ln term is an identical IEEE expression both sides; the per-doc "
+    "fold runs the decimal bridge with ROUND in exact decimal space "
+    "(q_llm_char_entropy's pattern), and avg is ONE IEEE division of "
+    "identical operands. At 100 TB the bigram table is the only wide "
+    "shuffle and it compacts to (bigram, count)",
+    tags=("llm", "cleaning", "quality"),
+)
+def q_llm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select("doc_id", F.expr("split(LOWER(TRIM(text)), ' ')").alias("t"))
+    )
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (tok, i) -> concat(tok, ' ', t[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    glob = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = occ.agg(F.count(F.lit(1)).alias("n"))
+    term = "ln(CAST(n AS DOUBLE) / c)"
+    agg = (
+        occ.join(glob, "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bigrams"),
+            F.expr(
+                f"CAST(ROUND(SUM(CAST({term} AS DECIMAL(25,6))), 4) AS DOUBLE)"
+            ).alias("surprisal_sum"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_sum",
+        (F.col("surprisal_sum") / F.col("n_bigrams")).alias("avg_surprisal"),
+    )
