@@ -286,11 +286,18 @@ def q_llm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    glob = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
-    tot = occ.agg(F.count(F.lit(1)).alias("n"))
+    # Materialize the compact (bigram, count) table once: the total then
+    # derives from it for free and the verify join reads the materialized
+    # table instead of re-scanning + re-exploding the corpus (plan went
+    # from 3 FileScans to 2 — the remaining two are the one global-count
+    # pass and the one scoring pass, the floor for any global-stats score).
+    gcounts = (
+        occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    )
+    tot = gcounts.agg(F.sum("c").cast("bigint").alias("n"))
     term = "ln(CAST(n AS DOUBLE) / c)"
     agg = (
-        occ.join(glob, "bg")
+        occ.join(gcounts, "bg")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

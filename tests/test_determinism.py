@@ -37,6 +37,9 @@ SENSITIVE = [
     "q_llm_dedup_semantic",   # star-contraction fixpoint over cosine edges
     "q_llm_embed_quantize",   # raw-double folds (no ROUND) must survive partitioning
     "q_llm_dedup_fuzzy",      # mintok second blocking key + levenshtein verify
+    "q_llm_quality_gate",     # ntile bucket boundaries under different partitioning
+    "q_llm_bigram_surprisal", # decimal-bridged ln fold + checkpointed global counts
+    "q_llm_dedup_incremental",  # two semi-join verdict paths merged by left joins
 ]
 
 
