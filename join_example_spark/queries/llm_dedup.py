@@ -587,23 +587,38 @@ reach(id, root) AS (
 ),
 labels AS (
     SELECT id AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+    SELECT l.cluster_id, l.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) DESC,
+                        l.vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY l.cluster_id) AS sz
+    FROM labels l JOIN embeddings e ON e.vec_id = l.vec_id
 )
-SELECT l.cluster_id,
-       MIN(l.vec_id) AS rep_vec_id,
-       CAST(COUNT(*) AS BIGINT) AS cluster_size
-FROM labels l
-GROUP BY l.cluster_id
+SELECT cluster_id,
+       vec_id AS rep_vec_id,
+       CAST(sz AS BIGINT) AS cluster_size
+FROM ranked
+WHERE rn = 1
 """,
     note="SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs "
     "(label-blocked, sim >= 0.35 — the q_llm_embed_near edge semantics) as "
-    "edges, O(log n) star-contraction connected components, then one "
-    "representative per cluster (min vec_id) with cluster size. The "
-    "embedding twin of q_llm_dedup_keep_best: at 100 TB the edge set comes "
-    "from the blocked/ANN candidate path (never all-pairs), and components "
-    "contract logarithmically — no quadratic stage anywhere",
+    "edges, O(log n) star-contraction connected components, then a KEEP-"
+    "BEST election per cluster: the member with the largest L2 norm "
+    "(strongest signal; identical sequential fold both sides, vec_id "
+    "tiebreak) — the embedding twin of q_llm_dedup_keep_best's longest-"
+    "doc rule. At 100 TB the edge set comes from the blocked/ANN "
+    "candidate path (never all-pairs), components contract "
+    "logarithmically, and the election is one window shuffle on "
+    "cluster_id — no quadratic stage anywhere",
     tags=("llm", "dedup", "similarity", "graph"),
 )
 def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from join_example_spark.operators.graph import connected_components_star
     from join_example_spark.operators.similarity import cosine_near_pairs
 
@@ -614,14 +629,25 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         id_col="vec_id",
+    ).select(F.col("id").alias("vec_id"), "cluster_id")
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v))"
     )
+    member = labels.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
+        "_norm", norm
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("_norm").desc(), F.col("vec_id"))
+    ws = Window.partitionBy("cluster_id")
     return (
-        labels.groupBy("cluster_id")
-        .agg(
-            F.min("id").alias("rep_vec_id"),
-            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        member.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(ws))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("rep_vec_id"),
+            F.col("sz").cast("bigint").alias("cluster_size"),
         )
-        .select("cluster_id", "rep_vec_id", "cluster_size")
     )
 
 

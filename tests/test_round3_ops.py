@@ -13,9 +13,16 @@ _REG = load_all()
 
 
 def test_semantic_clusters_partition_the_embeddings(spark):
-    # Every vector lands in exactly one cluster; sizes sum to the table.
+    # Every vector lands in exactly one cluster; sizes sum to the table;
+    # the elected representative is a true member with the maximum L2 norm
+    # (vec_id tiebreak) — checked against an independently-computed
+    # labeling (the O(diameter) min-label formulation, not star).
+    from join_example_spark.operators.graph import connected_components
+    from join_example_spark.operators.similarity import cosine_near_pairs
+
     out = _REG["q_llm_dedup_semantic"].fn(spark, SF_SMOKE)
-    n_vecs = read_table(spark, SF_SMOKE, "embeddings").count()
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    n_vecs = emb.count()
     agg = out.agg(
         F.sum("cluster_size").alias("total"),
         F.count(F.lit(1)).alias("n_clusters"),
@@ -24,17 +31,34 @@ def test_semantic_clusters_partition_the_embeddings(spark):
     assert agg.total == n_vecs
     assert 1 <= agg.n_clusters <= n_vecs
     assert agg.min_size >= 1
-    # The representative is a member: rep_vec_id must carry its own cluster_id.
-    reps = out.select(F.col("rep_vec_id").alias("vec_id"), "cluster_id")
-    labels_of_reps = out.select(
-        F.col("rep_vec_id").alias("vec_id"),
-        F.col("cluster_id").alias("expected"),
+
+    pairs = cosine_near_pairs(emb, threshold=0.35)
+    labels = connected_components(
+        emb.select("vec_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="vec_id",
+    ).select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("want_cluster"))
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v))"
     )
-    # rep is the MIN member id and cluster_id is the min label — they match.
-    mism = reps.join(labels_of_reps, "vec_id").where(
-        F.col("cluster_id") != F.col("expected")
-    )
-    assert mism.count() == 0
+    members = labels.join(emb.select("vec_id", norm.alias("nrm")), "vec_id")
+    best = {
+        r.want_cluster: (r.vec_id, r.nrm)
+        for r in members.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("want_cluster")
+                .orderBy(F.col("nrm").desc(), F.col("vec_id"))
+            ),
+        ).where(F.col("rn") == 1).collect()
+    }
+    for r in out.collect():
+        assert r.cluster_id in best
+        assert best[r.cluster_id][0] == r.rep_vec_id, (
+            r.cluster_id, best[r.cluster_id], r.rep_vec_id
+        )
 
 
 def test_block_audit_refined_scheme_never_coarser(spark):
