@@ -498,3 +498,50 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("l_event_id") != F.col("r_event_id")).select(
         "l_event_id", "r_event_id", "l_ts", "r_ts"
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       MAX(v.ts) AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY p.event_id, p.ts
+""",
+    note="as-of join with a MATCH TOLERANCE (pandas merge_asof(tolerance=)/"
+    "kdb wj): the latest prior view counts only if it is within 30 minutes "
+    "of the purchase — the attribution-window semantics ad/retail "
+    "pipelines actually need. Oracle: window-bounded join + MAX, which is "
+    "equivalent because if the latest prior view is stale then every "
+    "prior view is (DuckDB 1.0.0's ASOF binder rejects a second "
+    "inequality, so native ASOF can't state the window). Spark side keeps "
+    "the linear-merge plan of q_join_asof (|L|+|R| intermediate, skew-"
+    "immune); the tolerance is a post-fill filter, not a join-condition "
+    "explosion",
+    tags=("join", "temporal"),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.temporal import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    views = events.where(F.col("event_type") == "view")
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        how="inner",
+        tolerance="INTERVAL 30 MINUTE",
+    )
+    return out.select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("r_ts").alias("last_view_ts"),
+    )
