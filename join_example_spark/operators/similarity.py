@@ -96,6 +96,37 @@ def cosine_near_pairs(
     )
 
 
+def ivf_cells(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Deterministic IVF coarse quantization: ``(id, vec, cell)``.
+
+    The ``n_centroids`` lowest-id vectors serve as centroids (no k-means
+    randomness); assignment is argmax rounded-dot with centroid-id
+    tiebreak. At 100 TB: centroids broadcast, assignment is map-side —
+    the shared front half of every IVF-bucketed operator (top-k search,
+    cell-local dedup candidate generation).
+    """
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    cdot = F.expr(DOT_SQL.format(a=vec_col, b="cvec"))
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cdot, round_digits))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -116,20 +147,7 @@ def ivf_topk(
     both sides once on the cell key — the classic IVF cost shape
     (n·C map work + cell-local candidate scan, never all-pairs).
     """
-    cents = (
-        emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
-    )
-    cdot = F.expr(DOT_SQL.format(a=vec_col, b="cvec"))
-    w_assign = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
-    cells = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cdot, round_digits))
-        .withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
-    )
+    cells = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits)
     probes = cells.where(F.expr(probe_pred)).select(
         F.col(id_col).alias("probe_id"), F.col("cell"), F.col(vec_col).alias("vec_p")
     )

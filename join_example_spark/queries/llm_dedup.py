@@ -556,6 +556,40 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_cluster_reps(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the semantic dedup family: edges → star-contraction
+    components → max-L2-norm representative election with cluster size."""
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.graph import connected_components_star
+
+    labels = connected_components_star(
+        emb.select("vec_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="vec_id",
+    ).select(F.col("id").alias("vec_id"), "cluster_id")
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+    member = labels.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
+        "_norm", norm
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("_norm").desc(), F.col("vec_id"))
+    ws = Window.partitionBy("cluster_id")
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(ws))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("rep_vec_id"),
+            F.col("sz").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
+
 # DuckDB-side dot product twin (same sequential left-fold in DOUBLE as the
 # Spark DOT_SQL fold — kept textually in sync with llm_similarity._DUCK_DOT).
 _DUCK_DOT = (
@@ -617,38 +651,10 @@ WHERE rn = 1
     tags=("llm", "dedup", "similarity", "graph"),
 )
 def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from join_example_spark.operators.graph import connected_components_star
     from join_example_spark.operators.similarity import cosine_near_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = cosine_near_pairs(emb, threshold=0.35)
-    nodes = emb.select("vec_id")
-    labels = connected_components_star(
-        nodes,
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        id_col="vec_id",
-    ).select(F.col("id").alias("vec_id"), "cluster_id")
-    norm = F.expr(
-        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " 0D, (acc, v) -> acc + v))"
-    )
-    member = labels.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
-        "_norm", norm
-    )
-    w = Window.partitionBy("cluster_id").orderBy(F.col("_norm").desc(), F.col("vec_id"))
-    ws = Window.partitionBy("cluster_id")
-    return (
-        member.withColumn("rn", F.row_number().over(w))
-        .withColumn("sz", F.count(F.lit(1)).over(ws))
-        .where(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("vec_id").alias("rep_vec_id"),
-            F.col("sz").cast("bigint").alias("cluster_size"),
-        )
-    )
+    return _semantic_cluster_reps(emb, cosine_near_pairs(emb, threshold=0.35))
 
 
 @register(
@@ -885,3 +891,91 @@ def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "q_llm_dedup_semantic_ivf",
+    oracle=f"""
+WITH RECURSIVE
+cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), cells AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn = 1
+),
+raw_edges AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM cells a
+    JOIN cells b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+),
+edges AS (
+    SELECT src, dst FROM raw_edges
+    UNION ALL
+    SELECT dst, src FROM raw_edges
+),
+reach(id, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (
+    SELECT id AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+    SELECT l.cluster_id, l.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) DESC,
+                        l.vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY l.cluster_id) AS sz
+    FROM labels l JOIN embeddings e ON e.vec_id = l.vec_id
+)
+SELECT cluster_id,
+       vec_id AS rep_vec_id,
+       CAST(sz AS BIGINT) AS cluster_size
+FROM ranked
+WHERE rn = 1
+""",
+    note="the 100 TB PATH for semantic dedup, fully oracle-certified: edge "
+    "candidates come from the deterministic IVF coarse quantizer "
+    "(broadcast 16 lowest-id centroids, nprobe=1 — q_llm_sim_ivf's "
+    "certified quantizer) so the exact cosine verify runs CELL-LOCALLY "
+    "instead of label-block all-pairs. The 8x stress probe measured the "
+    "exact baseline at 64x pair growth; this path caps candidates at "
+    "sum(cell^2) with the centroid count as the dial (sqrt(n) centroids "
+    "at scale). Same star-contraction + max-norm election tail as "
+    "q_llm_dedup_semantic; clusters differ from the exact path only "
+    "where an edge crosses IVF cells — the recall trade every ANN index "
+    "makes, measured by q_llm_ann_recall",
+    tags=("llm", "dedup", "similarity", "graph", "approx"),
+)
+def q_llm_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import DOT_SQL, ivf_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = ivf_cells(emb, n_centroids=16)
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "cell"
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot, 4))
+        .where(F.col("sim") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return _semantic_cluster_reps(emb, pairs)
