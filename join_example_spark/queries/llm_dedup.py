@@ -899,7 +899,8 @@ def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE
 cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings ORDER BY vec_id LIMIT 16
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
 ), assign AS (
     SELECT e.vec_id, e.embedding, c.cent_id,
            ROW_NUMBER() OVER (
@@ -947,23 +948,28 @@ FROM ranked
 WHERE rn = 1
 """,
     note="the 100 TB PATH for semantic dedup, fully oracle-certified: edge "
-    "candidates come from the deterministic IVF coarse quantizer "
-    "(broadcast 16 lowest-id centroids, nprobe=1 — q_llm_sim_ivf's "
-    "certified quantizer) so the exact cosine verify runs CELL-LOCALLY "
-    "instead of label-block all-pairs. The 8x stress probe measured the "
-    "exact baseline at 64x pair growth; this path caps candidates at "
-    "sum(cell^2) with the centroid count as the dial (sqrt(n) centroids "
-    "at scale). Same star-contraction + max-norm election tail as "
+    "candidates come from the deterministic IVF coarse quantizer with "
+    "ceil(sqrt(n)) centroids — cell population ~sqrt(n), so cell-local "
+    "pair work is ~n^1.5 instead of the label-block all-pairs n^2 (a "
+    "FIXED centroid count degenerates back to quadratic, measured in the "
+    "8x stress probe; sqrt-scaling is the standard IVF sizing). The "
+    "centroid count is stated identically in the oracle via a computed "
+    "LIMIT. Same star-contraction + max-norm election tail as "
     "q_llm_dedup_semantic; clusters differ from the exact path only "
     "where an edge crosses IVF cells — the recall trade every ANN index "
     "makes, measured by q_llm_ann_recall",
     tags=("llm", "dedup", "similarity", "graph", "approx"),
 )
 def q_llm_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from join_example_spark.operators.similarity import DOT_SQL, ivf_cells
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cells = ivf_cells(emb, n_centroids=16)
+    # sqrt(n) centroids: one scalar driver action at plan-build time (the
+    # same class as the CC convergence witness — no row data moves).
+    n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    cells = ivf_cells(emb, n_centroids=n_centroids)
     a = cells.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "cell"
     )
