@@ -49,11 +49,16 @@ def main() -> None:
     # measure the plan, not first-call JIT/classloading. Round-2 lesson: one
     # broken query in warmup zeroed the whole round's bench (rc=1, no JSON)
     # — every stage below is fenced so a partial bench always beats silence.
-    try:
-        warm = registry["q_flagship_daily_enrich"].fn(spark, "/root/testdata/sf0.001")
-        warm.write.format("noop").mode("overwrite").save()
-    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
-        _log(f"WARMUP FAILED (continuing unwarmed): {exc}")
+    # Two warmups at the SMALLEST SF (codegen/JIT only — different data than
+    # the bench SF): the flagship covers the events/join/window paths, the
+    # embedding query covers the cosine-fold/window paths so whichever
+    # similarity query runs first isn't charged one-time classloading.
+    for wname in ("q_flagship_daily_enrich", "q_llm_sim_topk"):
+        try:
+            warm = registry[wname].fn(spark, "/root/testdata/sf0.001")
+            warm.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+            _log(f"WARMUP {wname} FAILED (continuing unwarmed): {exc}")
     # Warm the file-listing/footer metadata for the bench SF so the first
     # registry query isn't charged the one-time listing cost.
     from pyspark.sql import functions as F
