@@ -3,7 +3,7 @@
 Exact dedup and blocked token-Jaccard near-dup are oracle-checked (Y);
 MinHash+LSH and SimHash use Spark's xxhash64 (no DuckDB twin) and are
 declared rows-only (R), with their algebraic properties unit-tested instead
-(see tests/test_dedup_ops.py).
+(see tests/test_operators.py and tests/test_round3_ops.py).
 """
 
 from __future__ import annotations
