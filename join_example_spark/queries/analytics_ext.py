@@ -834,3 +834,53 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q1", 4).alias("q1"),
         F.round("q3", 4).alias("q3"),
     )
+
+
+@register(
+    "q_agg_approx_topk",
+    oracle="""
+WITH toks AS (
+    SELECT unnest(string_split(LOWER(TRIM(text)), ' ')) AS tok
+    FROM documents
+    WHERE text IS NOT NULL AND LEN(TRIM(text)) > 0
+),
+counts AS (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+),
+ranked AS (
+    SELECT tok, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rn
+    FROM counts
+)
+SELECT tok, n, rn FROM ranked WHERE rn <= 10
+""",
+    note="frequent-items SKETCH path (Spark 4 DataSketches approx_top_k), "
+    "certified exact in the regime where the sketch IS exact: requesting "
+    "more slots (100) than the corpus vocabulary means every item is "
+    "tracked with its true count, so the DuckDB exact-count oracle hash-"
+    "matches. The deterministic (count DESC, token) re-rank happens "
+    "OUTSIDE the sketch — approx_top_k's own boundary tie-pick is "
+    "unspecified. At 100 TB the same expression is the mergeable "
+    "frequent-items sketch (map-side partial, bounded memory), and "
+    "exactness degrades gracefully to the documented sketch guarantees "
+    "once cardinality exceeds the tracked slots",
+    tags=("agg", "approx", "llm"),
+)
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select(F.explode(F.expr("split(LOWER(TRIM(text)), ' ')")).alias("tok"))
+    )
+    sketch = toks.agg(F.expr("approx_top_k(tok, 100)").alias("tk"))
+    items = sketch.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("tok"), F.col("e.count").cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        items.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 10)
+        .select("tok", "n", "rn")
+    )

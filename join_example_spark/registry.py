@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_bigram_surprisal",
     "q_join_asof_tolerance",
     "q_llm_dedup_semantic_ivf",
+    "q_agg_approx_topk",
     # The 8 events-ERR rows of CORRECTNESS_r02 — prove the ts-encoding fix
     # driver-side (q_join_asof also carries the round-2 linear-merge rewrite
     # that has never had a passing driver row).
@@ -129,8 +130,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # never-checked round-2 training/analysis ops
     "q_llm_char_entropy",
     "q_llm_dedup_cluster_star",
-    "q_llm_sample_hash",
     # -------- top-50 boundary (everything above fits one driver check) ----
+    "q_llm_sample_hash",
     "q_llm_split_assign",
     "q_llm_decontaminate",
     "q_llm_pack_chunks",
