@@ -60,19 +60,71 @@ def register(
     return deco
 
 
-#: Driver-facing verification order. The round-1 driver check consumed
-#: exactly the first 50 registry entries, so ordering is load-bearing:
-#: queries that still need a driver CORRECTNESS row go FIRST, driver-green
-#: rounds-1 queries go LAST. Within the head: the four round-1 red rows,
-#: then the two as-of queries (implementation rewritten in round 2), then
-#: every never-checked family; trivial/sibling-certified queries and the
-#: three rows-only (no-oracle) queries are deferred just behind the top 50.
-#: Names registered but absent from this list (i.e. queries added later)
-#: are placed before everything else so new work is always checked first.
+#: Driver-facing verification order. Each round's driver check consumes
+#: exactly the first ~50 registry entries, so ordering is load-bearing:
+#: queries that still need a driver CORRECTNESS row on the CURRENT fixture
+#: go FIRST, already-certified queries go LAST. Round-4 head: the 25
+#: oracle-able queries never driver-checked in rounds 1–3, then the 5
+#: events queries whose only green predates the NANOS→MICROS fixture flip,
+#: then high-value re-confirmations. Names registered but absent from this
+#: list (i.e. queries added later) are placed before everything else so
+#: new work is always checked first.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-3 head. Unlisted (newly added) queries rank BEFORE all of
+    # ---- round-4 head. Unlisted (newly added) queries rank BEFORE all of
     # this, so keep the must-verify set comfortably inside the top 50. ----
-    # new in round 3 — never driver-checked
+    # Round-3 verdict item 1: the 25 oracle-able queries that have NEVER
+    # received a driver CORRECTNESS row (all green in the local sf0.001 +
+    # sf0.01 mirrors). Training family first — the brief's core deliverable.
+    "q_llm_sample_hash",
+    "q_llm_split_assign",
+    "q_llm_decontaminate",
+    "q_llm_pack_chunks",
+    "q_llm_mix_sources",
+    "q_llm_repetition",
+    "q_llm_pii_redact",
+    "q_gaps_islands",
+    "q_llm_kmeans_iter",
+    "q_graph_triangles",
+    "q_incremental_agg",
+    "q_profile_columns",
+    "q_win_rank",
+    "q_win_topk_per_group",
+    "q_win_running",
+    "q_win_ntile_percent",
+    "q_sort_limit",
+    "q_limit_offset",
+    "q_set_union_distinct",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect_all",
+    "q_scan_parquet",
+    "q_multimodal_frames",
+    "q_llm_dedup_ngram",
+    # The 5 events-reading queries whose only green row predates the
+    # NANOS→MICROS fixture flip — prove the read_events fix on them.
+    "q_join_theta_range",
+    "q_agg_cube",
+    "q_agg_latest_per_key",
+    "q_fn_json",
+    "q_fn_map",
+    # High-value re-confirmations: flagship + the rest of the training
+    # family (verdict item 5) + TPC-H anchors last green in round 1.
+    "q_flagship_daily_enrich",
+    "q_llm_train_pipeline",
+    "q_llm_chunk_overlap",
+    "q_llm_sample_stratified",
+    "q_llm_dedup_semantic_ivf",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_agg_group",
+    "q_agg_percentile",
+    "q_join_multiway",
+    "q_histogram",
+    "q_lateral_topk",
+    # -------- top-50 boundary (minus headroom for round-4 queries) --------
+    # everything below is driver-green on the current fixture or rows-only
     "q_llm_dedup_semantic",
     "q_llm_dedup_block_audit",
     "q_llm_embed_quantize",
@@ -81,11 +133,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_quality_gate",
     "q_llm_bigram_surprisal",
     "q_join_asof_tolerance",
-    "q_llm_dedup_semantic_ivf",
     "q_agg_approx_topk",
-    # The 8 events-ERR rows of CORRECTNESS_r02 — prove the ts-encoding fix
-    # driver-side (q_join_asof also carries the round-2 linear-merge rewrite
-    # that has never had a passing driver row).
     "q_join_asof",
     "q_join_asof_left",
     "q_time_rollup",
@@ -94,9 +142,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_event_transitions",
     "q_join_ktable",
     "q_join_range_bucketed",
-    # entry()'s flagship — the driver's own smoke query, never checked
-    "q_flagship_daily_enrich",
-    # never-checked events-reading families (were EVENTS-BROKEN pre-fix)
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
@@ -112,7 +157,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scan_json_props",
     "q_set_union_all",
     "q_set_intersect",
-    # never-checked TPC-H completions (round 2, below the r2 prefix)
     "q_tpch_q1",
     "q_tpch_q2",
     "q_tpch_q6",
@@ -127,37 +171,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q17",
     "q_tpch_q20",
     "q_tpch_q21",
-    # never-checked round-2 training/analysis ops
     "q_llm_char_entropy",
     "q_llm_dedup_cluster_star",
-    # -------- top-50 boundary (everything above fits one driver check) ----
-    "q_llm_sample_hash",
-    "q_llm_split_assign",
-    "q_llm_decontaminate",
-    "q_llm_pack_chunks",
-    "q_llm_mix_sources",
-    "q_llm_repetition",
-    "q_llm_pii_redact",
-    "q_gaps_islands",
-    "q_llm_kmeans_iter",
-    "q_graph_triangles",
-    "q_incremental_agg",
-    "q_profile_columns",
-    # never-checked windows/sorts/setops/scans — next in line
-    "q_win_rank",
-    "q_win_topk_per_group",
-    "q_win_running",
-    "q_win_ntile_percent",
-    "q_sort_limit",
-    "q_limit_offset",
-    "q_set_union_distinct",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect_all",
-    "q_scan_parquet",
-    "q_multimodal_frames",
-    "q_llm_dedup_ngram",
-    # deferred: rows-only by design (no oracle — weaker check regardless)
+    # rows-only by design (no oracle — weaker check regardless)
     "q_llm_dedup_minhash",
     "q_llm_dedup_simhash",
     "q_llm_sim_knn_scale",
@@ -172,7 +188,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q22",
     "q_llm_dedup_keep_best",
     "q_agg_mode",
-    "q_llm_sample_stratified",
     "q_win_share",
     "q_multimodal_prune",
     "q_llm_ann_recall",
@@ -182,8 +197,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_zorder_layout",
     "q_snapshot_diff",
     "q_outlier_iqr",
-    "q_llm_chunk_overlap",
-    "q_llm_train_pipeline",
     "q_join_salted",
     "q_scalar_subquery",
     "q_join_exists_correlated",
@@ -206,27 +219,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_decode",
     # driver-green in CORRECTNESS_r01 — lowest re-check priority
     "q_agg_global",
-    "q_agg_group",
     "q_agg_distinct",
     "q_agg_approx_distinct",
     "q_agg_rollup",
-    "q_agg_cube",
     "q_agg_groupingsets",
     "q_agg_having",
-    "q_agg_latest_per_key",
     "q_agg_filter_clause",
     "q_agg_any_all",
-    "q_agg_percentile",
     "q_agg_stats",
     "q_agg_string_agg",
     "q_explode_pos",
     "q_unpivot",
-    "q_histogram",
-    "q_lateral_topk",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q18",
     "q_project_rename",
     "q_filter_pred",
     "q_filter_branch",
@@ -235,8 +238,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_math",
     "q_fn_cond",
     "q_fn_array",
-    "q_fn_json",
-    "q_fn_map",
     "q_fn_struct",
     "q_fn_nulls",
     "q_fn_codec",
@@ -247,8 +248,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_join_anti",
     "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_theta_range",
     "q_join_cross",
 )
 
