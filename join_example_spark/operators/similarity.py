@@ -102,14 +102,18 @@ def ivf_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Deterministic IVF coarse quantization: ``(id, vec, cell)``.
 
     The ``n_centroids`` lowest-id vectors serve as centroids (no k-means
     randomness); assignment is argmax rounded-dot with centroid-id
-    tiebreak. At 100 TB: centroids broadcast, assignment is map-side —
-    the shared front half of every IVF-bucketed operator (top-k search,
-    cell-local dedup candidate generation).
+    tiebreak. With ``nprobe > 1`` every vector is multi-assigned to its
+    top-``nprobe`` cells (rows multiply accordingly) — the multi-probe /
+    multi-assignment generalization; consumers joining two multi-assigned
+    sides must de-duplicate pairs. At 100 TB: centroids broadcast,
+    assignment is map-side — the shared front half of every IVF-bucketed
+    operator (top-k search, cell-local dedup candidate generation).
     """
     cents = (
         emb.orderBy(id_col)
@@ -122,9 +126,40 @@ def ivf_cells(
         emb.crossJoin(F.broadcast(cents))
         .withColumn("csim", F.round(cdot, round_digits))
         .withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") == 1)
+        .where(F.col("arn") <= nprobe)
         .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
     )
+
+
+def ivf_candidate_pairs(
+    emb: DataFrame,
+    n_centroids: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Multi-probe IVF candidate pairs: ``(id_a, id_b, vec_a, vec_b)`` for
+    every a < b sharing at least one of their top-``nprobe`` cells.
+
+    The sub-quadratic candidate generator for similarity/dedup: expected
+    pair work is ~n²·p²/(2C) — with C = ceil(sqrt(n)) centroids that is
+    n^1.5·p², versus n² for any fixed blocking. ``nprobe`` is the
+    recall-vs-cost dial (measured curve in SCALE.md §3.3); pairs are
+    de-duplicated because both sides are multi-assigned.
+    """
+    cells = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits, nprobe=nprobe)
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cell"
+    )
+    pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    if nprobe > 1:
+        # A pair can meet in up to nprobe shared cells — set semantics.
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.select("id_a", "id_b", "vec_a", "vec_b")
 
 
 def ivf_topk(
@@ -135,24 +170,29 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize every vector to
-    its nearest centroid cell, then search only within the probe's own cell
-    (nprobe=1).
+    its nearest centroid cell, then search the probe's top-``nprobe`` cells
+    (candidates always live in their single home cell, so each
+    (probe, candidate) pair is generated at most once — no dedup needed).
 
     The coarse quantizer is deterministic — the ``n_centroids`` lowest-id
     vectors serve as centroids (no k-means randomness), assignment ties break
-    by centroid id. At 100 TB: centroids broadcast (tiny), assignment is a
-    map-side broadcast join + per-vector argmax, and the search join shuffles
-    both sides once on the cell key — the classic IVF cost shape
-    (n·C map work + cell-local candidate scan, never all-pairs).
+    by centroid id; probe cells are ranked the same way. At 100 TB: centroids
+    broadcast (tiny), assignment is a map-side broadcast join + per-vector
+    argmax, and the search join shuffles both sides once on the cell key —
+    the classic IVF cost shape (n·C map work + nprobe/C of the candidate
+    scan, never all-pairs). ``nprobe`` is the recall dial measured by
+    ``q_llm_ann_recall`` / ``q_llm_ann_recall_nprobe``.
     """
-    cells = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits)
-    probes = cells.where(F.expr(probe_pred)).select(
-        F.col(id_col).alias("probe_id"), F.col("cell"), F.col(vec_col).alias("vec_p")
-    )
-    cands = cells.select(
+    cands = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits).select(
         F.col(id_col).alias("cand_id"), F.col("cell"), F.col(vec_col).alias("vec_c")
+    )
+    probes = (
+        ivf_cells(emb, n_centroids, id_col, vec_col, round_digits, nprobe=nprobe)
+        .where(F.expr(probe_pred))
+        .select(F.col(id_col).alias("probe_id"), F.col("cell"), F.col(vec_col).alias("vec_p"))
     )
     dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
     pairs = (

