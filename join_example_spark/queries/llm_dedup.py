@@ -602,6 +602,90 @@ _DUCK_DOT = (
     "q_llm_dedup_semantic",
     oracle=f"""
 WITH RECURSIVE
+cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), probed AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 2
+),
+raw_edges AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM probed a
+    JOIN probed b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+),
+edges AS (
+    SELECT src, dst FROM raw_edges
+    UNION ALL
+    SELECT dst, src FROM raw_edges
+),
+reach(id, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (
+    SELECT id AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+    SELECT l.cluster_id, l.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) DESC,
+                        l.vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY l.cluster_id) AS sz
+    FROM labels l JOIN embeddings e ON e.vec_id = l.vec_id
+)
+SELECT cluster_id,
+       vec_id AS rep_vec_id,
+       CAST(sz AS BIGINT) AS cluster_size
+FROM ranked
+WHERE rn = 1
+""",
+    note="SEMANTIC dedup end-to-end, DEFAULT path (de-quadratic'd per the "
+    "round-3 verdict): edge candidates from multi-probe IVF (ceil(sqrt(n)) "
+    "centroids, nprobe=2 multi-assignment blocking — pair work n^1.5*p^2, "
+    "never all-pairs) with the exact rounded dot >= 0.35 as verify, then "
+    "O(log n) star-contraction connected components and a KEEP-BEST "
+    "election per cluster: the member with the largest L2 norm (identical "
+    "sequential fold both sides, vec_id tiebreak). nprobe=2 doubles the "
+    "pair recall of the nprobe=1 twin (q_llm_dedup_semantic_ivf) at 4x "
+    "its still-sub-quadratic candidate cost; the quadratic exact edge gen "
+    "survives only as the labeled baseline q_llm_dedup_semantic_exact",
+    tags=("llm", "dedup", "similarity", "graph", "approx"),
+)
+def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from join_example_spark.operators.similarity import DOT_SQL, ivf_candidate_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Scalar plan-build action, same class as the CC convergence witness.
+    n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    pairs = (
+        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=2)
+        .withColumn("sim", F.round(dot, 4))
+        .where(F.col("sim") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return _semantic_cluster_reps(emb, pairs)
+
+
+@register(
+    "q_llm_dedup_semantic_exact",
+    oracle=f"""
+WITH RECURSIVE
 raw_edges AS (
     SELECT a.vec_id AS src, b.vec_id AS dst
     FROM embeddings a
@@ -638,19 +722,16 @@ SELECT cluster_id,
 FROM ranked
 WHERE rn = 1
 """,
-    note="SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs "
-    "(label-blocked, sim >= 0.35 — the q_llm_embed_near edge semantics) as "
-    "edges, O(log n) star-contraction connected components, then a KEEP-"
-    "BEST election per cluster: the member with the largest L2 norm "
-    "(strongest signal; identical sequential fold both sides, vec_id "
-    "tiebreak) — the embedding twin of q_llm_dedup_keep_best's longest-"
-    "doc rule. At 100 TB the edge set comes from the blocked/ANN "
-    "candidate path (never all-pairs), components contract "
-    "logarithmically, and the election is one window shuffle on "
-    "cluster_id — no quadratic stage anywhere",
-    tags=("llm", "dedup", "similarity", "graph"),
+    note="EXPLICITLY-LABELED QUADRATIC BASELINE (was the default until "
+    "round 4): label-blocked exact all-pairs cosine edges (the "
+    "q_llm_embed_near semantics) into the same star-contraction + "
+    "max-norm election tail. Kept as the recall yardstick the approximate "
+    "paths are audited against; the 8x stress probe measures its edge gen "
+    "at 64x pair growth (SCALE.md §3.2), which is exactly why it is NOT "
+    "the default — use q_llm_dedup_semantic (multi-probe IVF) instead",
+    tags=("llm", "dedup", "similarity", "graph", "baseline"),
 )
-def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.similarity import cosine_near_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")

@@ -72,9 +72,11 @@ def register(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-4 head. Unlisted (newly added) queries rank BEFORE all of
     # this, so keep the must-verify set comfortably inside the top 50. ----
-    # new in round 4 — never driver-checked
+    # new or semantics-changed in round 4 — need a driver row
     "q_llm_ann_recall_nprobe",
     "q_llm_sim_ivf_probe",
+    "q_llm_dedup_semantic",
+    "q_llm_dedup_semantic_exact",
     # Round-3 verdict item 1: the 25 oracle-able queries that have NEVER
     # received a driver CORRECTNESS row (all green in the local sf0.001 +
     # sf0.01 mirrors). Training family first — the brief's core deliverable.
@@ -128,7 +130,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_lateral_topk",
     # -------- top-50 boundary (minus headroom for round-4 queries) --------
     # everything below is driver-green on the current fixture or rows-only
-    "q_llm_dedup_semantic",
     "q_llm_dedup_block_audit",
     "q_llm_embed_quantize",
     "q_llm_dedup_incremental",
