@@ -22,6 +22,16 @@ DOT_SQL = (
     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
+#: Sequential left-fold SQUARED L2 distance in DOUBLE — the PQ assignment
+#: metric (subvectors are not unit-normalized, so dot is the wrong metric
+#: there). Same determinism contract as DOT_SQL.
+D2_SQL = (
+    "AGGREGATE(ZIP_WITH({a}, {b},"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
 
 def cosine_topk(
     emb: DataFrame,
@@ -205,6 +215,190 @@ def ivf_topk(
         pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= k)
         .select("probe_id", F.col("cell").cast("bigint").alias("cell"), "cand_id", "sim", "rn")
+    )
+
+
+def pq_codebook_subs(
+    emb: DataFrame,
+    n_codes: int = 256,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebook: ``(code, sub, cb_sub)``.
+
+    The ``n_codes`` lowest-id vectors supply the codebook (same no-RNG
+    quantizer convention as :func:`ivf_cells`); each is sliced into
+    ``n_sub`` contiguous ``sub_dim``-dim subvectors, and ``code`` is the
+    dense 0-based rank by id (so codes pack into ``log2(n_codes)`` bits).
+    Default config is the canonical PQ operating point (256 codes = 8
+    bits per subspace; 4 subspaces → one 32-bit word per vector). The
+    whole codebook is n_codes × n_sub rows — broadcast everywhere.
+    """
+    w = Window.orderBy(id_col)
+    cb = (
+        emb.orderBy(id_col)
+        .limit(n_codes)
+        .withColumn("code", F.row_number().over(w) - 1)
+        .select("code", F.col(vec_col).alias("cvec"))
+    )
+    return cb.select(
+        "code", F.explode(F.expr(f"sequence(0, {n_sub - 1})")).alias("sub"), "cvec"
+    ).select(
+        "code",
+        "sub",
+        F.expr(f"slice(cvec, sub * {sub_dim} + 1, {sub_dim})").alias("cb_sub"),
+    )
+
+
+def pq_assignments(
+    emb: DataFrame,
+    n_codes: int = 256,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Product-quantization code assignment: ``(id, sub, code, d2r)`` — for
+    every vector and every subspace, the nearest codebook entry by rounded
+    squared L2 (code-id tiebreak) plus that rounded distance.
+
+    The scale shape: the codebook (n_codes × n_sub rows) broadcasts; the
+    n × n_sub × n_codes distance evaluation is map-side; the argmin is a
+    ``MIN(STRUCT(d2r, code))`` partial-aggregated groupBy — one shuffle of
+    (id, sub)-keyed partial minima, no window sort. PQ codes compress each
+    vector to n_sub·log2(n_codes) bits (64-dim float32 → 32 bits at the
+    default 4×8-bit config, a 64× memory cut), which is what makes
+    billion-vector candidate scans RAM-resident at 100 TB.
+    """
+    cbs = pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
+    vs = emb.select(
+        F.col(id_col), F.explode(F.expr(f"sequence(0, {n_sub - 1})")).alias("sub"), F.col(vec_col)
+    ).select(
+        id_col,
+        "sub",
+        F.expr(f"slice({vec_col}, sub * {sub_dim} + 1, {sub_dim})").alias("v_sub"),
+    )
+    d2 = F.expr(D2_SQL.format(a="v_sub", b="cb_sub"))
+    return (
+        vs.join(F.broadcast(cbs), "sub")
+        .withColumn("d2r", F.round(d2, round_digits))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct(F.col("d2r"), F.col("code"))).alias("m"))
+        .select(
+            F.col(id_col),
+            "sub",
+            F.col("m.code").alias("code"),
+            F.col("m.d2r").alias("d2r"),
+        )
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_codes: int = 256,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    probe_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: probes stay full
+    precision, candidates are represented ONLY by their PQ codes.
+
+    The classic PQ search shape (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011), expressed relationally:
+
+    1. per probe, a lookup table LUT(probe, sub, code) = rounded dot of the
+       probe's subvector with each codebook entry — n_probes × n_sub ×
+       n_codes tiny rows, broadcastable;
+    2. the candidate side joins its (sub, code) assignments to the LUT and
+       partial-agg SUMs the n_sub parts per (probe, candidate) — the scan
+       touches only the 32-bit code table, never the raw vectors.
+
+    The decimal-bridged sum of rounded parts makes adc_sim bit-stable under
+    any partition order. Approximation error vs the exact dot is exactly
+    the PQ reconstruction error — audited by ``q_llm_pq_quantize``.
+    """
+    cbs = pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
+    probes = emb.where(F.expr(probe_pred)).select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.expr(f"sequence(0, {n_sub - 1})")).alias("sub"),
+        F.col(vec_col),
+    ).select(
+        "probe_id",
+        "sub",
+        F.expr(f"slice({vec_col}, sub * {sub_dim} + 1, {sub_dim})").alias("p_sub"),
+    )
+    pdot = F.expr(DOT_SQL.format(a="p_sub", b="cb_sub"))
+    lut = (
+        probes.join(F.broadcast(cbs), "sub")
+        .withColumn("part", F.round(pdot, round_digits))
+        .select("probe_id", "sub", "code", "part")
+    )
+    cand = pq_assignments(
+        emb, n_codes, n_sub, sub_dim, id_col, vec_col, round_digits
+    ).select(F.col(id_col).alias("cand_id"), "sub", "code")
+    scored = (
+        cand.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(
+            F.expr("CAST(SUM(CAST(part AS DECIMAL(25,6))) AS DOUBLE)").alias("adc_sim")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("adc_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "cand_id", "adc_sim", "rn")
+    )
+
+
+def pq_adc_rerank_topk(
+    emb: DataFrame,
+    k: int = 3,
+    shortlist: int = 64,
+    n_codes: int = 256,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    probe_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-stage PQ search (the production IVFPQ shape): ADC over 32-bit
+    codes shortlists ``shortlist`` candidates per probe, then ONLY the
+    shortlist is re-ranked with the exact full-precision dot.
+
+    This is how PQ is actually deployed: the compressed-code scan does the
+    volume work (reads 32 bits/vector), and the expensive exact distance
+    touches ``shortlist`` vectors per probe instead of the corpus. The
+    shortlist size is the recall dial — it must absorb the PQ
+    reconstruction error, which is corpus-dependent (near-isotropic
+    vectors, like this synthetic fixture, are PQ's worst case; measured
+    shortlist-coverage numbers live in the query docstring / SCALE.md).
+    Output sims are EXACT dots — identical semantics to the brute-force
+    ranking whenever the true neighbor makes the shortlist.
+    """
+    adc = pq_adc_topk(
+        emb, shortlist, n_codes, n_sub, sub_dim, probe_pred, id_col, vec_col, round_digits
+    ).select("probe_id", "cand_id")
+    p = emb.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vec_p"))
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vec_c"))
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    rescored = (
+        adc.join(p, "probe_id").join(c, "cand_id").withColumn("sim", F.round(dot, round_digits))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "cand_id", "sim", "rn")
     )
 
 

@@ -73,6 +73,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-4 head. Unlisted (newly added) queries rank BEFORE all of
     # this, so keep the must-verify set comfortably inside the top 50. ----
     # new or semantics-changed in round 4 — need a driver row
+    "q_llm_pq_quantize",
+    "q_llm_sim_pq_adc",
+    "q_llm_sim_pq_rerank",
+    "q_llm_decontaminate_semantic",
     "q_llm_ann_recall_nprobe",
     "q_llm_sim_ivf_probe",
     "q_llm_dedup_semantic",

@@ -161,6 +161,25 @@ def test_normalize_event_ts_unknown_dtype_raises(spark):
         normalize_event_ts(df)
 
 
+def test_embedding_dim_pinned_to_64():
+    """The PQ operators slice embeddings into 4×16-dim subvectors and the
+    int8/IVF paths assume the documented dim=64 — a silent dim change
+    would mis-slice without erroring (slice() truncates). Pin it at every
+    SF via the parquet statistics-free path: read one row group's column."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        dims = con.execute(
+            f"""
+            SELECT DISTINCT LEN(embedding)
+            FROM read_parquet('/root/testdata/{sf}/embeddings.parquet')
+            """
+        ).fetchall()
+        con.close()
+        assert dims == [(64,)], f"{sf}: embedding dims drifted: {dims}"
+
+
 def test_documents_vocabulary_within_sketch_exact_regime():
     """q_agg_approx_topk is certified exact ONLY while the corpus
     vocabulary fits inside approx_top_k's maxItemsTracked=10000 (round-3

@@ -16,9 +16,13 @@ def test_semantic_clusters_partition_the_embeddings(spark):
     # Every vector lands in exactly one cluster; sizes sum to the table;
     # the elected representative is a true member with the maximum L2 norm
     # (vec_id tiebreak) — checked against an independently-computed
-    # labeling (the O(diameter) min-label formulation, not star).
+    # labeling (the O(diameter) min-label formulation, not star) over the
+    # SAME edge set the default query declares (multi-probe IVF candidates
+    # + exact verify, since the round-4 reroute away from exact all-pairs).
+    import math
+
     from join_example_spark.operators.graph import connected_components
-    from join_example_spark.operators.similarity import cosine_near_pairs
+    from join_example_spark.operators.similarity import DOT_SQL, ivf_candidate_pairs
 
     out = _REG["q_llm_dedup_semantic"].fn(spark, SF_SMOKE)
     emb = read_table(spark, SF_SMOKE, "embeddings")
@@ -32,7 +36,14 @@ def test_semantic_clusters_partition_the_embeddings(spark):
     assert 1 <= agg.n_clusters <= n_vecs
     assert agg.min_size >= 1
 
-    pairs = cosine_near_pairs(emb, threshold=0.35)
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    pairs = (
+        ivf_candidate_pairs(
+            emb, n_centroids=int(math.ceil(math.sqrt(n_vecs))), nprobe=2
+        )
+        .withColumn("sim", F.round(dot, 4))
+        .where(F.col("sim") >= 0.35)
+    )
     labels = connected_components(
         emb.select("vec_id"),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

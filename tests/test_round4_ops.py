@@ -86,3 +86,126 @@ def test_fuzzy_dedup_mintok_recall_trade_stays_visible(spark):
         "(1,3) emitted: the mintok blocking key no longer drops "
         "min-token-changing edits — recall semantics changed"
     )
+
+
+def test_pq_codes_pack_and_bound(spark):
+    """PQ invariants at the canonical 256-codes × 4-subspaces config:
+    every per-subspace code is in [0, 256); the packed word is the exact
+    base-256 positional encoding (fits in 32 bits); the reconstruction
+    error is the sum of the selected per-subspace rounded distances
+    (non-negative)."""
+    from join_example_spark.operators.similarity import pq_assignments
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = pq_assignments(emb)
+    row = a.agg(
+        F.min("code").alias("cmin"),
+        F.max("code").alias("cmax"),
+        F.min("d2r").alias("dmin"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row.cmin >= 0 and row.cmax <= 255
+    assert row.dmin >= 0.0
+    assert row.n == emb.count() * 4  # exactly one code per (vector, subspace)
+
+    q = load_all()["q_llm_pq_quantize"].fn(spark, SF_SMOKE)
+    stats = q.agg(
+        F.min("code_word").alias("wmin"), F.max("code_word").alias("wmax")
+    ).collect()[0]
+    assert 0 <= stats.wmin and stats.wmax < (1 << 32)
+    # Codebook vectors quantize to themselves: vec k (k < 256) has code k
+    # in every subspace and zero reconstruction error.
+    first = {r.vec_id: (r.code_word, r.recon_err) for r in q.where("vec_id < 256").collect()}
+    assert len(first) > 0
+    for k, (word, err) in first.items():
+        want = sum(k << (8 * s) for s in range(4))
+        assert word == want, (k, word, want)
+        assert err == 0.0, (k, err)
+
+
+def test_pq_adc_rerank_recovers_exact_top1(spark):
+    """The two-stage PQ search (ADC shortlist → exact re-rank) must put
+    each probe's TRUE exact top-1 neighbor (unblocked brute force over the
+    whole corpus) inside its re-ranked top-3 — the usable-search promise
+    made in the q_llm_sim_pq_rerank docstring. The raw ADC ordering alone
+    is NOT held to this bar (documented as approximate; this corpus is
+    PQ's worst case) — the shortlist+re-rank is."""
+    import math
+
+    from join_example_spark.operators.similarity import DOT_SQL, pq_adc_rerank_topk
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    shortlist = max(64, int(math.ceil(emb.count() / 8.0)))
+    rr = pq_adc_rerank_topk(emb, k=3, shortlist=shortlist, probe_pred="vec_id % 100 = 0")
+    got = {}
+    for r in rr.collect():
+        got.setdefault(r.probe_id, set()).add(r.cand_id)
+
+    probes = emb.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("vec_p")
+    )
+    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vec_c"))
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.round(dot, 4).desc(), F.col("cand_id"))
+    exact1 = (
+        probes.crossJoin(cands)
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(exact1) > 0
+    for r in exact1:
+        assert r.cand_id in got[r.probe_id], (
+            f"probe {r.probe_id}: exact top-1 {r.cand_id} missing from re-ranked "
+            f"top-3 {got[r.probe_id]} — PQ shortlist coverage regressed"
+        )
+
+
+def test_semantic_decontamination_no_false_positives_and_recall(spark):
+    """Every flagged (train, eval) match must be a TRUE above-threshold
+    neighbor (exact dot verify — no false positives by construction), and
+    the IVF-candidate route must recover >= 70% of the training vectors an
+    exact quadratic screen would flag (the audited multi-probe recall)."""
+    from join_example_spark.operators.similarity import DOT_SQL
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    out = load_all()["q_llm_decontaminate_semantic"].fn(spark, SF_SMOKE)
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select(F.col("vec_id").alias("k"), F.col("embedding").alias("vec"))
+    checked = (
+        out.join(v.withColumnRenamed("k", "vec_id").withColumnRenamed("vec", "vec_t"), "vec_id")
+        .join(v.withColumnRenamed("k", "eval_id").withColumnRenamed("vec", "vec_e"), "eval_id")
+        .withColumn("true_sim", F.round(F.expr(DOT_SQL.format(a="vec_t", b="vec_e")), 4))
+    )
+    bad = checked.where(
+        (F.col("true_sim") < 0.35) | (F.col("true_sim") != F.col("sim"))
+    ).count()
+    assert bad == 0
+
+    train = emb.where("vec_id % 7 != 0").select(
+        F.col("vec_id").alias("tid"), F.col("embedding").alias("vec_t")
+    )
+    ev = emb.where("vec_id % 7 = 0").select(
+        F.col("vec_id").alias("eid"), F.col("embedding").alias("vec_e")
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_t", b="vec_e"))
+    truth = (
+        train.crossJoin(ev)
+        .where(F.round(dot, 4) >= 0.35)
+        .select("tid")
+        .distinct()
+        .count()
+    )
+    flagged = out.count()
+    assert flagged <= truth  # candidates are a subset of the exact screen
+    assert truth == 0 or flagged / truth >= 0.7, (flagged, truth)
