@@ -364,3 +364,139 @@ def q_llm_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("chunk_tokens").cast("bigint").alias("shard_tokens"),
     )
+
+
+@register(
+    "q_llm_mix_temperature",
+    oracle=f"""
+WITH h AS (
+    SELECT source, {id_hash_sql("doc_id")} % 1000 AS bkt,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents
+    GROUP BY source, {id_hash_sql("doc_id")} % 1000
+), stats AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_total FROM h GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(n_total) AS BIGINT) AS n_corpus,
+           SUM(sqrt(CAST(n_total AS DOUBLE))) AS sum_sqrt
+    FROM stats
+), rates AS (
+    SELECT s.source, s.n_total,
+           sqrt(CAST(s.n_total AS DOUBLE)) / t.sum_sqrt AS weight,
+           CAST(LEAST(1000.0, FLOOR(
+               FLOOR(0.5 * CAST(t.n_corpus AS DOUBLE)) * (sqrt(CAST(s.n_total AS DOUBLE)) / t.sum_sqrt)
+               / CAST(s.n_total AS DOUBLE) * 1000.0)) AS BIGINT) AS rate_permille
+    FROM stats s CROSS JOIN tot t
+)
+SELECT r.source, r.n_total, r.weight, r.rate_permille,
+       CAST(COALESCE(SUM(CASE WHEN h.bkt < r.rate_permille THEN h.c END), 0) AS BIGINT) AS n_kept
+FROM rates r JOIN h ON h.source = r.source
+GROUP BY r.source, r.n_total, r.weight, r.rate_permille
+""",
+    note="temperature-scaled source mixing (the multilingual-corpus "
+    "p ~ n^alpha resampling, alpha=0.5): per-source weights w_s = "
+    "sqrt(n_s)/sum sqrt, a half-corpus token target, and a deterministic "
+    "permille keep-rate realized through the portable id-hash. ONE corpus "
+    "scan: the scan partial-aggregates into a (source x hash-permille-"
+    "bucket) histogram (<= sources x 1000 rows), and every downstream "
+    "number — weights, rates, realized kept counts — derives from that "
+    "tiny table, so retuning alpha or the target replays NO corpus scan. "
+    "weight is a raw IEEE double (sqrt/div on identical operands both "
+    "engines — bit-stable, no ROUND); rate boundaries are FLOOR on "
+    "irrational products (no x.5 tie class). At 100 TB: one scan + one "
+    "20k-row shuffle; the keep predicate itself (id_hash % 1000 < rate) "
+    "is the same map-side filter as q_llm_mix_sources",
+    tags=("llm", "training", "mixture"),
+)
+def q_llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    h = (
+        docs.select("source", (id_hash("doc_id") % 1000).alias("bkt"))
+        .groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = h.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_total"))
+    tot = stats.agg(
+        F.sum("n_total").cast("bigint").alias("n_corpus"),
+        F.sum(F.sqrt(F.col("n_total").cast("double"))).alias("sum_sqrt"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_total",
+        (F.sqrt(F.col("n_total").cast("double")) / F.col("sum_sqrt")).alias("weight"),
+        F.expr(
+            "CAST(LEAST(1000.0D, FLOOR("
+            " FLOOR(0.5D * CAST(n_corpus AS DOUBLE))"
+            " * (sqrt(CAST(n_total AS DOUBLE)) / sum_sqrt)"
+            " / CAST(n_total AS DOUBLE) * 1000.0D)) AS BIGINT)"
+        ).alias("rate_permille"),
+    )
+    return (
+        h.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_total", "weight", "rate_permille")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bkt") < F.col("rate_permille"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select("source", "n_total", "weight", "rate_permille", "n_kept")
+    )
+
+
+@register(
+    "q_llm_source_token_cap",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(LEN(string_split(LOWER(TRIM(text)), ' ')) AS BIGINT) AS tok_cnt
+    FROM documents
+    WHERE text IS NOT NULL AND LEN(TRIM(text)) > 0
+), ordered AS (
+    SELECT doc_id, source, tok_cnt,
+           CAST(SUM(tok_cnt) OVER (
+               PARTITION BY source
+               ORDER BY {id_hash_sql("doc_id")}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_toks
+    FROM toks
+)
+SELECT doc_id, source, tok_cnt, cum_toks
+FROM ordered WHERE cum_toks <= 300
+""",
+    note="per-source token capping: each (over-represented) source is cut "
+    "to a 300-token budget in a deterministic pseudo-random order (the "
+    "portable id-hash, doc_id tiebreak) — token-denominated downsampling, "
+    "the unit that matters for training mixtures (doc-count caps "
+    "over-keep long-doc sources). Exact integer window cumsum — no float "
+    "boundary class. One hash-shuffle on source; per-source window order "
+    "is the hash, so the kept subset is partition-independent. At 100 TB "
+    "a hot source's window serializes its partition — the documented "
+    "rewrite is the grouped two-phase prefix sum (per-hash-bucket "
+    "subtotals, then broadcast offsets), same output, and AQE skew "
+    "handling covers the interim",
+    tags=("llm", "training", "sample"),
+)
+def q_llm_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(LOWER(TRIM(text)), ' ')) AS BIGINT)").alias("tok_cnt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(id_hash("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_toks", F.sum("tok_cnt").over(w).cast("bigint"))
+        .where(F.col("cum_toks") <= 300)
+        .select("doc_id", "source", "tok_cnt", "cum_toks")
+    )

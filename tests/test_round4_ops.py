@@ -209,3 +209,69 @@ def test_semantic_decontamination_no_false_positives_and_recall(spark):
     flagged = out.count()
     assert flagged <= truth  # candidates are a subset of the exact screen
     assert truth == 0 or flagged / truth >= 0.7, (flagged, truth)
+
+
+def test_temperature_mixing_flattens_the_distribution(spark):
+    """Algebraic pins for q_llm_mix_temperature: weights sum to 1, kept
+    counts never exceed totals, rates are valid permilles, and the
+    alpha=0.5 temperature actually FLATTENS the mixture — every source's
+    sampled share sits no further from uniform than its raw share
+    (sqrt-scaling shrinks spread toward the mean by construction)."""
+    from join_example_spark.registry import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["q_llm_mix_temperature"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    n_corpus = sum(r.n_total for r in rows)
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        assert 0 <= r.rate_permille <= 1000
+        assert 0 <= r.n_kept <= r.n_total
+        raw_share = r.n_total / n_corpus
+        # weight (the target share) is between the raw share and uniform.
+        lo, hi = sorted((raw_share, uniform))
+        assert lo - 1e-9 <= r.weight <= hi + 1e-9, (r.source, raw_share, r.weight)
+
+
+def test_source_token_cap_budget_and_order(spark):
+    """q_llm_source_token_cap: every source stays within the 300-token
+    budget, at least one doc per non-empty source survives iff its first
+    doc fits, and the kept set is exactly the hash-order prefix (re-adding
+    the next doc in hash order would breach the budget)."""
+    from join_example_spark.operators.sampling import id_hash
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    out = load_all()["q_llm_source_token_cap"].fn(spark, SF_SMOKE)
+    per_src = out.groupBy("source").agg(
+        F.max("cum_toks").alias("mx"), F.count(F.lit(1)).alias("k")
+    ).collect()
+    assert len(per_src) > 0
+    for r in per_src:
+        assert r.mx <= 300
+
+    # Prefix property: for one source, replay the full hash-ordered doc
+    # list and check the kept set is its maximal budget-fitting prefix.
+    src = per_src[0].source
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .where((F.col("source") == src) & F.col("text").isNotNull())
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.expr("CAST(size(split(LOWER(TRIM(text)), ' ')) AS BIGINT)").alias("t"),
+            id_hash("doc_id").alias("h"),
+        )
+        .collect()
+    )
+    ordered = sorted(docs, key=lambda r: (r.h, r.doc_id))
+    cum, want = 0, []
+    for r in ordered:
+        cum += r.t
+        if cum > 300:
+            break
+        want.append(r.doc_id)
+    got = [r.doc_id for r in out.where(F.col("source") == src).orderBy("cum_toks").collect()]
+    assert got == want, (src, got, want)
