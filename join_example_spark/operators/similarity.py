@@ -148,6 +148,7 @@ def ivf_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    dedup: bool = True,
 ) -> DataFrame:
     """Multi-probe IVF candidate pairs: ``(id_a, id_b, vec_a, vec_b)`` for
     every a < b sharing at least one of their top-``nprobe`` cells.
@@ -155,8 +156,18 @@ def ivf_candidate_pairs(
     The sub-quadratic candidate generator for similarity/dedup: expected
     pair work is ~n²·p²/(2C) — with C = ceil(sqrt(n)) centroids that is
     n^1.5·p², versus n² for any fixed blocking. ``nprobe`` is the
-    recall-vs-cost dial (measured curve in SCALE.md §3.3); pairs are
-    de-duplicated because both sides are multi-assigned.
+    recall-vs-cost dial (measured curve in SCALE.md §3.3); with
+    ``dedup=True`` (default) pairs are de-duplicated because both sides
+    are multi-assigned — a pair can meet in up to nprobe shared cells.
+
+    ``dedup=False`` skips that de-duplication SHUFFLE of wide
+    (vectors-carrying) rows. Correct whenever the consumer is itself
+    multiplicity-insensitive — e.g. edges feeding connected components
+    (the contraction applies ``distinct()`` on the narrow (u, v) pairs) —
+    or applies its own dedup AFTER a selective filter, when the rows left
+    to dedup are a few hundred instead of the full candidate volume.
+    Duplicate rows are exact duplicates (sim recomputation is
+    deterministic), so thresholds filter them identically.
     """
     cells = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits, nprobe=nprobe)
     a = cells.select(
@@ -166,8 +177,7 @@ def ivf_candidate_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cell"
     )
     pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
-    if nprobe > 1:
-        # A pair can meet in up to nprobe shared cells — set semantics.
+    if nprobe > 1 and dedup:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs.select("id_a", "id_b", "vec_a", "vec_b")
 

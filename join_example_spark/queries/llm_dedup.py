@@ -673,8 +673,12 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scalar plan-build action, same class as the CC convergence witness.
     n_centroids = int(math.ceil(math.sqrt(emb.count())))
     dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    # dedup=False: skipping the candidate-volume dropDuplicates avoids
+    # shuffling ~n^1.5*p^2 WIDE rows (two 64-float vectors each); the pair
+    # multiplicity (<= nprobe exact-duplicate rows) is absorbed by the
+    # star contraction's own narrow-edge distinct().
     pairs = (
-        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=2)
+        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=2, dedup=False)
         .withColumn("sim", F.round(dot, 4))
         .where(F.col("sim") >= 0.35)
         .select("id_a", "id_b")
