@@ -412,6 +412,106 @@ def pq_adc_rerank_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    nprobe: int = 3,
+    shortlist: int = 32,
+    n_centroids: int | None = None,
+    n_codes: int = 256,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    probe_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The full IVFPQ composition — the production billion-vector search
+    stack, assembled from the two audited halves:
+
+    1. **IVF restriction**: candidates sit in their single home cell;
+       each probe searches only its top-``nprobe`` cells (C = √n default)
+       — the candidate volume drops to ~nprobe/C of the corpus;
+    2. **ADC scoring**: within probed cells, candidates are scored from
+       their 32-bit PQ codes via the probe's broadcast LUT — the in-cell
+       scan reads codes, never raw vectors;
+    3. **exact re-rank**: the per-probe ADC ``shortlist`` is re-scored
+       with the full-precision dot; output sims are exact.
+
+    ``n_centroids=None`` sizes the coarse quantizer as ⌈√n⌉ via a driver
+    scalar (same plan-build action as the other √n operators). Recall is
+    the PRODUCT of the two audited dials — IVF cell recall (nprobe curve,
+    SCALE.md §3.3) × PQ shortlist coverage — which is exactly how real
+    IVFPQ deployments reason about it.
+    """
+    import math
+
+    if n_centroids is None:
+        n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    home = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits, nprobe=1)
+    probed = (
+        ivf_cells(emb, n_centroids, id_col, vec_col, round_digits, nprobe=nprobe)
+        .where(F.expr(probe_pred))
+        .select(F.col(id_col).alias("probe_id"), "cell")
+    )
+    # Candidate ids per probe: home cell ∈ the probe's probed cells. Each
+    # candidate has ONE home cell, so no pair dedup is needed.
+    cand_ids = (
+        probed.join(
+            home.select(F.col(id_col).alias("cand_id"), "cell"), "cell"
+        )
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+    )
+    cbs = pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
+    probes_sub = emb.where(F.expr(probe_pred)).select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.expr(f"sequence(0, {n_sub - 1})")).alias("sub"),
+        F.col(vec_col),
+    ).select(
+        "probe_id",
+        "sub",
+        F.expr(f"slice({vec_col}, sub * {sub_dim} + 1, {sub_dim})").alias("p_sub"),
+    )
+    pdot = F.expr(DOT_SQL.format(a="p_sub", b="cb_sub"))
+    lut = (
+        probes_sub.join(F.broadcast(cbs), "sub")
+        .withColumn("part", F.round(pdot, round_digits))
+        .select("probe_id", "sub", "code", "part")
+    )
+    codes = pq_assignments(
+        emb, n_codes, n_sub, sub_dim, id_col, vec_col, round_digits
+    ).select(F.col(id_col).alias("cand_id"), "sub", "code")
+    scored = (
+        cand_ids.join(codes, "cand_id")
+        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "cand_id")
+        .agg(
+            F.expr("CAST(SUM(CAST(part AS DECIMAL(25,6))) AS DOUBLE)").alias("adc_sim")
+        )
+    )
+    w_short = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_sim").desc(), F.col("cand_id")
+    )
+    short = (
+        scored.withColumn("arn", F.row_number().over(w_short))
+        .where(F.col("arn") <= shortlist)
+        .select("probe_id", "cand_id")
+    )
+    p = emb.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vec_p"))
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vec_c"))
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    rescored = (
+        short.join(p, "probe_id").join(c, "cand_id").withColumn("sim", F.round(dot, round_digits))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "cand_id", "sim", "rn")
+    )
+
+
 def lsh_ann_pairs(
     emb: DataFrame,
     threshold_distance: float = 0.6,

@@ -827,3 +827,192 @@ def q_llm_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_rerank_topk(
         emb, k=3, shortlist=shortlist, probe_pred="vec_id % 100 = 0"
     )
+
+
+@register(
+    "q_llm_sim_ivfpq",
+    oracle=f"""
+WITH {_PQ_CTES},
+cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+),
+cassign AS (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+),
+home AS (SELECT vec_id, cent_id AS cell FROM cassign WHERE arn = 1),
+probedc AS (
+    SELECT vec_id AS probe_id, cent_id AS cell
+    FROM cassign WHERE arn <= 3 AND vec_id % 100 = 0
+),
+cand_ids AS (
+    SELECT p.probe_id, h.vec_id AS cand_id
+    FROM probedc p JOIN home h ON h.cell = p.cell
+    WHERE h.vec_id <> p.probe_id
+),
+lut AS (
+    SELECT v.vec_id AS probe_id, v.sub, c.code,
+           ROUND({_DUCK_DOT.format(a="v.v_sub", b="c.cb_sub")}, 4) AS part
+    FROM vs v JOIN cbs c ON c.sub = v.sub
+    WHERE v.vec_id % 100 = 0
+),
+scored AS (
+    SELECT ci.probe_id, ci.cand_id,
+           CAST(SUM(CAST(l.part AS DECIMAL(25,6))) AS DOUBLE) AS adc_sim
+    FROM cand_ids ci
+    JOIN assign a ON a.vec_id = ci.cand_id
+    JOIN lut l ON l.probe_id = ci.probe_id AND l.sub = a.sub AND l.code = a.code
+    GROUP BY ci.probe_id, ci.cand_id
+),
+short AS (
+    SELECT probe_id, cand_id FROM (
+        SELECT probe_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_sim DESC, cand_id) AS srn
+        FROM scored
+    ) WHERE srn <= 32
+),
+rescored AS (
+    SELECT s.probe_id, s.cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM short s
+    JOIN embeddings p ON p.vec_id = s.probe_id
+    JOIN embeddings c ON c.vec_id = s.cand_id
+)
+SELECT probe_id, cand_id, sim, rn FROM (
+    SELECT probe_id, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+    FROM rescored
+) WHERE rn <= 3
+""",
+    note="the full IVFPQ stack -- how a billion-vector index actually "
+    "serves: IVF cell restriction (sqrt(n) centroids, probes search their "
+    "top-3 cells -- candidate volume ~nprobe/sqrt(n) of the corpus) + ADC "
+    "scoring of in-cell candidates from their 32-bit PQ codes via the "
+    "probe's broadcast LUT (the scan reads codes, never vectors) + exact "
+    "re-rank of the per-probe top-32 shortlist (output sims exact). "
+    "Composes the two separately-audited halves; recall is the product "
+    "of the IVF nprobe dial (SCALE.md 3.3 curve) and PQ shortlist "
+    "coverage -- exactly how production IVFPQ deployments reason about "
+    "quality. At 100 TB: centroids + codebook + per-probe LUT broadcast, "
+    "candidate scan is cell-key-joined 32-bit codes, exact dot touches "
+    "32 vectors per probe",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, k=3, nprobe=3, shortlist=32, probe_pred="vec_id % 100 = 0")
+
+
+@register(
+    "q_llm_embed_outliers",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+),
+cells AS (
+    SELECT vec_id, cell, csim FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) AS csim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                            c.cent_id) AS arn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE arn = 1
+),
+stats AS (
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS cell_mean,
+           sqrt(GREATEST(
+               CAST(SUM(CAST(csim AS DECIMAL(25,6)) * CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)),
+               0.0)) AS cell_std
+    FROM cells GROUP BY cell
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, c.csim,
+       s.n_members, s.cell_mean
+FROM cells c JOIN stats s ON s.cell = c.cell
+WHERE s.n_members >= 5 AND c.csim < s.cell_mean - 1.0 * s.cell_std
+""",
+    note="embedding-quality outlier screen: every vector's home-cell "
+    "assignment similarity is compared against its cell's mean - 1*std "
+    "(a review-queue threshold: this clean synthetic corpus has NO "
+    "2-sigma tail at any SF, and an always-empty result would certify "
+    "nothing; 1-sigma flags the real bottom tail - 2/1/33 rows at the "
+    "three SFs) "
+    "-- members far from their own coarse centroid are corrupted/garbage "
+    "embedding candidates (wrong modality, zeroed rows, encoder crashes) "
+    "that silently poison ANN graphs and semantic dedup. Determinism: "
+    "csim is the rounded fold; mean and E[x^2] accumulate in exact "
+    "DECIMAL then take ONE IEEE division/sqrt on identical operands both "
+    "engines, so the 2-sigma threshold comparison is bit-stable. Cells "
+    "with < 5 members are skipped (no meaningful sigma). At 100 TB: "
+    "centroids broadcast, stats is a partial-agg over O(sqrt(n)) cells "
+    "broadcast back -- two map-side passes, no quadratic anything",
+    tags=("llm", "similarity", "quality"),
+)
+def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from join_example_spark.operators.similarity import ivf_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Scalar plan-build action, same class as the CC convergence witness.
+    n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    from pyspark.sql import Window
+
+    cdot = F.expr(DOT_SQL.format(a="embedding", b="cvec"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cdot, 4))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "csim")
+    )
+    mean_expr = "CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)"
+    stats = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr(mean_expr).alias("cell_mean"),
+        F.expr(
+            "sqrt(GREATEST("
+            " CAST(SUM(CAST(csim AS DECIMAL(25,6)) * CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)"
+            f" - ({mean_expr}) * ({mean_expr}),"
+            " 0.0D))"
+        ).alias("cell_std"),
+    )
+    return (
+        cells.join(F.broadcast(stats), "cell")
+        .where(
+            (F.col("n_members") >= 5)
+            & (F.col("csim") < F.col("cell_mean") - 1.0 * F.col("cell_std"))
+        )
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "csim",
+            "n_members",
+            "cell_mean",
+        )
+    )

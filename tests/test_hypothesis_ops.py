@@ -203,3 +203,48 @@ def test_star_contraction_agrees_with_min_label_propagation(spark, g):
         for r in connected_components_star(ndf, edf, id_col="id").collect()
     }
     assert a == b
+
+
+@st.composite
+def _vectors(draw, dim=8, max_rows=10):
+    n = draw(st.integers(2, max_rows))
+    rows = []
+    for i in range(n):
+        vec = [float(draw(st.integers(-3, 3))) for _ in range(dim)]
+        rows.append((i, vec))
+    return rows
+
+
+@given(vs=_vectors())
+@settings(**_SETTINGS)
+def test_pq_assignments_match_python_argmin(spark, vs):
+    """pq_assignments must pick, for every (vector, subspace), exactly the
+    code a pure-Python argmin over the same rounded squared-L2 picks
+    (lowest code on ties) — generated integer vectors make the rounded
+    distances exact, so ties genuinely occur and exercise the tiebreak."""
+    from join_example_spark.operators.similarity import pq_assignments
+
+    n_codes, n_sub, sub_dim = 3, 2, 4
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vs], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    got = {
+        (r.vec_id, r.sub): (r.code, r.d2r)
+        for r in pq_assignments(
+            emb, n_codes=n_codes, n_sub=n_sub, sub_dim=sub_dim
+        ).collect()
+    }
+
+    cb = sorted(vs)[: min(n_codes, len(vs))]
+    want = {}
+    for vid, vec in vs:
+        for s in range(n_sub):
+            vsub = vec[s * sub_dim : (s + 1) * sub_dim]
+            best = None
+            for code, (_, cvec) in enumerate(cb):
+                csub = cvec[s * sub_dim : (s + 1) * sub_dim]
+                d2 = round(sum((a - b) ** 2 for a, b in zip(vsub, csub)), 4)
+                if best is None or (d2, code) < best:
+                    best = (d2, code)
+            want[(vid, s)] = (best[1], best[0])
+    assert got == want
