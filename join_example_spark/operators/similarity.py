@@ -512,6 +512,93 @@ def ivfpq_topk(
     )
 
 
+def semantic_ingest_verdicts(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    nprobe: int = 5,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-arriving-vector semantic-dup verdict against a STATIC corpus —
+    the embedding twin of ``dedup.incremental_dedup_verdicts`` and the
+    ingest front door for a vector store.
+
+    The index (centroids + corpus cell assignments) derives from the
+    corpus ONLY, so a verdict depends on nothing but (vector, corpus):
+    chopping the arriving set into micro-batches cannot change any verdict
+    (the property the streaming demo's equivalence test asserts). Both
+    sides multi-assign to their top-``nprobe`` cells (the audited-recall
+    configuration); the exact rounded dot is the verify. Output: one row
+    per arriving vector — ``status`` kept/dup_semantic, best corpus match
+    (max sim, lowest match id on ties) or NULLs when kept.
+
+    At 100 TB: centroids broadcast; the corpus cell index is precomputed
+    and bucketed by cell; each arriving partition assigns map-side and
+    joins only its probed cells.
+    """
+    import math
+
+    if n_centroids is None:
+        n_centroids = int(math.ceil(math.sqrt(max(corpus.count(), 1))))
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        cdot = F.expr(DOT_SQL.format(a=vec_col, b="cvec"))
+        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.round(cdot, round_digits))
+            .withColumn("arn", F.row_number().over(w))
+            .where(F.col("arn") <= nprobe)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                F.col("cent_id").alias("cell"),
+            )
+        )
+
+    arriving = assign(batch, "vec_id_in", "vec_in")
+    indexed = assign(corpus, "match_id", "vec_cand")
+    dot = F.expr(DOT_SQL.format(a="vec_in", b="vec_cand"))
+    hits = (
+        arriving.join(indexed, "cell")
+        .withColumn("sim", F.round(dot, round_digits))
+        .where(F.col("sim") >= threshold)
+        # a pair can meet in up to nprobe shared cells — narrow rows here
+        .select("vec_id_in", "match_id", "sim")
+        .groupBy("vec_id_in")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("match_id")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id_in",
+            (-F.col("m.neg")).alias("match_id"),
+            F.col("m.sim").alias("sim"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("vec_id"))
+        .join(hits, F.col("vec_id") == F.col("vec_id_in"), "left")
+        .select(
+            "vec_id",
+            F.when(F.col("match_id").isNotNull(), F.lit("dup_semantic"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.col("match_id").cast("bigint").alias("match_id"),
+            "sim",
+        )
+    )
+
+
 def lsh_ann_pairs(
     emb: DataFrame,
     threshold_distance: float = 0.6,

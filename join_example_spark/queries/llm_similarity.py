@@ -1016,3 +1016,78 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_mean",
         )
     )
+
+
+@register(
+    "q_llm_dedup_semantic_incr",
+    oracle=f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+), arriving AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+), cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM corpus ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corpus)
+), a_cells AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT a.vec_id, a.embedding, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND({_DUCK_DOT.format(a="a.embedding", b="c.cvec")}, 4) DESC,
+                            c.cent_id) AS arn
+        FROM arriving a CROSS JOIN cents c
+    ) WHERE arn <= 5
+), c_cells AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT k.vec_id, k.embedding, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY k.vec_id
+                   ORDER BY ROUND({_DUCK_DOT.format(a="k.embedding", b="c.cvec")}, 4) DESC,
+                            c.cent_id) AS arn
+        FROM corpus k CROSS JOIN cents c
+    ) WHERE arn <= 5
+), hits AS (
+    SELECT vec_id_in,
+           MIN(match_id) FILTER (WHERE sim = best_sim) AS match_id,
+           best_sim AS sim
+    FROM (
+        SELECT a.vec_id AS vec_id_in, k.vec_id AS match_id,
+               ROUND({_DUCK_DOT.format(a="a.embedding", b="k.embedding")}, 4) AS sim,
+               MAX(ROUND({_DUCK_DOT.format(a="a.embedding", b="k.embedding")}, 4))
+                   OVER (PARTITION BY a.vec_id) AS best_sim
+        FROM (SELECT DISTINCT vec_id, embedding, cell FROM a_cells) a
+        JOIN (SELECT DISTINCT vec_id, embedding, cell FROM c_cells) k
+          ON a.cell = k.cell
+        WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="k.embedding")}, 4) >= 0.35
+    )
+    GROUP BY vec_id_in, best_sim
+)
+SELECT ar.vec_id,
+       CASE WHEN h.match_id IS NOT NULL THEN 'dup_semantic' ELSE 'kept' END AS status,
+       CAST(h.match_id AS BIGINT) AS match_id,
+       h.sim
+FROM arriving ar LEFT JOIN hits h ON h.vec_id_in = ar.vec_id
+""",
+    note="incremental SEMANTIC ingest dedup -- the embedding twin of "
+    "q_llm_dedup_incremental and the vector-store front door: arriving "
+    "vectors (vec_id % 5 = 0) are judged against the STATIC corpus "
+    "through a corpus-derived multi-probe IVF index (sqrt(corpus) "
+    "centroids, nprobe=5 both sides -- the audited-recall configuration), "
+    "exact rounded dot >= 0.35 verify, one kept/dup_semantic verdict per "
+    "arriving vector with its best corpus match (max sim, lowest id on "
+    "ties). Verdicts depend ONLY on (vector, corpus) -- never on other "
+    "arriving vectors -- so micro-batch ingestion reproduces the one-shot "
+    "answer exactly (asserted by the streaming equivalence test over "
+    "stream_semantic_ingest). At 100 TB the corpus index is precomputed "
+    "and bucketed by cell; arriving partitions assign map-side",
+    tags=("llm", "dedup", "similarity", "approx"),
+)
+def q_llm_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import semantic_ingest_verdicts
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_ingest_verdicts(
+        batch=emb.where(F.col("vec_id") % 5 == 0),
+        corpus=emb.where(F.col("vec_id") % 5 != 0),
+    )

@@ -75,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new or semantics-changed in round 4 — need a driver row
     "q_llm_sim_ivfpq",
     "q_llm_embed_outliers",
+    "q_llm_dedup_semantic_incr",
     "q_llm_mix_temperature",
     "q_llm_source_token_cap",
     "q_llm_pq_quantize",

@@ -456,3 +456,69 @@ def stream_incremental_dedup(
             corpus=corpus,
         ).limit(0)
     return spark.read.parquet(out_dir)
+
+
+def stream_semantic_ingest(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Continuous vector-store ingest: arriving EMBEDDINGS judged against
+    the static corpus index — the live twin of ``q_llm_dedup_semantic_incr``
+    and the embedding counterpart of ``stream_incremental_dedup``.
+
+    Each micro-batch runs the SAME ``semantic_ingest_verdicts`` operator
+    (foreachBatch) against the corpus-derived multi-probe IVF index,
+    appending per-vector kept/dup_semantic verdicts to a parquet sink.
+    Verdicts depend only on (vector, corpus) — never on other arriving
+    vectors — so the union of per-micro-batch verdicts equals the one-shot
+    batch answer no matter how the input is chopped (asserted in tests).
+    At 100 TB: centroids broadcast once, the corpus cell index is
+    precomputed/bucketed, each arriving partition assigns map-side —
+    exactly-once via the checkpoint.
+    """
+    from join_example_spark.operators.similarity import semantic_ingest_verdicts
+    from join_example_spark.sources.readers import probe_stream_schema, read_table
+
+    ensure_session_confs(spark)
+    corpus = (
+        read_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 5 != 0)
+        .select("vec_id", "embedding")
+    )
+    # The index derives from the corpus only; sizing it is a one-time
+    # plan-build scalar, NOT per-batch work.
+    n_corpus = corpus.count()
+    import math
+
+    n_centroids = int(math.ceil(math.sqrt(max(n_corpus, 1))))
+    arriving = (
+        spark.readStream.schema(
+            probe_stream_schema(spark, sf_dir, "embeddings.parquet")
+        )
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .where(F.col("vec_id") % 5 == 0)
+    )
+
+    def judge(batch_df: DataFrame, batch_id: int) -> None:
+        semantic_ingest_verdicts(
+            batch=batch_df.select("vec_id", "embedding"),
+            corpus=corpus,
+            n_centroids=n_centroids,
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        arriving.writeStream.foreachBatch(judge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    if not os.path.isdir(out_dir):
+        # Zero micro-batches scheduled (exhausted checkpoint + fresh
+        # out_dir) — same guard as stream_incremental_dedup.
+        return semantic_ingest_verdicts(
+            batch=corpus.limit(0), corpus=corpus, n_centroids=n_centroids
+        ).limit(0)
+    return spark.read.parquet(out_dir)

@@ -449,3 +449,17 @@ def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
     assert rerun.count() == 0
     # dtypes (not full schema): the parquet round-trip relaxes nullability.
     assert rerun.dtypes == got.dtypes, (rerun.dtypes, got.dtypes)
+
+
+@pytest.mark.streaming
+def test_stream_semantic_ingest_equals_batch(spark, tmp_path):
+    """The streaming embedding-ingest dedup (foreachBatch over arriving
+    vectors) must produce exactly the batch q_llm_dedup_semantic_incr
+    verdicts — the operator judges each vector against the corpus index
+    only, so micro-batch chopping cannot change any verdict."""
+    got = demos.stream_semantic_ingest(
+        spark, SF_SMOKE, str(tmp_path / "verdicts"), str(tmp_path / "ck")
+    )
+    want = load_all()["q_llm_dedup_semantic_incr"].fn(spark, SF_SMOKE)
+    problems = compare_frames(got.toPandas(), want.toPandas())
+    assert not problems, problems
