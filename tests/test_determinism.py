@@ -40,6 +40,16 @@ SENSITIVE = [
     "q_llm_quality_gate",     # ntile bucket boundaries under different partitioning
     "q_llm_bigram_surprisal", # decimal-bridged ln fold + checkpointed global counts
     "q_llm_dedup_incremental",  # two semi-join verdict paths merged by left joins
+    # round-4 additions
+    "q_llm_pq_quantize",        # MIN(STRUCT) argmin + decimal error sum under merge trees
+    "q_llm_sim_pq_rerank",      # two-stage shortlist boundary + rank ties
+    "q_llm_sim_ivfpq",          # IVF cells x PQ LUT x shortlist x rerank composition
+    "q_llm_decontaminate_semantic",  # MAX(STRUCT) best-match under different merge trees
+    "q_llm_dedup_semantic_incr",     # left-join verdict merge + struct-max tiebreak
+    "q_llm_mix_temperature",    # histogram partial-agg + IEEE weight derivation
+    "q_llm_source_token_cap",   # window cumsum prefix under different partitioning
+    "q_agg_approx_percentile",  # exact-regime sketch merge under different trees
+    "q_agg_approx_distinct",    # HLL merge + exact anchor under different trees
 ]
 
 
