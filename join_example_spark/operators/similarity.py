@@ -270,6 +270,7 @@ def pq_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    codebook_subs: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization code assignment: ``(id, sub, code, d2r)`` — for
     every vector and every subspace, the nearest codebook entry by rounded
@@ -282,8 +283,16 @@ def pq_assignments(
     vector to n_sub·log2(n_codes) bits (64-dim float32 → 32 bits at the
     default 4×8-bit config, a 64× memory cut), which is what makes
     billion-vector candidate scans RAM-resident at 100 TB.
+
+    ``codebook_subs``: pass a codebook built elsewhere (e.g. from the FULL
+    corpus) to encode a subset of vectors against it — without this, the
+    codebook derives from ``emb`` itself, which is wrong for subsets.
     """
-    cbs = pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
+    cbs = (
+        codebook_subs
+        if codebook_subs is not None
+        else pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
+    )
     vs = emb.select(
         F.col(id_col), F.explode(F.expr(f"sequence(0, {n_sub - 1})")).alias("sub"), F.col(vec_col)
     ).select(
@@ -448,10 +457,27 @@ def ivfpq_topk(
 
     if n_centroids is None:
         n_centroids = int(math.ceil(math.sqrt(emb.count())))
-    home = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits, nprobe=1)
+    # ONE centroid-assignment pass serves both roles: rank all cells per
+    # vector once, then home = rank-1 rows (candidate side) and probed =
+    # rank ≤ nprobe rows of the probe subset. Halves the broadcast-join +
+    # ranking work vs assigning twice.
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    cdot = F.expr(DOT_SQL.format(a=vec_col, b="cvec"))
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cdot, round_digits))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") <= nprobe)
+        .select(F.col(id_col), F.col("cent_id").alias("cell"), "arn")
+    )
+    home = ranked.where(F.col("arn") == 1)
     probed = (
-        ivf_cells(emb, n_centroids, id_col, vec_col, round_digits, nprobe=nprobe)
-        .where(F.expr(probe_pred))
+        ranked.where(F.expr(probe_pred))
         .select(F.col(id_col).alias("probe_id"), "cell")
     )
     # Candidate ids per probe: home cell ∈ the probe's probed cells. Each
@@ -479,8 +505,20 @@ def ivfpq_topk(
         .withColumn("part", F.round(pdot, round_digits))
         .select("probe_id", "sub", "code", "part")
     )
+    # PQ-encode ONLY vectors that are candidates of some probe (semi-join
+    # restriction): assignments are per-vector independent, so the result
+    # is unchanged, and the n × n_codes encode folds — the dominant cost —
+    # shrink to the probed-cell population (~nprobe/C of the corpus when
+    # probes are a small fraction; in production the codes are precomputed
+    # at ingest and this stage reads them).
+    cand_vecs = emb.join(
+        cand_ids.select(F.col("cand_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
     codes = pq_assignments(
-        emb, n_codes, n_sub, sub_dim, id_col, vec_col, round_digits
+        cand_vecs, n_codes, n_sub, sub_dim, id_col, vec_col, round_digits,
+        codebook_subs=cbs,  # codebook from the FULL corpus, not the subset
     ).select(F.col(id_col).alias("cand_id"), "sub", "code")
     scored = (
         cand_ids.join(codes, "cand_id")
