@@ -258,3 +258,43 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "value",
     )
+
+
+@register(
+    "q_win_sliding_distinct",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(COUNT(DISTINCT user_id) OVER (
+           PARTITION BY event_type ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_users_1h
+FROM events
+""",
+    note="sliding DISTINCT count -- distinct users per event type over the "
+    "trailing hour, evaluated AT every event (the live-audience metric). "
+    "Spark has no DISTINCT window aggregate; the rewrite is "
+    "size(array_distinct(collect_list(user_id))) over a RANGE frame on "
+    "unix_micros (microsecond-exact, matching DuckDB's INTERVAL frame "
+    "inclusively). Exact integers -- no float bridge needed. Scale "
+    "caveat, documented: PARTITION BY a low-cardinality event_type "
+    "serializes each type into one task, and the collect_list frame "
+    "buffers the trailing hour -- fine for dashboard-sized types; the "
+    "100 TB route is per-(type, minute-bucket) HLL partials merged over "
+    "the window (mergeable sketches, bounded state), traded here for the "
+    "exact oracle-certified semantics",
+    tags=("window", "temporal"),
+)
+def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+        .cast("bigint")
+        .alias("n_users_1h"),
+    )

@@ -50,6 +50,7 @@ SENSITIVE = [
     "q_llm_source_token_cap",   # window cumsum prefix under different partitioning
     "q_agg_approx_percentile",  # exact-regime sketch merge under different trees
     "q_agg_approx_distinct",    # HLL merge + exact anchor under different trees
+    "q_win_sliding_distinct",   # collect_list range-frame under different partitioning
 ]
 
 
