@@ -284,3 +284,19 @@ def test_source_token_cap_budget_and_order(spark):
         want.append(r.doc_id)
     got = [r.doc_id for r in out.where(F.col("source") == src).orderBy("cum_toks").collect()]
     assert got == want, (src, got, want)
+
+
+def test_driver_priority_head_is_oracle_able():
+    """Registry hygiene: the driver consumes only the first ~50 entries
+    per round, and a rows-only query inside that prefix burns a slot on a
+    structurally-ungreenable `no_oracle` row. Keep the head oracle-able —
+    if a new rows-only query is deliberately prioritized, it must be
+    re-ordered below the top 50 or this pin updated consciously."""
+    from join_example_spark.registry import load_all
+
+    reg = load_all()
+    head = list(reg.items())[:50]
+    rows_only = [name for name, spec in head if spec.oracle is None]
+    assert not rows_only, (
+        f"rows-only queries inside the driver's top-50 prefix: {rows_only}"
+    )
