@@ -903,3 +903,107 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("tok", "n", "rn")
     )
+
+
+@register(
+    "q_dq_constraints",
+    oracle="""
+WITH checks AS (
+    SELECT 'orders_pk_unique' AS rule,
+           (SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+           )) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           (SELECT COUNT(*) FROM (
+               SELECT l_orderkey, l_linenumber FROM lineitem
+               GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+           ))
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'discount_in_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 1.0)
+    UNION ALL
+    SELECT 'quantity_positive',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0.0)
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks
+""",
+    note="declarative data-quality constraint audit (the Deequ/"
+    "expectations pattern as ONE query): primary-key uniqueness, "
+    "referential integrity, domain ranges, and non-null rules each "
+    "reduce to a violation COUNT -- exact integers, no float bridge. "
+    "Plans: uniqueness is a partial-agg groupBy HAVING; FK checks are "
+    "anti-joins (never correlated per-row subqueries); every rule is one "
+    "scan + one shuffle and the rules run as a unioned single job. At "
+    "100 TB this is the pre-publication gate of a pipeline: violations "
+    "routed to quarantine, the boolean gate blocking the promote step. "
+    "Finding, agreed by both engines: this synthetic fixture genuinely "
+    "VIOLATES lineitem (l_orderkey, l_linenumber) uniqueness (11785 dup "
+    "key groups at sf0.01) -- the failing row is real audit output, not "
+    "an engine bug, and proves the check bites",
+    tags=("quality", "agg"),
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+
+    def one(rule: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(rule).alias("rule"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dup_li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fk_li = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fk_orders = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    disc = li.where(
+        (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    qty = li.where(F.col("l_quantity") <= 0.0).agg(F.count(F.lit(1)).alias("n"))
+    odate = orders.where(F.col("o_orderdate").isNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        one("orders_pk_unique", dup_orders)
+        .union(one("lineitem_pk_unique", dup_li))
+        .union(one("lineitem_fk_orders", fk_li))
+        .union(one("orders_fk_customer", fk_orders))
+        .union(one("discount_in_range", disc))
+        .union(one("quantity_positive", qty))
+        .union(one("orderdate_not_null", odate))
+    )

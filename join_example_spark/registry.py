@@ -73,6 +73,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-4 head. Unlisted (newly added) queries rank BEFORE all of
     # this, so keep the must-verify set comfortably inside the top 50. ----
     # new or semantics-changed in round 4 — need a driver row
+    "q_dq_constraints",
     "q_stream_distinct_users",
     "q_win_sliding_distinct",
     "q_llm_sim_ivfpq",
