@@ -1,7 +1,15 @@
-"""Round-4 pins: the fuzzy-dedup mintok recall trade (round-3 ADVICE), the
-sketch-certification regime guards, and the zero-batch streaming-dedup read
-guard. The oracle mirror covers hash parity; these keep deliberate semantic
-trades and failure-mode guards visible."""
+"""Round-4 pins. The oracle mirror covers hash parity; these keep
+deliberate semantic trades, quality floors, and failure-mode guards
+visible:
+
+- the fuzzy-dedup mintok recall trade (round-3 ADVICE item 1);
+- PQ invariants (code bounds, base-256 packing, self-quantization) and
+  the two-stage shortlist's exact-top-1 coverage at BOTH corpus sizes;
+- semantic decontamination's no-false-positives + recall floor;
+- temperature mixing's weight algebra (flattening toward uniform) and the
+  token cap's budget/prefix property;
+- registry hygiene: no rows-only query inside the driver's top-50 prefix.
+"""
 
 from __future__ import annotations
 
