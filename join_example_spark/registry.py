@@ -88,7 +88,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_ann_recall_nprobe",
     "q_llm_sim_ivf_probe",
     "q_llm_dedup_semantic",
-    "q_llm_dedup_semantic_exact",
     # R->Y in round 4 (verdict item 4): exact-regime / exact-anchored
     # sketch certification — first possible driver row for each.
     "q_agg_approx_percentile",
@@ -100,6 +99,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_split_assign",
     "q_llm_decontaminate",
     "q_llm_pack_chunks",
+    "q_llm_train_pipeline",
+    "q_llm_chunk_overlap",
+    "q_llm_sample_stratified",
     "q_llm_mix_sources",
     "q_llm_repetition",
     "q_llm_pii_redact",
@@ -130,10 +132,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_map",
     # High-value re-confirmations: flagship + the rest of the training
     # family (verdict item 5) + TPC-H anchors last green in round 1.
+    # q_llm_dedup_semantic_exact is a RENAME of the r3-driver-green exact
+    # semantics (same SQL), so it safely sits just past the ~50 boundary.
+    "q_llm_dedup_semantic_exact",
     "q_flagship_daily_enrich",
-    "q_llm_train_pipeline",
-    "q_llm_chunk_overlap",
-    "q_llm_sample_stratified",
     "q_llm_dedup_semantic_ivf",
     "q_tpch_q3",
     "q_tpch_q5",
