@@ -134,7 +134,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # family (verdict item 5) + TPC-H anchors last green in round 1.
     # q_llm_dedup_semantic_exact is a RENAME of the r3-driver-green exact
     # semantics (same SQL), so it safely sits just past the ~50 boundary.
+    # q_win_sliding_distinct_hll (added after the head filled) queues here
+    # for its first driver row in the round-5 rotation.
     "q_llm_dedup_semantic_exact",
+    "q_win_sliding_distinct_hll",
     "q_flagship_daily_enrich",
     "q_llm_dedup_semantic_ivf",
     "q_tpch_q3",

@@ -51,6 +51,7 @@ SENSITIVE = [
     "q_agg_approx_percentile",  # exact-regime sketch merge under different trees
     "q_agg_approx_distinct",    # HLL merge + exact anchor under different trees
     "q_win_sliding_distinct",   # collect_list range-frame under different partitioning
+    "q_win_sliding_distinct_hll",  # windowed HLL union merge under different partitioning
 ]
 
 
