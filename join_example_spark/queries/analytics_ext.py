@@ -1007,3 +1007,68 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(one("quantity_positive", qty))
         .union(one("orderdate_not_null", odate))
     )
+
+
+@register(
+    "q_dq_volume_anomaly",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+), trailed AS (
+    SELECT day, n_events,
+           AVG(CAST(n_events AS DOUBLE)) OVER (
+               ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+           ) AS trail_avg,
+           COUNT(*) OVER (
+               ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+           ) AS trail_n
+    FROM daily
+)
+SELECT day, n_events,
+       ROUND(trail_avg, 4) AS trail_avg,
+       CAST(n_events AS DOUBLE) < 0.5 * trail_avg
+           OR CAST(n_events AS DOUBLE) > 2.0 * trail_avg AS is_anomaly
+FROM trailed
+WHERE trail_n = 7
+""",
+    note="ingest-volume anomaly monitor (the freshness/ops half of data "
+    "quality, next to q_dq_constraints' correctness half): daily event "
+    "counts judged against their own trailing-7-day mean, flagged outside "
+    "the [0.5x, 2x] band -- the pager rule for a dead upstream or a "
+    "duplicating producer. Warm-up days (fewer than 7 trailing points) "
+    "are excluded rather than judged against a noisy mean. Determinism: "
+    "the trailing mean is AVG over EXACT integer counts in a fixed ROWS "
+    "frame -- identical operand sequence both engines -- rounded for "
+    "display; the band comparison uses the unrounded value. Plan: one "
+    "partial-agg to ~days rows, then a window over that tiny frame -- at "
+    "100 TB the daily rollup is the only corpus-sized work",
+    tags=("quality", "window", "temporal"),
+)
+def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trailed = daily.select(
+        "day",
+        "n_events",
+        F.avg(F.col("n_events").cast("double")).over(w).alias("trail_avg"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    return trailed.where(F.col("trail_n") == 7).select(
+        "day",
+        "n_events",
+        F.round("trail_avg", 4).alias("trail_avg"),
+        (
+            (F.col("n_events").cast("double") < 0.5 * F.col("trail_avg"))
+            | (F.col("n_events").cast("double") > 2.0 * F.col("trail_avg"))
+        ).alias("is_anomaly"),
+    )

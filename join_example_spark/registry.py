@@ -138,6 +138,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # for its first driver row in the round-5 rotation.
     "q_llm_dedup_semantic_exact",
     "q_win_sliding_distinct_hll",
+    "q_dq_volume_anomaly",
     "q_flagship_daily_enrich",
     "q_llm_dedup_semantic_ivf",
     "q_tpch_q3",
