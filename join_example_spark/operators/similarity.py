@@ -45,7 +45,11 @@ def cosine_topk(
     """Exact blocked top-k cosine neighbors per probe vector.
 
     - ``probe_pred`` restricts the probe side (all-pairs is O(n²); a probe
-      subset is the honest exact-baseline shape).
+      subset is the honest exact-baseline shape). ``None`` means NO probe
+      restriction here (unlike the ANN operators, whose ``None`` templates
+      the default ``{id_col} % 100 = 0``); the default predicate references
+      the literal ``vec_id`` — callers with a custom ``id_col`` must pass a
+      predicate over their own columns.
     - Blocking on ``block_col`` bounds candidates per probe; at 100 TB the
       block key shuffles both sides co-located, and the per-probe top-k is a
       rank-filter (no global sort).
@@ -186,7 +190,7 @@ def ivf_topk(
     emb: DataFrame,
     n_centroids: int = 16,
     k: int = 3,
-    probe_pred: str = "vec_id % 100 = 0",
+    probe_pred: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
@@ -206,6 +210,8 @@ def ivf_topk(
     scan, never all-pairs). ``nprobe`` is the recall dial measured by
     ``q_llm_ann_recall`` / ``q_llm_ann_recall_nprobe``.
     """
+    if probe_pred is None:
+        probe_pred = f"{id_col} % 100 = 0"
     cands = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits).select(
         F.col(id_col).alias("cand_id"), F.col("cell"), F.col(vec_col).alias("vec_c")
     )
@@ -321,7 +327,7 @@ def pq_adc_topk(
     n_codes: int = 256,
     n_sub: int = 4,
     sub_dim: int = 16,
-    probe_pred: str = "vec_id % 100 = 0",
+    probe_pred: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
@@ -343,6 +349,8 @@ def pq_adc_topk(
     any partition order. Approximation error vs the exact dot is exactly
     the PQ reconstruction error — audited by ``q_llm_pq_quantize``.
     """
+    if probe_pred is None:
+        probe_pred = f"{id_col} % 100 = 0"
     cbs = pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
     probes = emb.where(F.expr(probe_pred)).select(
         F.col(id_col).alias("probe_id"),
@@ -385,7 +393,7 @@ def pq_adc_rerank_topk(
     n_codes: int = 256,
     n_sub: int = 4,
     sub_dim: int = 16,
-    probe_pred: str = "vec_id % 100 = 0",
+    probe_pred: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
@@ -404,6 +412,8 @@ def pq_adc_rerank_topk(
     Output sims are EXACT dots — identical semantics to the brute-force
     ranking whenever the true neighbor makes the shortlist.
     """
+    if probe_pred is None:
+        probe_pred = f"{id_col} % 100 = 0"
     adc = pq_adc_topk(
         emb, shortlist, n_codes, n_sub, sub_dim, probe_pred, id_col, vec_col, round_digits
     ).select("probe_id", "cand_id")
@@ -430,7 +440,7 @@ def ivfpq_topk(
     n_codes: int = 256,
     n_sub: int = 4,
     sub_dim: int = 16,
-    probe_pred: str = "vec_id % 100 = 0",
+    probe_pred: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
@@ -455,6 +465,8 @@ def ivfpq_topk(
     """
     import math
 
+    if probe_pred is None:
+        probe_pred = f"{id_col} % 100 = 0"
     if n_centroids is None:
         n_centroids = int(math.ceil(math.sqrt(emb.count())))
     # ONE centroid-assignment pass serves both roles: rank all cells per

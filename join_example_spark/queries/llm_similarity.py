@@ -559,8 +559,8 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared DuckDB-side PQ scaffolding: deterministic 16-entry codebook from the
-# lowest-id vectors, 8 subspaces x 8 dims, rounded squared-L2 assignment with
+# Shared DuckDB-side PQ scaffolding: deterministic 256-entry codebook from the
+# lowest-id vectors, 4 subspaces x 16 dims, rounded squared-L2 assignment with
 # code-id tiebreak. Textually mirrors operators/similarity.py
 # (pq_codebook_subs / pq_assignments); the squared-distance fold is the same
 # sequential left-fold in DOUBLE proven bit-identical for _DUCK_DOT.
@@ -937,7 +937,7 @@ stats AS (
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS cell_mean,
            sqrt(GREATEST(
-               CAST(SUM(CAST(csim AS DECIMAL(25,6)) * CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               CAST(SUM(CAST(csim AS DECIMAL(12,4)) * CAST(csim AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
                - (CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
                  * (CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)),
                0.0)) AS cell_std
@@ -957,9 +957,13 @@ WHERE s.n_members >= 5 AND c.csim < s.cell_mean - 1.0 * s.cell_std
     "-- members far from their own coarse centroid are corrupted/garbage "
     "embedding candidates (wrong modality, zeroed rows, encoder crashes) "
     "that silently poison ANN graphs and semantic dedup. Determinism: "
-    "csim is the rounded fold; mean and E[x^2] accumulate in exact "
-    "DECIMAL then take ONE IEEE division/sqrt on identical operands both "
-    "engines, so the 2-sigma threshold comparison is bit-stable. Cells "
+    "csim is the rounded fold (4 decimals); the squared term is computed "
+    "as DECIMAL(12,4)*DECIMAL(12,4) -> DECIMAL(25,8), which holds the "
+    "8-decimal square EXACTLY in both engines (a DECIMAL(25,6) square "
+    "would exceed Spark's 38-digit cap and be truncated to scale 6 -- "
+    "engine-divergent); mean and E[x^2] accumulate in exact DECIMAL then "
+    "take ONE IEEE division/sqrt on identical operands both engines, so "
+    "the sigma-threshold comparison is bit-stable. Cells "
     "with < 5 members are skipped (no meaningful sigma). At 100 TB: "
     "centroids broadcast, stats is a partial-agg over O(sqrt(n)) cells "
     "broadcast back -- two map-side passes, no quadratic anything",
@@ -997,7 +1001,7 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(mean_expr).alias("cell_mean"),
         F.expr(
             "sqrt(GREATEST("
-            " CAST(SUM(CAST(csim AS DECIMAL(25,6)) * CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)"
+            " CAST(SUM(CAST(csim AS DECIMAL(12,4)) * CAST(csim AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)"
             f" - ({mean_expr}) * ({mean_expr}),"
             " 0.0D))"
         ).alias("cell_std"),

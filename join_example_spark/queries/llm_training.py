@@ -378,7 +378,8 @@ WITH h AS (
     SELECT source, CAST(SUM(c) AS BIGINT) AS n_total FROM h GROUP BY source
 ), tot AS (
     SELECT CAST(SUM(n_total) AS BIGINT) AS n_corpus,
-           SUM(sqrt(CAST(n_total AS DOUBLE))) AS sum_sqrt
+           list_aggregate(list_transform(list_sort(list(n_total)),
+               x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS sum_sqrt
     FROM stats
 ), rates AS (
     SELECT s.source, s.n_total,
@@ -401,9 +402,12 @@ GROUP BY r.source, r.n_total, r.weight, r.rate_permille
     "bucket) histogram (<= sources x 1000 rows), and every downstream "
     "number — weights, rates, realized kept counts — derives from that "
     "tiny table, so retuning alpha or the target replays NO corpus scan. "
-    "weight is a raw IEEE double (sqrt/div on identical operands both "
-    "engines — bit-stable, no ROUND); rate boundaries are FLOOR on "
-    "irrational products (no x.5 tie class). At 100 TB: one scan + one "
+    "sum_sqrt is a SORTED sequential fold (collect_list -> array_sort -> "
+    "aggregate | list_sort -> list_aggregate 'sum'), not a bare double "
+    "SUM, so partial-agg merge order cannot perturb the last ulp even "
+    "under non-uniform source sizes; weight is then one IEEE sqrt/div on "
+    "identical operands both engines — bit-stable, no ROUND; rate "
+    "boundaries are FLOOR on irrational products (no x.5 tie class). At 100 TB: one scan + one "
     "20k-row shuffle; the keep predicate itself (id_hash % 1000 < rate) "
     "is the same map-side filter as q_llm_mix_sources",
     tags=("llm", "training", "mixture"),
@@ -418,7 +422,16 @@ def q_llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = h.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_total"))
     tot = stats.agg(
         F.sum("n_total").cast("bigint").alias("n_corpus"),
-        F.sum(F.sqrt(F.col("n_total").cast("double"))).alias("sum_sqrt"),
+        # Sequential fold over the SORTED per-source counts: double addition
+        # is order-dependent, so a plain SUM(sqrt(n)) would be a partial-agg
+        # merge-order lottery (masked today only by uniform fixture counts).
+        # Sorting the ~sources-sized list and folding left-to-right gives the
+        # identical IEEE operation sequence in both engines — bit-stable
+        # without rounding the irrational sqrt values.
+        F.expr(
+            "aggregate(array_sort(collect_list(n_total)), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + sqrt(CAST(x AS DOUBLE)))"
+        ).alias("sum_sqrt"),
     )
     rates = stats.crossJoin(F.broadcast(tot)).select(
         "source",
