@@ -671,8 +671,9 @@ SELECT probe_id, cand_id, adc_sim, rn FROM (
     "ordering is approximate BY DESIGN (this near-isotropic synthetic "
     "corpus is PQ's worst case -- measured: the exact top-1 sits at ADC "
     "rank <= 51 for n=500, <= 297 for n=5000); the USABLE search is "
-    "q_llm_sim_pq_rerank, which absorbs that error with an exact re-rank "
-    "of an n/4 shortlist. This query certifies the LUT machinery itself",
+    "q_llm_sim_ivfpq (IVF cell restriction + constant shortlist=32 exact "
+    "re-rank); q_llm_sim_pq_rerank_baseline measures what flat ADC needs "
+    "without IVF (n/4). This query certifies the LUT machinery itself",
     tags=("llm", "similarity", "approx"),
 )
 def q_llm_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,7 +763,7 @@ def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_llm_sim_pq_rerank",
+    "q_llm_sim_pq_rerank_baseline",
     oracle=f"""
 WITH {_PQ_CTES},
 lut AS (
@@ -802,21 +803,25 @@ SELECT probe_id, cand_id, sim, rn FROM (
     FROM rescored
 ) WHERE rn <= 3
 """,
-    note="two-stage PQ search (the production IVFPQ shape): the 32-bit-"
-    "code ADC scan shortlists max(64, n/4) candidates per probe, then "
-    "ONLY the shortlist is re-ranked with the exact full-precision dot -- "
-    "output sims are EXACT, so results equal brute force whenever the "
-    "true neighbor makes the shortlist. The n/4 dial is measured against "
-    "this corpus (PQ's worst case, near-isotropic): worst ADC rank of the "
-    "exact top-1 is 51 vs shortlist 125 at n=500, 297 vs 500 at n=2000 -- "
-    "1.7-2.5x coverage margin, pinned by the unit test asserting exact-"
-    "top-1 membership in the re-ranked top-3 at BOTH n=500 and n=2000 "
-    "(sf0.1). At 100 TB the exact re-rank "
-    "touches shortlist-many vectors per probe while the volume scan reads "
-    "32 bits/vector -- the memory-bandwidth economics PQ exists for",
-    tags=("llm", "similarity", "approx"),
+    note="EXPLICITLY-LABELED LINEAR-SHORTLIST BASELINE (was "
+    "q_llm_sim_pq_rerank until round 5): whole-corpus two-stage PQ "
+    "search -- the 32-bit-code ADC scan shortlists max(64, n/4) "
+    "candidates per probe, then ONLY the shortlist is re-ranked with the "
+    "exact full-precision dot. The n/4 dial is NOT scale-free: it is the "
+    "measured coverage requirement of flat (un-partitioned) ADC on this "
+    "near-isotropic corpus, PQ's worst case (worst ADC rank of the exact "
+    "top-1: 51 at n=500, 297 at n=2000 -- the rank grows WITH n, so any "
+    "constant shortlist eventually misses), which means the per-probe "
+    "re-rank is linear in n and with probes proportional to n the path "
+    "is O(n^2/400) -- a densify-and-die shape at 100 TB. Kept as the "
+    "recall yardstick that measures raw PQ reconstruction quality; the "
+    "production default is q_llm_sim_ivfpq, whose IVF cell restriction "
+    "makes a CONSTANT shortlist=32 sufficient (in-cell candidate sets "
+    "are small and centroid-homogeneous). Unit test pins exact-top-1 "
+    "membership in the re-ranked top-3 at n=500 and n=2000",
+    tags=("llm", "similarity", "approx", "baseline"),
 )
-def q_llm_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_sim_pq_rerank_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from join_example_spark.operators.similarity import pq_adc_rerank_topk

@@ -270,19 +270,21 @@ SELECT event_id, event_type,
        ) AS BIGINT) AS n_users_1h
 FROM events
 """,
-    note="sliding DISTINCT count -- distinct users per event type over the "
-    "trailing hour, evaluated AT every event (the live-audience metric). "
-    "Spark has no DISTINCT window aggregate; the rewrite is "
+    note="EXPLICITLY-LABELED EXACT BASELINE (tagged in round 5; the "
+    "family DEFAULT is q_win_sliding_distinct_hll): sliding DISTINCT "
+    "count -- distinct users per event type over the trailing hour, "
+    "evaluated AT every event (the live-audience metric). Spark has no "
+    "DISTINCT window aggregate; the rewrite is "
     "size(array_distinct(collect_list(user_id))) over a RANGE frame on "
     "unix_micros (microsecond-exact, matching DuckDB's INTERVAL frame "
-    "inclusively). Exact integers -- no float bridge needed. Scale "
-    "caveat, documented: PARTITION BY a low-cardinality event_type "
-    "serializes each type into one task, and the collect_list frame "
-    "buffers the trailing hour -- fine for dashboard-sized types; the "
-    "100 TB route is per-(type, minute-bucket) HLL partials merged over "
-    "the window (mergeable sketches, bounded state), traded here for the "
-    "exact oracle-certified semantics",
-    tags=("window", "temporal"),
+    "inclusively). Exact integers -- no float bridge needed. WHY it is "
+    "a baseline, not the default: PARTITION BY a low-cardinality "
+    "event_type serializes each type into one task and the collect_list "
+    "frame buffers the trailing hour of raw user_ids -- per-row frame "
+    "work grows with stream density (measured 7.5x on the 8x probe, "
+    "SCALE.md §3.3 -- densify-and-die). Kept as the exact semantics the "
+    "HLL route is audited against; do not ship this shape at scale",
+    tags=("window", "temporal", "baseline"),
 )
 def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -318,8 +320,9 @@ SELECT DISTINCT event_type,
        TRUE AS hll_within_tol
 FROM tmu
 """,
-    note="the 100 TB rewrite of q_win_sliding_distinct, implemented (not "
-    "just documented): per-(type, minute) HLL partials (DataSketches "
+    note="the sliding-distinct family DEFAULT (since round 5) -- the "
+    "100 TB rewrite of the q_win_sliding_distinct exact baseline: "
+    "per-(type, minute) HLL partials (DataSketches "
     "hll_sketch_agg, lgK=12) merged over a trailing-60-minute window with "
     "hll_union_agg -- the window frame carries BOUNDED sketches instead "
     "of raw user arrays, so frame memory is O(minutes x 4KB) regardless "

@@ -70,31 +70,76 @@ def register(
 #: list (i.e. queries added later) are placed before everything else so
 #: new work is always checked first.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-4 head. Unlisted (newly added) queries rank BEFORE all of
-    # this, so keep the must-verify set comfortably inside the top 50. ----
-    # new or semantics-changed in round 4 — need a driver row
+    # ---- round-5 head. Unlisted (newly added) queries rank BEFORE all of
+    # this, so the explicit head stays at 44 to leave prefix headroom. ----
+    # The final 3 oracle-able queries without a driver row (queued at 51-53
+    # in round 4) lead; then everything whose semantics/name changed in
+    # round 5 (decimal-square fix, sorted sqrt fold, the _baseline rename,
+    # the semantic-dedup ADC pre-filter); then the oldest greens: flagship,
+    # TPC-H anchors and the 2.2/2.3/2.4/2.8 blocks last green in round 1 -
+    # after this rotation every oracle-able query has a driver row and the
+    # oldest greens are re-proven on the current fixture.
+    "q_llm_dedup_semantic_exact",
+    "q_win_sliding_distinct_hll",
+    "q_dq_volume_anomaly",
+    "q_llm_sim_pq_rerank_baseline",
+    "q_llm_embed_outliers",
+    "q_llm_mix_temperature",
+    "q_llm_dedup_semantic",
+    "q_flagship_daily_enrich",
+    "q_llm_dedup_semantic_ivf",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_agg_group",
+    "q_agg_percentile",
+    "q_join_multiway",
+    "q_histogram",
+    "q_lateral_topk",
+    "q_project_rename",
+    "q_filter_pred",
+    "q_filter_branch",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_groupingsets",
+    "q_agg_having",
+    "q_agg_filter_clause",
+    "q_agg_any_all",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_struct",
+    # -------- top-50 boundary (headroom for round-5 additions) --------
+    # everything below is driver-green on the current fixture or rows-only;
+    # relative order preserved from round 4 (positions past the prefix are
+    # never consumed).
     "q_dq_constraints",
     "q_stream_distinct_users",
     "q_win_sliding_distinct",
     "q_llm_sim_ivfpq",
-    "q_llm_embed_outliers",
     "q_llm_dedup_semantic_incr",
-    "q_llm_mix_temperature",
     "q_llm_source_token_cap",
     "q_llm_pq_quantize",
     "q_llm_sim_pq_adc",
-    "q_llm_sim_pq_rerank",
     "q_llm_decontaminate_semantic",
     "q_llm_ann_recall_nprobe",
     "q_llm_sim_ivf_probe",
-    "q_llm_dedup_semantic",
-    # R->Y in round 4 (verdict item 4): exact-regime / exact-anchored
-    # sketch certification — first possible driver row for each.
     "q_agg_approx_percentile",
     "q_agg_approx_distinct",
-    # Round-3 verdict item 1: the 25 oracle-able queries that have NEVER
-    # received a driver CORRECTNESS row (all green in the local sf0.001 +
-    # sf0.01 mirrors). Training family first — the brief's core deliverable.
     "q_llm_sample_hash",
     "q_llm_split_assign",
     "q_llm_decontaminate",
@@ -123,35 +168,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scan_parquet",
     "q_multimodal_frames",
     "q_llm_dedup_ngram",
-    # The 5 events-reading queries whose only green row predates the
-    # NANOS→MICROS fixture flip — prove the read_events fix on them.
     "q_join_theta_range",
     "q_agg_cube",
     "q_agg_latest_per_key",
     "q_fn_json",
     "q_fn_map",
-    # High-value re-confirmations: flagship + the rest of the training
-    # family (verdict item 5) + TPC-H anchors last green in round 1.
-    # q_llm_dedup_semantic_exact is a RENAME of the r3-driver-green exact
-    # semantics (same SQL), so it safely sits just past the ~50 boundary.
-    # q_win_sliding_distinct_hll (added after the head filled) queues here
-    # for its first driver row in the round-5 rotation.
-    "q_llm_dedup_semantic_exact",
-    "q_win_sliding_distinct_hll",
-    "q_dq_volume_anomaly",
-    "q_flagship_daily_enrich",
-    "q_llm_dedup_semantic_ivf",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_agg_group",
-    "q_agg_percentile",
-    "q_join_multiway",
-    "q_histogram",
-    "q_lateral_topk",
-    # -------- top-50 boundary (minus headroom for round-4 queries) --------
-    # everything below is driver-green on the current fixture or rows-only
     "q_llm_dedup_block_audit",
     "q_llm_embed_quantize",
     "q_llm_dedup_incremental",
@@ -199,11 +220,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q21",
     "q_llm_char_entropy",
     "q_llm_dedup_cluster_star",
-    # rows-only by design (no oracle — weaker check regardless)
     "q_llm_dedup_minhash",
     "q_llm_dedup_simhash",
     "q_llm_sim_knn_scale",
-    # driver-green in CORRECTNESS_r02 — re-check only after everything else
     "q_pivot",
     "q_fn_bitwise",
     "q_fn_regex",
@@ -242,37 +261,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_tfidf",
     "q_llm_zipf",
     "q_multimodal_decode",
-    # driver-green in CORRECTNESS_r01 — lowest re-check priority
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_groupingsets",
-    "q_agg_having",
-    "q_agg_filter_clause",
-    "q_agg_any_all",
-    "q_agg_stats",
-    "q_agg_string_agg",
     "q_explode_pos",
     "q_unpivot",
-    "q_project_rename",
-    "q_filter_pred",
-    "q_filter_branch",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
-    "q_fn_struct",
     "q_fn_nulls",
     "q_fn_codec",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
 )
 
 

@@ -42,7 +42,7 @@ SENSITIVE = [
     "q_llm_dedup_incremental",  # two semi-join verdict paths merged by left joins
     # round-4 additions
     "q_llm_pq_quantize",        # MIN(STRUCT) argmin + decimal error sum under merge trees
-    "q_llm_sim_pq_rerank",      # two-stage shortlist boundary + rank ties
+    "q_llm_sim_pq_rerank_baseline",  # two-stage shortlist boundary + rank ties
     "q_llm_sim_ivfpq",          # IVF cells x PQ LUT x shortlist x rerank composition
     "q_llm_decontaminate_semantic",  # MAX(STRUCT) best-match under different merge trees
     "q_llm_dedup_semantic_incr",     # left-join verdict merge + struct-max tiebreak

@@ -138,7 +138,7 @@ def test_pq_adc_rerank_recovers_exact_top1(spark):
     """The two-stage PQ search (ADC shortlist → exact re-rank) must put
     each probe's TRUE exact top-1 neighbor (unblocked brute force over the
     whole corpus) inside its re-ranked top-3 — the usable-search promise
-    made in the q_llm_sim_pq_rerank docstring. The raw ADC ordering alone
+    made in the q_llm_sim_pq_rerank_baseline docstring. The raw ADC ordering alone
     is NOT held to this bar (documented as approximate; this corpus is
     PQ's worst case) — the shortlist+re-rank is."""
     from tests.conftest import SF_SMOKE

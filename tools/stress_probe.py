@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_QUERIES = [
     "q_llm_pq_quantize",
     "q_llm_sim_pq_adc",
-    "q_llm_sim_pq_rerank",
+    "q_llm_sim_pq_rerank_baseline",
     "q_llm_decontaminate_semantic",
     "q_llm_dedup_semantic",
     "q_llm_dedup_semantic_ivf",
