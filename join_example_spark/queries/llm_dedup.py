@@ -602,26 +602,39 @@ _DUCK_DOT = (
     "q_llm_dedup_semantic",
     oracle=f"""
 WITH RECURSIVE
+g AS (
+    SELECT vec_id, embedding,
+           MIN(vec_id) OVER (PARTITION BY embedding) AS gid
+    FROM embeddings
+),
+reps AS (
+    SELECT vec_id, embedding FROM g WHERE vec_id = gid
+),
 cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings ORDER BY vec_id
-    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+    FROM reps ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM reps)
 ), assign AS (
     SELECT e.vec_id, e.embedding, c.cent_id,
            ROW_NUMBER() OVER (
                PARTITION BY e.vec_id
                ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
                         c.cent_id) AS arn
-    FROM embeddings e CROSS JOIN cents c
+    FROM reps e CROSS JOIN cents c
 ), probed AS (
     SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 5
 ),
-raw_edges AS (
+rep_edges AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
     FROM probed a
     JOIN probed b
       ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+),
+raw_edges AS (
+    SELECT src, dst FROM rep_edges
+    UNION ALL
+    SELECT gid AS src, vec_id AS dst FROM g WHERE vec_id <> gid
 ),
 edges AS (
     SELECT src, dst FROM raw_edges
@@ -653,42 +666,35 @@ FROM ranked
 WHERE rn = 1
 """,
     note="SEMANTIC dedup end-to-end, DEFAULT path (de-quadratic'd per the "
-    "round-3 verdict): edge candidates from multi-probe IVF (ceil(sqrt(n)) "
-    "centroids, nprobe=5 multi-assignment blocking — pair work n^1.5*p^2, "
-    "never all-pairs) with the exact rounded dot >= 0.35 as verify, then "
-    "O(log n) star-contraction connected components and a KEEP-BEST "
-    "election per cluster: the member with the largest L2 norm (identical "
-    "sequential fold both sides, vec_id tiebreak). nprobe=5 is the AUDITED "
-    "operating point (pair recall 0.97/0.85 vs 0.34-0.37 at nprobe=2 — "
-    "and the recall difference is material: 726 vs 71 clusters at sf0.1, "
-    "i.e. nprobe=2 under-merges most of the true transitive closure on "
-    "this corpus, whose 0.35 threshold sits in the near-orthogonal hard "
-    "regime with NO high-sim easy band). The local candidate fraction "
-    "(~0.45 at n=2000) is the small-n artifact — frac ~ p^2/sqrt(n) "
-    "shrinks with corpus size (SCALE.md 3.3 curve); cheaper dials remain "
+    "round-3 verdict; identity-contracted per round 5): bit-identical "
+    "vectors first collapse to their lowest-id representative (exact "
+    "dedup ALWAYS precedes near-dedup in production — one hash shuffle), "
+    "then edge candidates come from multi-probe IVF over the DISTINCT "
+    "reps (ceil(sqrt(n_reps)) centroids, nprobe=5 multi-assignment "
+    "blocking — pair work n_reps^1.5*p^2, never all-pairs) with the exact "
+    "rounded dot >= 0.35 as verify; identity edges (gid -> member) "
+    "reconnect duplicates, then O(log n) star-contraction connected "
+    "components and a KEEP-BEST election per cluster: the member with the "
+    "largest L2 norm (identical sequential fold both sides, vec_id "
+    "tiebreak). Identical vectors have identical dots, so contraction "
+    "preserves the component structure while making the adversarial "
+    "duplicate-saturated regime (the 8x probe: 8 exact copies of "
+    "everything) collapse to the distinct-corpus cost instead of paying "
+    "8^1.5 in candidates. nprobe=5 is the AUDITED operating point (pair "
+    "recall 0.97/0.85 vs 0.34-0.37 at nprobe=2 — material: 726 vs 71 "
+    "clusters at sf0.1; the 0.35 threshold sits in the near-orthogonal "
+    "hard regime with NO high-sim easy band). Cheaper dials remain "
     "declared: nprobe=1 (q_llm_dedup_semantic_ivf) and the labeled "
     "quadratic baseline q_llm_dedup_semantic_exact",
     tags=("llm", "dedup", "similarity", "graph", "approx"),
 )
 def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
-    from join_example_spark.operators.similarity import DOT_SQL, ivf_candidate_pairs
+    from join_example_spark.operators.similarity import (
+        identity_contracted_semantic_edges,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Scalar plan-build action, same class as the CC convergence witness.
-    n_centroids = int(math.ceil(math.sqrt(emb.count())))
-    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
-    # dedup=False: skipping the candidate-volume dropDuplicates avoids
-    # shuffling ~n^1.5*p^2 WIDE rows (two 64-float vectors each); the pair
-    # multiplicity (<= nprobe exact-duplicate rows) is absorbed by the
-    # star contraction's own narrow-edge distinct().
-    pairs = (
-        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=5, dedup=False)
-        .withColumn("sim", F.round(dot, 4))
-        .where(F.col("sim") >= 0.35)
-        .select("id_a", "id_b")
-    )
+    pairs = identity_contracted_semantic_edges(emb, nprobe=5, threshold=0.35)
     return _semantic_cluster_reps(emb, pairs)
 
 

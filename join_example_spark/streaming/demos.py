@@ -494,7 +494,12 @@ def stream_semantic_ingest(
         spark.readStream.schema(
             probe_stream_schema(spark, sf_dir, "embeddings.parquet")
         )
-        .option("pathGlobFilter", "embeddings.parquet")
+        # embeddings*.parquet (not the exact name): a restarted query must
+        # pick up vector files that LANDED while it was down — the
+        # checkpoint-recovery test feeds embeddings_part2.parquet into the
+        # same source dir between runs. On the fixture dirs the pattern
+        # still matches only embeddings.parquet.
+        .option("pathGlobFilter", "embeddings*.parquet")
         .parquet(sf_dir.rstrip("/"))
         .where(F.col("vec_id") % 5 == 0)
     )

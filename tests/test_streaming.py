@@ -485,3 +485,57 @@ def test_stream_windowed_distinct_equals_batch_hll(spark, tmp_path):
     )
     problems = compare_frames(streamed.toPandas(), batch.toPandas())
     assert not problems, problems
+
+
+@pytest.mark.streaming
+def test_stream_semantic_ingest_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart exactly-once (round-4 verdict item 6): the vector
+    ingest processes arrival file A, terminates (the "crash" — AvailableNow
+    completion before B exists), then a NEW query over the SAME checkpoint
+    and sink processes arrival file B that landed while it was down. The
+    union of the two runs' verdicts must (a) contain exactly ONE verdict
+    per arriving vector — the restart must not re-judge or re-append A's
+    batch — and (b) equal the one-shot batch answer over A ∪ B."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from join_example_spark.operators.similarity import semantic_ingest_verdicts
+
+    full = papq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    vid = full["vec_id"].to_pandas()
+    is_b = pa.array(((vid % 5 == 0) & (vid % 10 == 5)).to_numpy())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # File 1: the static corpus (vec_id % 5 != 0) plus arrival wave A.
+    papq.write_table(full.filter(pa.compute.invert(is_b)), src / "embeddings.parquet")
+
+    out = str(tmp_path / "verdicts")
+    ck = str(tmp_path / "ck")
+    run1 = demos.stream_semantic_ingest(spark, str(src), out, ck)
+    n_a = run1.count()
+    assert n_a > 0
+
+    # The crash window: wave B lands while the query is down.
+    papq.write_table(full.filter(is_b), src / "embeddings_part2.parquet")
+    got = demos.stream_semantic_ingest(spark, str(src), out, ck)
+
+    # (a) exactly-once: one verdict per arriving vector, no A re-appends.
+    n_b = got.count() - n_a
+    assert n_b > 0, "restart never processed wave B"
+    assert got.select("vec_id").distinct().count() == got.count()
+
+    # (b) the recovered union equals the one-shot batch judgment.
+    import math
+
+    from join_example_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    want = semantic_ingest_verdicts(
+        batch=emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding"),
+        corpus=corpus,
+        n_centroids=int(math.ceil(math.sqrt(corpus.count()))),
+    )
+    problems = compare_frames(got.toPandas(), want.toPandas())
+    assert not problems, problems

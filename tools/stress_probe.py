@@ -1,14 +1,22 @@
-"""8x stress probe (SCALE.md section 3.2): measure which operators absorb
-a synthetic 8x data enlargement and which pay quadratically for it.
+"""Nx stress probe (SCALE.md sections 3.2-3.4): measure which operators
+absorb a synthetic Nx data enlargement and which pay quadratically for it.
 
 Usage:  python tools/stress_probe.py [query ...]
+Env:    SPARK_GRAFT_PROBE_COPIES=N   tier multiplier (default 8; round 5
+                                     added the 64x tier for the semantic-
+                                     dedup candidate-fraction claim)
+        SPARK_GRAFT_PROBE_CANDFRAC=1 additionally measure the semantic-
+                                     dedup default's candidate fraction
+                                     (work pairs via the cell histogram,
+                                     distinct pairs, int8-screen
+                                     survivors) at the probe tier
 
-Builds 8x embeddings/documents/events tables (the sf0.1 rows unioned with
-7 id-shifted copies — near-dup-saturated, the adversarial case for
-candidate generation; events keep their time axis so windows densify 8x
+Builds Nx embeddings/documents/events tables (the sf0.1 rows unioned with
+N-1 id-shifted copies — near-dup-saturated, the adversarial case for
+candidate generation; events keep their time axis so windows densify Nx
 and copies get disjoint user ids so distinct counts grow), copies the
 relational tables as-is, then times each named query once at sf0.1 and
-once at 8x in the same warm session (noop sink — full materialization)
+once at Nx in the same warm session (noop sink — full materialization)
 and prints name, both timings, and the ratio. The default query list is
 the embedding family whose scale posture SCALE.md documents. Timings go
 to stdout as one JSON line; everything else stderr.
@@ -36,8 +44,10 @@ DEFAULT_QUERIES = [
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/spark_graft_probe8x")
-COPIES = 8
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "8"))
+PROBE_DIR = os.environ.get(
+    "SPARK_GRAFT_PROBE_DIR", f"/tmp/spark_graft_probe{COPIES}x"
+)
 
 
 def log(msg: str) -> None:
@@ -128,6 +138,100 @@ def main() -> None:
             "ratio": round(probed / base, 2) if base > 0 else None,
         }
         log(f"{name}: {base:.2f}s -> {probed:.2f}s ({probed / base:.1f}x)")
+
+    if os.environ.get("SPARK_GRAFT_PROBE_CANDFRAC") == "1":
+        # Measure the semantic-dedup default's candidate volume at the
+        # probe tier: C = ceil(sqrt(n)) centroids, nprobe=5 (the audited
+        # operating point). Three numbers:
+        #   work_pairs     = sum over cells of c_a*(c_a-1)/2 with multi-
+        #                    assignment multiplicity — the rows the cell
+        #                    join actually produces (the SCAN cost);
+        #   distinct_pairs = unique (a, b) candidates — the frac the
+        #                    p^2/sqrt(n) theory bounds;
+        #   screen_pairs   = distinct candidates surviving the int8
+        #                    lossless screen — what reaches the exact
+        #                    verify since round 5.
+        import math
+
+        from join_example_spark.operators.similarity import (
+            ivf_candidate_pairs,
+            ivf_cells,
+        )
+        from join_example_spark.sources.readers import read_table
+
+        emb = read_table(spark, PROBE_DIR, "embeddings")
+        n = emb.count()
+        c = int(math.ceil(math.sqrt(n)))
+        total = n * (n - 1) / 2.0
+        cells = ivf_cells(emb, n_centroids=c, nprobe=5)
+        work = (
+            cells.groupBy("cell")
+            .count()
+            .selectExpr("CAST(SUM(count * (count - 1) / 2) AS BIGINT) AS w")
+            .collect()[0].w
+        )
+        t0 = time.time()
+        distinct_pairs = (
+            ivf_candidate_pairs(emb, n_centroids=c, nprobe=5, dedup=False)
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        t_distinct = time.time() - t0
+        delta = 1.0 / 254.0
+        qthresh = int(
+            math.floor((0.35 - 5e-5 - delta * (16.0 + 64.0 * delta)) * 127 * 127)
+        )
+        from pyspark.sql import functions as F
+
+        qcode = F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0D)"
+            " AS TINYINT))"
+        )
+        qcells = ivf_cells(emb, n_centroids=c, nprobe=5).select(
+            "vec_id", qcode.alias("qv"), "cell"
+        )
+        qa = qcells.select(
+            F.col("vec_id").alias("id_a"), F.col("qv").alias("qv_a"), "cell"
+        )
+        qb = qcells.select(
+            F.col("vec_id").alias("id_b"), F.col("qv").alias("qv_b"), "cell"
+        )
+        qdot = F.expr(
+            "aggregate(zip_with(qv_a, qv_b, (x, y) -> CAST(x AS INT)"
+            " * CAST(y AS INT)), 0, (acc, v) -> acc + v)"
+        )
+        if os.environ.get("SPARK_GRAFT_PROBE_SCREEN", "1") == "1":
+            t0 = time.time()
+            screen_pairs = (
+                qa.join(qb, "cell")
+                .where(F.col("id_a") < F.col("id_b"))
+                .where(qdot >= F.lit(qthresh))
+                .select("id_a", "id_b")
+                .distinct()
+                .count()
+            )
+            t_screen = time.time() - t0
+        else:
+            screen_pairs, t_screen = -1, 0.0
+        out["candfrac"] = {
+            "n": n,
+            "centroids": c,
+            "work_pairs": int(work),
+            "distinct_pairs": int(distinct_pairs),
+            "screen_pairs": int(screen_pairs),
+            "total_pairs": int(total),
+            "distinct_frac": round(distinct_pairs / total, 4),
+            "work_frac": round(work / total, 4),
+            "screen_frac_of_candidates": round(
+                screen_pairs / max(1, distinct_pairs), 4
+            ),
+            "theory_frac_p2_over_sqrt_n": round(25.0 / c, 4),
+            "t_distinct_sec": round(t_distinct, 1),
+            "t_screen_sec": round(t_screen, 1),
+        }
+        log(f"candfrac: {out['candfrac']}")
+
     print(json.dumps(out, indent=1))
     spark.stop()
 
