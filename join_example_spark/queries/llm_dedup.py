@@ -994,26 +994,39 @@ def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_dedup_semantic_ivf",
     oracle=f"""
 WITH RECURSIVE
+g AS (
+    SELECT vec_id, embedding,
+           MIN(vec_id) OVER (PARTITION BY embedding) AS gid
+    FROM embeddings
+),
+reps AS (
+    SELECT vec_id, embedding FROM g WHERE vec_id = gid
+),
 cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings ORDER BY vec_id
-    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+    FROM reps ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM reps)
 ), assign AS (
     SELECT e.vec_id, e.embedding, c.cent_id,
            ROW_NUMBER() OVER (
                PARTITION BY e.vec_id
                ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
                         c.cent_id) AS arn
-    FROM embeddings e CROSS JOIN cents c
+    FROM reps e CROSS JOIN cents c
 ), cells AS (
     SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn = 1
 ),
-raw_edges AS (
+rep_edges AS (
     SELECT a.vec_id AS src, b.vec_id AS dst
     FROM cells a
     JOIN cells b
       ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+),
+raw_edges AS (
+    SELECT src, dst FROM rep_edges
+    UNION ALL
+    SELECT gid AS src, vec_id AS dst FROM g WHERE vec_id <> gid
 ),
 edges AS (
     SELECT src, dst FROM raw_edges
@@ -1044,41 +1057,29 @@ SELECT cluster_id,
 FROM ranked
 WHERE rn = 1
 """,
-    note="the 100 TB PATH for semantic dedup, fully oracle-certified: edge "
-    "candidates come from the deterministic IVF coarse quantizer with "
-    "ceil(sqrt(n)) centroids — cell population ~sqrt(n), so cell-local "
-    "pair work is ~n^1.5 instead of the label-block all-pairs n^2 (a "
-    "FIXED centroid count degenerates back to quadratic, measured in the "
-    "8x stress probe; sqrt-scaling is the standard IVF sizing). The "
-    "centroid count is stated identically in the oracle via a computed "
-    "LIMIT. Same star-contraction + max-norm election tail as "
-    "q_llm_dedup_semantic; clusters differ from the exact path only "
-    "where an edge crosses IVF cells — the recall trade every ANN index "
-    "makes, measured by q_llm_ann_recall",
+    note="the cheap-dial semantic dedup (nprobe=1), fully oracle-"
+    "certified and identity-contracted since round 5: bit-identical "
+    "vectors collapse first, then edge candidates come from the "
+    "deterministic IVF coarse quantizer with ceil(sqrt(n_reps)) "
+    "centroids — cell population ~sqrt(n), so cell-local pair work is "
+    "~n^1.5 instead of the label-block all-pairs n^2 (a FIXED centroid "
+    "count degenerates back to quadratic, measured in the 8x stress "
+    "probe; sqrt-scaling is the standard IVF sizing). Contraction "
+    "matters here too: UNcontracted this query paid 28x on the 64x "
+    "duplicate-saturated tier (6.3 -> 176 s, SCALE.md 3.4); contracted "
+    "it absorbs duplication linearly. The centroid count is stated "
+    "identically in the oracle via a computed LIMIT. Same "
+    "star-contraction + max-norm election tail as q_llm_dedup_semantic; "
+    "clusters differ from the exact path only where an edge crosses IVF "
+    "cells — the recall trade every ANN index makes, measured by "
+    "q_llm_ann_recall",
     tags=("llm", "dedup", "similarity", "graph", "approx"),
 )
 def q_llm_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
-    from join_example_spark.operators.similarity import DOT_SQL, ivf_cells
+    from join_example_spark.operators.similarity import (
+        identity_contracted_semantic_edges,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # sqrt(n) centroids: one scalar driver action at plan-build time (the
-    # same class as the CC convergence witness — no row data moves).
-    n_centroids = int(math.ceil(math.sqrt(emb.count())))
-    cells = ivf_cells(emb, n_centroids=n_centroids)
-    a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "cell"
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "cell"
-    )
-    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(dot, 4))
-        .where(F.col("sim") >= 0.35)
-        .select("id_a", "id_b")
-    )
+    pairs = identity_contracted_semantic_edges(emb, nprobe=1, threshold=0.35)
     return _semantic_cluster_reps(emb, pairs)

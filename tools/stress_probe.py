@@ -134,7 +134,7 @@ def main() -> None:
         probed = time.time() - t0
         out[name] = {
             "sf0.1_sec": round(base, 2),
-            "8x_sec": round(probed, 2),
+            "%dx_sec" % COPIES: round(probed, 2),
             "ratio": round(probed / base, 2) if base > 0 else None,
         }
         log(f"{name}: {base:.2f}s -> {probed:.2f}s ({probed / base:.1f}x)")
