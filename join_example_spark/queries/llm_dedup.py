@@ -16,6 +16,7 @@ from join_example_spark.operators.dedup import (
     minhash_lsh_candidates,
     token_jaccard_pairs,
 )
+from join_example_spark.operators.sampling import id_hash_sql
 from join_example_spark.registry import register
 from join_example_spark.sources.readers import read_table
 
@@ -598,11 +599,12 @@ _DUCK_DOT = (
 )
 
 
-@register(
-    "q_llm_dedup_semantic",
-    oracle=f"""
-WITH RECURSIVE
-g AS (
+# Shared DuckDB CTE chain: identity contraction -> multi-probe IVF rep
+# edges (nprobe=5, the audited default) -> identity edges -> recursive
+# reachability -> per-vector min-label. Ends at `labels(vec_id,
+# cluster_id)`; used by q_llm_dedup_semantic (election tail) and
+# q_llm_split_leakage_safe (split tail) so the two oracles cannot drift.
+_SEMANTIC_LABEL_CTES = f"""g AS (
     SELECT vec_id, embedding,
            MIN(vec_id) OVER (PARTITION BY embedding) AS gid
     FROM embeddings
@@ -648,7 +650,14 @@ reach(id, root) AS (
 ),
 labels AS (
     SELECT id AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY id
-),
+)"""
+
+
+@register(
+    "q_llm_dedup_semantic",
+    oracle=f"""
+WITH RECURSIVE
+{_SEMANTIC_LABEL_CTES},
 ranked AS (
     SELECT l.cluster_id, l.vec_id,
            ROW_NUMBER() OVER (
@@ -696,6 +705,59 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = identity_contracted_semantic_edges(emb, nprobe=5, threshold=0.35)
     return _semantic_cluster_reps(emb, pairs)
+
+
+@register(
+    "q_llm_split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE
+{_SEMANTIC_LABEL_CTES}
+SELECT vec_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN {id_hash_sql("cluster_id")} % 100 < 80 THEN 'train'
+            WHEN {id_hash_sql("cluster_id")} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM labels
+""",
+    note="LEAKAGE-SAFE train/val/test split (new in round 5): the split "
+    "hash is over the NEAR-DUP CLUSTER id (the identity-contracted "
+    "multi-probe-IVF components of q_llm_dedup_semantic), so an entire "
+    "near-duplicate cluster lands in ONE split — the defense "
+    "q_llm_split_assign's source-level grouping cannot give when "
+    "near-duplicates cross sources (train/test contamination through "
+    "paraphrases is the classic eval-inflation bug). Composes two "
+    "certified pieces: the semantic cluster labels (same shared oracle "
+    "CTE chain — the two oracles cannot drift) and the portable id-hash "
+    "split rule of the training family. 80/10/10 by cluster, so split "
+    "fractions converge to the target only in cluster mass, not member "
+    "count — exactly the bias a leakage-safe split must accept. At "
+    "100 TB: the cluster labels are the dedup pipeline's existing "
+    "artifact; the split itself is one map-side hash over them",
+    tags=("llm", "training", "split", "dedup", "graph"),
+)
+def q_llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import connected_components_star
+    from join_example_spark.operators.sampling import id_hash
+    from join_example_spark.operators.similarity import (
+        identity_contracted_semantic_edges,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = identity_contracted_semantic_edges(emb, nprobe=5, threshold=0.35)
+    labels = connected_components_star(
+        emb.select("vec_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="vec_id",
+    )
+    bucket = id_hash("cluster_id") % 100
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
 
 
 @register(

@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H anchors and the 2.2/2.3/2.4/2.8 blocks last green in round 1 -
     # after this rotation every oracle-able query has a driver row and the
     # oldest greens are re-proven on the current fixture.
+    "q_llm_split_leakage_safe",
     "q_llm_dedup_semantic_exact",
     "q_win_sliding_distinct_hll",
     "q_dq_volume_anomaly",
