@@ -424,7 +424,11 @@ def stream_incremental_dedup(
         spark.readStream.schema(
             probe_stream_schema(spark, sf_dir, "documents.parquet")
         )
-        .option("pathGlobFilter", "documents.parquet")
+        # documents*.parquet: a restarted query must pick up document files
+        # that LANDED while it was down (same recovery contract as
+        # stream_semantic_ingest); on the fixture dirs the pattern still
+        # matches only documents.parquet.
+        .option("pathGlobFilter", "documents*.parquet")
         .parquet(sf_dir.rstrip("/"))
         .where(F.col("source") == "src1")
     )

@@ -539,3 +539,54 @@ def test_stream_semantic_ingest_restart_from_checkpoint(spark, tmp_path):
     )
     problems = compare_frames(got.toPandas(), want.toPandas())
     assert not problems, problems
+
+
+@pytest.mark.streaming
+def test_stream_incremental_dedup_restart_from_checkpoint(spark, tmp_path):
+    """The text twin of the semantic restart test: ingest-dedup processes
+    document wave A, terminates, then a NEW query over the SAME checkpoint
+    and sink judges wave B that landed while it was down — one verdict per
+    arriving doc (no A re-appends) and the union equals the one-shot batch
+    judgment."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from join_example_spark.operators.dedup import incremental_dedup_verdicts
+
+    full = papq.read_table(f"{SF_SMOKE}/documents.parquet")
+    did = full["doc_id"].to_pandas()
+    src = full["source"].to_pandas()
+    # src1 doc_ids step by 20 from 1 (1, 21, 41, …) — all ≡1 mod 4, so the
+    # wave split keys on mod 40, which alternates 1/21 over that sequence.
+    is_b = pa.array(((src == "src1") & (did % 40 == 21)).to_numpy())
+
+    d = tmp_path / "src"
+    d.mkdir()
+    papq.write_table(full.filter(pa.compute.invert(is_b)), d / "documents.parquet")
+
+    out = str(tmp_path / "verdicts")
+    ck = str(tmp_path / "ck")
+    run1 = demos.stream_incremental_dedup(spark, str(d), out, ck)
+    n_a = run1.count()
+    assert n_a > 0
+
+    papq.write_table(full.filter(is_b), d / "documents_part2.parquet")
+    got = demos.stream_incremental_dedup(spark, str(d), out, ck)
+
+    assert got.count() > n_a, "restart never processed wave B"
+    assert got.select("doc_id").distinct().count() == got.count()
+
+    from join_example_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    corpus = docs.where(F.col("source") == "src0").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    want = incremental_dedup_verdicts(
+        batch=docs.where(F.col("source") == "src1").select(
+            "doc_id", "lang", "n_chars", "text"
+        ),
+        corpus=corpus,
+    )
+    problems = compare_frames(got.toPandas(), want.toPandas())
+    assert not problems, problems
