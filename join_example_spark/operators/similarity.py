@@ -180,7 +180,7 @@ def ivf_candidate_pairs(
     b = cells.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cell"
     )
-    pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    pairs = _by_cell(a).join(_by_cell(b), "cell").where(F.col("id_a") < F.col("id_b"))
     if nprobe > 1 and dedup:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs.select("id_a", "id_b", "vec_a", "vec_b")
@@ -267,7 +267,7 @@ def ivf_int8_verified_edges(
         " 0, (acc, v) -> acc + v)"
     )
     screened = (
-        qa.join(qb, "cell")
+        _by_cell(qa).join(_by_cell(qb), "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("qdot", qdot)
         .where(F.col("qdot") >= F.lit(qlo))
@@ -293,6 +293,43 @@ def ivf_int8_verified_edges(
             | (F.round(dot, round_digits) >= F.lit(threshold))
         )
         .select("id_a", "id_b")
+    )
+
+
+def _by_cell(df: DataFrame, key: str = "cell") -> DataFrame:
+    """Pin a pair-generating join's exchange at the session's shuffle
+    parallelism, exempting it from AQE partition coalescing.
+
+    AQE coalesces post-shuffle partitions by INPUT BYTES; an IVF cell
+    join's input is tiny (ids + 64-float vectors) but its output is
+    quadratic in rows-per-cell, so bytes-based coalescing collapses the
+    pair generation onto 1-2 cores — measured 17.6 s vs 3.2 s on the
+    8×-tier decontamination join (SCALE.md §3.4). An explicit
+    ``repartition(n, key)`` is respected by AQE, and with both join
+    sides pre-partitioned identically the join adds no further
+    exchange. At 100 TB this constant is the knob you would tune anyway:
+    pair-join exchanges must be sized by downstream fan-out, which only
+    the author knows, not by input bytes, which is all AQE can see.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, key)
+
+
+def identity_reps(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Distinct-vector representatives: one row per bit-identical vector
+    group, keyed by the group's lowest id (``(id_col, vec_col)``, where
+    ``id_col`` is the group's MIN id). HASH aggregate on the vector bytes
+    — deliberately NOT ``MIN(id) OVER (PARTITION BY vec)``: a window
+    partitioned by an array column SORTS wide rows with an interpreted
+    array comparator (measured ~7× slower per evaluation at the 8× tier);
+    the hash aggregate never sorts. The building block of every
+    identity-contracted operator."""
+    return (
+        df.groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, vec_col)
     )
 
 
@@ -327,21 +364,18 @@ def identity_contracted_semantic_edges(
     """
     import math as _math
 
-    from pyspark.sql import Window as _W
-
     # ONE evaluation of the contraction: downstream the mapping feeds the
     # candidate join twice, the centroid limit, the quantizer-sizing count
     # and the identity edges — without the eager checkpoint Spark would
-    # re-run the embedding-hash window five times (measured +5 s at
-    # sf0.1). Same executor-side materialization pattern as the star-
-    # contraction CC; at cluster scale this is the persisted distinct-
-    # vector table every production dedup pipeline maintains anyway.
+    # re-run the contraction five times (measured +5 s at sf0.1). Same
+    # executor-side materialization pattern as the star-contraction CC;
+    # at cluster scale this is the persisted distinct-vector table every
+    # production dedup pipeline maintains anyway. Hash-aggregate + join-
+    # back, not a window over the array column (see identity_reps).
+    grp = emb.groupBy(vec_col).agg(F.min(id_col).alias("gid"))
     g = (
-        emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.min(id_col).over(_W.partitionBy(vec_col)).alias("gid"),
-        )
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(grp, vec_col)
         .localCheckpoint(eager=True)
     )
     reps = g.where(F.col(id_col) == F.col("gid")).select(id_col, vec_col)
@@ -402,7 +436,7 @@ def ivf_topk(
     )
     dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
     pairs = (
-        probes.join(cands, "cell")
+        _by_cell(probes).join(_by_cell(cands), "cell")
         .where(F.col("probe_id") != F.col("cand_id"))
         .withColumn("sim", F.round(dot, round_digits))
     )
@@ -675,8 +709,8 @@ def ivfpq_topk(
     # Candidate ids per probe: home cell ∈ the probe's probed cells. Each
     # candidate has ONE home cell, so no pair dedup is needed.
     cand_ids = (
-        probed.join(
-            home.select(F.col(id_col).alias("cand_id"), "cell"), "cell"
+        _by_cell(probed).join(
+            _by_cell(home.select(F.col(id_col).alias("cand_id"), "cell")), "cell"
         )
         .where(F.col("probe_id") != F.col("cand_id"))
         .select("probe_id", "cand_id")
@@ -765,12 +799,24 @@ def semantic_ingest_verdicts(
     per arriving vector — ``status`` kept/dup_semantic, best corpus match
     (max sim, lowest match id on ties) or NULLs when kept.
 
+    Since round 5 the corpus side is IDENTITY-CONTRACTED (the same
+    composition as ``identity_contracted_semantic_edges``): candidates and
+    centroids come from the distinct-vector representatives only. The
+    verdict is unchanged in spirit — a duplicate corpus member has a
+    bit-identical dot to its representative, and the min-match-id tie rule
+    already elects the group's lowest id (= the rep) among equal sims —
+    while a duplicate-saturated corpus (the stress-probe regime) costs the
+    distinct-corpus price instead of multiplying candidates. At 100 TB
+    the contracted index IS the vector store: stores always dedup exact
+    vectors before indexing.
+
     At 100 TB: centroids broadcast; the corpus cell index is precomputed
     and bucketed by cell; each arriving partition assigns map-side and
     joins only its probed cells.
     """
     import math
 
+    corpus = identity_reps(corpus, id_col, vec_col)
     if n_centroids is None:
         n_centroids = int(math.ceil(math.sqrt(max(corpus.count(), 1))))
     cents = (
@@ -798,7 +844,7 @@ def semantic_ingest_verdicts(
     indexed = assign(corpus, "match_id", "vec_cand")
     dot = F.expr(DOT_SQL.format(a="vec_in", b="vec_cand"))
     hits = (
-        arriving.join(indexed, "cell")
+        _by_cell(arriving).join(_by_cell(indexed), "cell")
         .withColumn("sim", F.round(dot, round_digits))
         .where(F.col("sim") >= threshold)
         # a pair can meet in up to nprobe shared cells — narrow rows here

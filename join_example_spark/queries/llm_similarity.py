@@ -686,79 +686,138 @@ def q_llm_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_decontaminate_semantic",
     oracle=f"""
-WITH cents AS (
+WITH tg AS (
+    SELECT vec_id, embedding,
+           MIN(vec_id) OVER (PARTITION BY embedding) AS gid
+    FROM embeddings WHERE vec_id % 7 <> 0
+), treps AS (
+    SELECT vec_id, embedding FROM tg WHERE vec_id = gid
+), ereps AS (
+    SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               MIN(vec_id) OVER (PARTITION BY embedding) AS gid
+        FROM embeddings WHERE vec_id % 7 = 0
+    ) WHERE vec_id = gid
+), cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings ORDER BY vec_id
-    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
-), assign AS (
-    SELECT e.vec_id, e.embedding, c.cent_id,
-           ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
-                        c.cent_id) AS arn
-    FROM embeddings e CROSS JOIN cents c
-), probed AS (
-    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 5
-), hits AS (
-    SELECT t.vec_id, ev.vec_id AS eval_id,
+    FROM treps ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM treps)
+), t_cells AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                            c.cent_id) AS arn
+        FROM treps e CROSS JOIN cents c
+    ) WHERE arn <= 5
+), e_cells AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                            c.cent_id) AS arn
+        FROM ereps e CROSS JOIN cents c
+    ) WHERE arn <= 5
+), rep_hits AS (
+    SELECT DISTINCT t.vec_id, ev.vec_id AS eval_id,
            ROUND({_DUCK_DOT.format(a="t.embedding", b="ev.embedding")}, 4) AS sim
-    FROM (SELECT DISTINCT vec_id, embedding, cell FROM probed WHERE vec_id % 7 <> 0) t
-    JOIN (SELECT DISTINCT vec_id, embedding, cell FROM probed WHERE vec_id % 7 = 0) ev
-      ON t.cell = ev.cell
+    FROM t_cells t
+    JOIN e_cells ev ON t.cell = ev.cell
     WHERE ROUND({_DUCK_DOT.format(a="t.embedding", b="ev.embedding")}, 4) >= 0.35
+), best AS (
+    SELECT vec_id, eval_id, sim FROM (
+        SELECT vec_id, eval_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, eval_id) AS rn
+        FROM rep_hits
+    ) WHERE rn = 1
 )
-SELECT vec_id, eval_id, sim FROM (
-    SELECT vec_id, eval_id, sim,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY sim DESC, eval_id) AS rn
-    FROM (SELECT DISTINCT vec_id, eval_id, sim FROM hits)
-) WHERE rn = 1
+SELECT g.vec_id, b.eval_id, b.sim
+FROM tg g JOIN best b ON b.vec_id = g.gid
 """,
     note="SEMANTIC decontamination -- the embedding-space twin of the "
     "n-gram q_llm_decontaminate: training vectors (vec_id % 7 <> 0) are "
     "flagged when any held-out eval vector (vec_id % 7 = 0) sits within "
     "cosine >= 0.35, with candidate generation through the certified "
-    "multi-probe IVF index (sqrt(n) centroids, nprobe=5) instead of the "
-    "quadratic train x eval join. Paraphrased eval leakage passes n-gram "
-    "screens; this is the screen that catches it. Output: one row per "
-    "contaminated training vector with its strongest eval match (max sim, "
-    "min eval_id tiebreak via MAX(STRUCT(sim, -eval_id)) partial-agg -- "
-    "no window over the full candidate set). At 100 TB: eval embeddings "
-    "are millions of rows vs billions of training rows -- cell-key join "
-    "touches ~nprobe/sqrt(n) of the corpus. Measured recall vs the exact "
-    "quadratic screen: 0.947 (54/57 flagged vectors) at sf0.001, 1.000 "
-    "(60/60) at sf0.01 -- pinned with a >=0.7 floor in the unit tests",
+    "multi-probe IVF index (sqrt(train_reps) centroids, nprobe=5) instead "
+    "of the quadratic train x eval join. Identity-contracted PER SIDE "
+    "since round 5 (an identity group can straddle the train/eval "
+    "boundary, so contraction must not cross it): rep-level matching, "
+    "then flags expand to every duplicate of a flagged train rep with "
+    "the rep's (eval_id, sim) -- bit-identical vectors have bit-identical "
+    "dots, so the expansion invents nothing. Paraphrased eval leakage "
+    "passes n-gram screens; this is the screen that catches it. Output: "
+    "one row per contaminated training VECTOR (not rep) with its "
+    "strongest eval match (max sim, min eval_id tiebreak via "
+    "MAX(STRUCT(sim, -eval_id)) partial-agg -- no window over the full "
+    "candidate set). At 100 TB: eval embeddings are millions of rows vs "
+    "billions of training rows -- cell-key join touches "
+    "~nprobe/sqrt(n_reps) of the contracted corpus. Recall vs the exact "
+    "quadratic screen pinned with a >=0.7 floor in the unit tests",
     tags=("llm", "similarity", "dedup"),
 )
 def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from join_example_spark.operators.similarity import ivf_cells
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.similarity import _by_cell, identity_reps
 
     emb = read_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 7 != 0)
+    # Hash-aggregate contraction (not a window over the array column —
+    # see identity_reps); tgrp doubles as the rep set and, join-backed,
+    # as the member -> gid expansion map.
+    tgrp = train.groupBy("embedding").agg(F.min("vec_id").alias("gid"))
+    treps = tgrp.select(F.col("gid").alias("vec_id"), "embedding")
+    train_g = train.select("vec_id", "embedding").join(tgrp, "embedding")
+    ereps = identity_reps(emb.where(F.col("vec_id") % 7 == 0))
     # Scalar plan-build action, same class as the CC convergence witness.
-    n_centroids = int(math.ceil(math.sqrt(emb.count())))
-    cells = ivf_cells(emb, n_centroids=n_centroids, nprobe=5).dropDuplicates(
-        ["vec_id", "cell"]
+    n_centroids = int(math.ceil(math.sqrt(max(treps.count(), 1))))
+    cents = (
+        treps.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
-    train = cells.where(F.col("vec_id") % 7 != 0).select(
-        "vec_id", F.col("embedding").alias("vec_t"), "cell"
-    )
-    ev = cells.where(F.col("vec_id") % 7 == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("vec_e"), "cell"
-    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        cdot = F.expr(DOT_SQL.format(a="embedding", b="cvec"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cent_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.round(cdot, 4))
+            .withColumn("arn", F.row_number().over(w))
+            .where(F.col("arn") <= 5)
+            .select(
+                F.col("vec_id").alias(out_id),
+                F.col("embedding").alias(out_vec),
+                F.col("cent_id").alias("cell"),
+            )
+        )
+
+    t = assign(treps, "rid", "vec_t")
+    ev = assign(ereps, "eval_id", "vec_e")
     dot = F.expr(DOT_SQL.format(a="vec_t", b="vec_e"))
     hits = (
-        train.join(ev, "cell")
+        _by_cell(t).join(_by_cell(ev), "cell")
         .withColumn("sim", F.round(dot, 4))
         .where(F.col("sim") >= 0.35)
-        # A (train, eval) pair can meet in up to nprobe shared cells.
-        .dropDuplicates(["vec_id", "eval_id"])
+        # A (rep, eval) pair can meet in up to nprobe shared cells.
+        .dropDuplicates(["rid", "eval_id"])
+    )
+    best = (
+        hits.groupBy("rid")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg"))).alias("m"))
+        .select("rid", (-F.col("m.neg")).alias("eval_id"), F.col("m.sim").alias("sim"))
     )
     return (
-        hits.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg"))).alias("m"))
-        .select("vec_id", (-F.col("m.neg")).alias("eval_id"), F.col("m.sim").alias("sim"))
+        train_g.select("vec_id", "gid")
+        .join(best, F.col("gid") == F.col("rid"))
+        .select("vec_id", "eval_id", "sim")
     )
 
 
@@ -1030,8 +1089,14 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_dedup_semantic_incr",
     oracle=f"""
-WITH corpus AS (
+WITH corpus_full AS (
     SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+), corpus AS (
+    SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               MIN(vec_id) OVER (PARTITION BY embedding) AS gid
+        FROM corpus_full
+    ) WHERE vec_id = gid
 ), arriving AS (
     SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
 ), cents AS (
@@ -1081,15 +1146,21 @@ FROM arriving ar LEFT JOIN hits h ON h.vec_id_in = ar.vec_id
     note="incremental SEMANTIC ingest dedup -- the embedding twin of "
     "q_llm_dedup_incremental and the vector-store front door: arriving "
     "vectors (vec_id % 5 = 0) are judged against the STATIC corpus "
-    "through a corpus-derived multi-probe IVF index (sqrt(corpus) "
+    "through a corpus-derived multi-probe IVF index (sqrt(corpus-reps) "
     "centroids, nprobe=5 both sides -- the audited-recall configuration), "
     "exact rounded dot >= 0.35 verify, one kept/dup_semantic verdict per "
     "arriving vector with its best corpus match (max sim, lowest id on "
-    "ties). Verdicts depend ONLY on (vector, corpus) -- never on other "
-    "arriving vectors -- so micro-batch ingestion reproduces the one-shot "
-    "answer exactly (asserted by the streaming equivalence test over "
-    "stream_semantic_ingest). At 100 TB the corpus index is precomputed "
-    "and bucketed by cell; arriving partitions assign map-side",
+    "ties). The corpus side is identity-contracted since round 5 "
+    "(candidates/centroids = distinct-vector reps; a duplicate corpus "
+    "member has a bit-identical dot to its rep and the min-id tie rule "
+    "already elects the rep, so the verdict semantics survive while a "
+    "duplicate-saturated store costs its distinct size). Verdicts depend "
+    "ONLY on (vector, corpus) -- never on other arriving vectors -- so "
+    "micro-batch ingestion reproduces the one-shot answer exactly "
+    "(asserted by the streaming equivalence AND checkpoint-restart tests "
+    "over stream_semantic_ingest). At 100 TB the contracted corpus index "
+    "is precomputed and bucketed by cell; arriving partitions assign "
+    "map-side",
     tags=("llm", "dedup", "similarity", "approx"),
 )
 def q_llm_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -489,11 +489,15 @@ def stream_semantic_ingest(
         .select("vec_id", "embedding")
     )
     # The index derives from the corpus only; sizing it is a one-time
-    # plan-build scalar, NOT per-batch work.
-    n_corpus = corpus.count()
+    # plan-build scalar, NOT per-batch work. Round 5: the operator
+    # identity-contracts the corpus, so the quantizer is sized on the
+    # DISTINCT-vector count (must match the oracle's reps-based LIMIT).
+    from join_example_spark.operators.similarity import identity_reps
+
+    n_reps = identity_reps(corpus).count()
     import math
 
-    n_centroids = int(math.ceil(math.sqrt(max(n_corpus, 1))))
+    n_centroids = int(math.ceil(math.sqrt(max(n_reps, 1))))
     arriving = (
         spark.readStream.schema(
             probe_stream_schema(spark, sf_dir, "embeddings.parquet")

@@ -52,6 +52,8 @@ SENSITIVE = [
     "q_agg_approx_distinct",    # HLL merge + exact anchor under different trees
     "q_win_sliding_distinct",   # collect_list range-frame under different partitioning
     "q_win_sliding_distinct_hll",  # windowed HLL union merge under different partitioning
+    # round-5 additions
+    "q_llm_split_leakage_safe",  # identity contraction + CC labels + cluster hash
 ]
 
 
