@@ -448,6 +448,247 @@ def ivf_topk(
     )
 
 
+#: Composite-cell encoding base for the inverted multi-index: cell =
+#: idx1 * _IMI_BASE + idx2 with 1-based per-half centroid indexes, so
+#: c_per_half must stay < _IMI_BASE.
+_IMI_BASE = 1024
+
+
+def imi_c_per_half(n: int) -> int:
+    """The IMI codebook sizing rule: the smallest integer C with C³ ≥ n
+    (floored at 4) — i.e. ⌈∛n⌉ computed in EXACT integer arithmetic.
+    Float ``pow(n, 1/3)`` is not correctly rounded (IEEE only guarantees
+    sqrt), so ``ceil(pow(...))`` can disagree between engines at perfect
+    cubes; oracles mirror this rule as
+    ``GREATEST(4, (SELECT MIN(i) FROM range(1, 1025) t(i) WHERE i*i*i >= n))``."""
+    c = 4
+    while c * c * c < max(n, 1):
+        c += 1
+    return c
+
+
+def imi_cells(
+    emb: DataFrame,
+    c_per_half: int = 16,
+    nprobe_half: int = 1,
+    nprobe_cells: int | None = None,
+    half_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Inverted multi-index (IMI) coarse quantization: ``(id, vec, cell)``
+    where ``cell`` encodes a PAIR of per-half centroid indexes — the
+    second-order product quantizer of Babenko & Lempitsky's "The Inverted
+    Multi-Index" (CVPR 2012), re-expressed as DataFrame ops.
+
+    The vector splits into two ``half_dim`` halves, each quantized
+    independently against its own ``c_per_half`` codebook (the lowest-id
+    vectors' halves — deterministic, no k-means randomness; assignment is
+    argmax rounded half-dot with centroid-id tiebreak). The product gives
+    ``c_per_half²`` effective cells for only ``2·n·c_per_half`` assignment
+    dots — quadratically cheaper than flat IVF, which pays ``n·K`` for
+    ``K`` cells. That is the whole point: with ``C = ⌈∛n⌉`` per half the
+    index yields ``n^(2/3)`` cells at ``O(n^(4/3))`` assignment cost, and
+    cell-local pair generation is ``n²·T²/(2C²) = O(n^(4/3))`` too —
+    strictly below IVF's Θ(n^1.5) barrier (SCALE.md §3.5).
+
+    Multi-sequence probing: with ``nprobe_half = p`` each half
+    contributes its top-``p`` centroids, and of the ``p²`` product cells
+    the top-``nprobe_cells`` (ranked by ``s1 + s2`` desc, index tiebreak
+    — the multi-sequence traversal order) are kept; ``None`` keeps the
+    full product. Rows multiply accordingly, exactly like multi-probe
+    ``ivf_cells``.
+
+    Plan shape (one linear pass, no branch re-execution): the broadcast
+    centroid cross-join is reduced per vector by a SINGLE hash aggregate
+    that extracts both halves' top-p lists as sorted array slices —
+    deliberately not two ROW_NUMBER windows feeding a self-join, which
+    would execute the n·C assignment subplan twice (the round-5
+    double-reference lesson, SCALE.md §3.4). Vectors are dropped before
+    the aggregate and joined back by id, so the only wide shuffle is 1×
+    the corpus, never C×.
+    """
+    if c_per_half >= _IMI_BASE:
+        raise ValueError(f"c_per_half must be < {_IMI_BASE}")
+    p = nprobe_half
+    t = p * p if nprobe_cells is None else min(nprobe_cells, p * p)
+    lo = F.expr(f"slice({vec_col}, 1, {half_dim})")
+    hi = F.expr(f"slice({vec_col}, {half_dim + 1}, {half_dim})")
+    w_idx = Window.orderBy("cent_id")  # C rows — single tiny partition.
+    cents = (
+        emb.orderBy(id_col)
+        .limit(c_per_half)
+        .select(F.col(id_col).alias("cent_id"), lo.alias("cv1"), hi.alias("cv2"))
+        .withColumn("cidx", F.row_number().over(w_idx))
+        .select("cidx", "cv1", "cv2")
+    )
+    s1 = F.round(F.expr(DOT_SQL.format(a=f"slice({vec_col}, 1, {half_dim})", b="cv1")), round_digits)
+    s2 = F.round(
+        F.expr(DOT_SQL.format(a=f"slice({vec_col}, {half_dim + 1}, {half_dim})", b="cv2")),
+        round_digits,
+    )
+    assign = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cidx"), s1.alias("s1"), s2.alias("s2")
+    )
+    # (s desc, cidx asc) == reverse of ascending (s, -cidx); avoids negated
+    # double sort keys (-0.0 ordering is engine-delicate, ints are not).
+    def top_list(s: str) -> F.Column:
+        arr = F.reverse(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(s).alias("s"), (-F.col("cidx")).alias("negc")))
+            )
+        )
+        return F.slice(arr, 1, p)
+
+    tops = assign.groupBy(id_col).agg(
+        top_list("s1").alias("t1"), top_list("s2").alias("t2")
+    )
+    prod = (
+        tops.select(id_col, F.explode("t1").alias("h1"), "t2")
+        .select(id_col, "h1", F.explode("t2").alias("h2"))
+        .select(
+            id_col,
+            (-F.col("h1.negc")).alias("c1"),
+            (-F.col("h2.negc")).alias("c2"),
+            (F.col("h1.s") + F.col("h2.s")).alias("score"),
+        )
+    )
+    w_seq = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("c1"), F.col("c2")
+    )
+    cells = (
+        prod.withColumn("prn", F.row_number().over(w_seq))
+        .where(F.col("prn") <= t)
+        .select(
+            id_col,
+            (F.col("c1").cast("bigint") * _IMI_BASE + F.col("c2")).alias("cell"),
+        )
+    )
+    return cells.join(emb.select(id_col, vec_col), id_col).select(
+        id_col, vec_col, "cell"
+    )
+
+
+def imi_candidate_pairs(
+    emb: DataFrame,
+    c_per_half: int,
+    nprobe_half: int = 4,
+    nprobe_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    dedup: bool = True,
+) -> DataFrame:
+    """IMI candidate pairs ``(id_a, id_b, vec_a, vec_b)``: every a < b
+    sharing at least one of their top-``nprobe_cells`` multi-sequence
+    product cells. The sub-n^1.5 sibling of :func:`ivf_candidate_pairs`:
+    at ``c_per_half = ⌈∛n⌉`` both the assignment and the expected pair
+    volume are O(n^(4/3)) (math in :func:`imi_cells`), and the measured
+    recall/candidate frontier matches flat IVF's at the mid-range
+    operating points (SCALE.md §3.5). ``dedup=False`` has the same
+    contract as in :func:`ivf_candidate_pairs` — skip the wide dedup
+    shuffle when the consumer is multiplicity-insensitive."""
+    cells = imi_cells(
+        emb, c_per_half, nprobe_half, nprobe_cells,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+    )
+    a = cells.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cell")
+    pairs = _by_cell(a).join(_by_cell(b), "cell").where(F.col("id_a") < F.col("id_b"))
+    if dedup:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.select("id_a", "id_b", "vec_a", "vec_b")
+
+
+def imi_topk(
+    emb: DataFrame,
+    c_per_half: int = 16,
+    k: int = 3,
+    probe_pred: str | None = None,
+    nprobe_half: int = 2,
+    nprobe_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IMI approximate top-k: candidates live in their single home product
+    cell; each probe searches its top ``nprobe_cells`` (default: the full
+    ``nprobe_half²`` product) multi-sequence cells. Candidates are
+    single-assigned so each (probe, candidate) pair arises at most once —
+    no dedup needed, exactly like :func:`ivf_topk`. Same output schema
+    ``(probe_id, cell, cand_id, sim, rn)``."""
+    if probe_pred is None:
+        probe_pred = f"{id_col} % 100 = 0"
+    cands = imi_cells(
+        emb, c_per_half, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).select(F.col(id_col).alias("cand_id"), F.col("cell"), F.col(vec_col).alias("vec_c"))
+    probes = (
+        imi_cells(
+            emb, c_per_half, nprobe_half, nprobe_cells,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        )
+        .where(F.expr(probe_pred))
+        .select(F.col(id_col).alias("probe_id"), F.col("cell"), F.col(vec_col).alias("vec_p"))
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    pairs = (
+        _by_cell(probes).join(_by_cell(cands), "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(dot, round_digits))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", F.col("cell").cast("bigint").alias("cell"), "cand_id", "sim", "rn")
+    )
+
+
+def identity_contracted_imi_edges(
+    emb: DataFrame,
+    nprobe_half: int = 4,
+    nprobe_cells: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """:func:`identity_contracted_semantic_edges` with the IMI candidate
+    generator in place of flat IVF — the sub-n^1.5 semantic-dedup edge
+    path. Same contraction contract (bit-identical vectors collapse
+    first; identity edges reconnect; components preserved exactly), but
+    the coarse quantizer is the two-codebook product index sized
+    ``c_per_half = ⌈∛n_reps⌉``, so BOTH the assignment and the candidate
+    volume are O(n_reps^(4/3)) instead of Θ(n_reps^1.5) (SCALE.md §3.5;
+    measured recall 0.92/0.69 at sf0.01/sf0.1 — the audited dial of
+    ``q_llm_imi_recall``)."""
+    grp = emb.groupBy(vec_col).agg(F.min(id_col).alias("gid"))
+    g = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(grp, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    reps = g.where(F.col(id_col) == F.col("gid")).select(id_col, vec_col)
+    n_reps = reps.count()
+    c_per_half = imi_c_per_half(n_reps)
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    rep_edges = (
+        imi_candidate_pairs(
+            reps, c_per_half, nprobe_half, nprobe_cells,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+            dedup=False,
+        )
+        .withColumn("sim", F.round(dot, round_digits))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    identity_edges = g.where(F.col(id_col) != F.col("gid")).select(
+        F.col("gid").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return rep_edges.unionByName(identity_edges)
+
+
 def pq_codebook_subs(
     emb: DataFrame,
     n_codes: int = 256,

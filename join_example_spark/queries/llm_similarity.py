@@ -279,6 +279,194 @@ def q_llm_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_imi_ctes(src: str, c_expr: str, p: int, t: int) -> str:
+    """DuckDB twin of the IMI coarse quantizer (operators/similarity.py
+    imi_cells): two per-half codebooks from the ``c_expr`` lowest-id rows
+    of ``src``, per-half argmax by rounded 32-dim half-dot (centroid-index
+    tiebreak), multi-sequence product cells ranked by s1+s2. Ends at
+    ``imi_cells(vec_id, cell)`` with cell = c1*1024 + c2. Kept textually
+    parallel to the Spark operator so the two cannot drift."""
+    d1 = _DUCK_DOT.format(a="list_slice(e.embedding, 1, 32)", b="c.cv1")
+    d2 = _DUCK_DOT.format(a="list_slice(e.embedding, 33, 64)", b="c.cv2")
+    return f"""imi_cents AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx,
+           list_slice(embedding, 1, 32) AS cv1,
+           list_slice(embedding, 33, 64) AS cv2
+    FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT ({c_expr}))
+), imi_assign AS (
+    SELECT e.vec_id, c.cidx,
+           ROUND({d1}, 4) AS s1,
+           ROUND({d2}, 4) AS s2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({d1}, 4) DESC, c.cidx) AS rn1,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({d2}, 4) DESC, c.cidx) AS rn2
+    FROM {src} e CROSS JOIN imi_cents c
+), imi_prod AS (
+    SELECT a1.vec_id, a1.cidx AS c1, a2.cidx AS c2,
+           ROW_NUMBER() OVER (PARTITION BY a1.vec_id
+               ORDER BY a1.s1 + a2.s2 DESC, a1.cidx, a2.cidx) AS prn
+    FROM imi_assign a1
+    JOIN imi_assign a2 ON a1.vec_id = a2.vec_id
+    WHERE a1.rn1 <= {p} AND a2.rn2 <= {p}
+), imi_cells AS (
+    SELECT vec_id, c1 * 1024 + c2 AS cell FROM imi_prod WHERE prn <= {t}
+)"""
+
+
+@register(
+    "q_llm_sim_imi",
+    oracle=f"""
+WITH {_duck_imi_ctes("embeddings", "16", 2, 4)},
+home AS (
+    SELECT a1.vec_id, a1.cidx * 1024 + a2.cidx AS cell
+    FROM imi_assign a1
+    JOIN imi_assign a2 ON a1.vec_id = a2.vec_id
+    WHERE a1.rn1 = 1 AND a2.rn2 = 1
+), pairs AS (
+    SELECT p.vec_id AS probe_id,
+           c.cell AS cell,
+           c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="pe.embedding", b="ce.embedding")}, 4) AS sim
+    FROM imi_cells p
+    JOIN home c ON p.cell = c.cell
+    JOIN embeddings pe ON pe.vec_id = p.vec_id
+    JOIN embeddings ce ON ce.vec_id = c.vec_id
+    WHERE p.vec_id % 100 = 0
+      AND p.vec_id <> c.vec_id
+)
+SELECT probe_id, CAST(cell AS BIGINT) AS cell, cand_id, sim, rn
+FROM (
+    SELECT probe_id, cell, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+    FROM pairs
+)
+WHERE rn <= 3
+""",
+    note="INVERTED MULTI-INDEX top-3 (Babenko & Lempitsky 2012, "
+    "DataFrame-native): the vector splits in two 32-dim halves, each "
+    "quantized against its own 16-centroid codebook, giving 256 product "
+    "cells for 2·n·16 assignment dots — flat IVF would pay n·256 for the "
+    "same cell count. Candidates live in their single home (argmax, "
+    "argmax) cell; probes search their 2×2 half-probe product (4 cells "
+    "of 256). The sub-n^1.5 index structure (SCALE.md §3.5): at C=∛n "
+    "per half, assignment AND cell-local pair work are both O(n^4/3). "
+    "Same broadcast-assign + pinned cell-key-shuffle shape as the IVF "
+    "family; recall audited by q_llm_imi_recall",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_sim_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import imi_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return imi_topk(emb, c_per_half=16, k=3, probe_pred="vec_id % 100 = 0", nprobe_half=2)
+
+
+_IMI_C_RULE = (
+    "SELECT GREATEST(4, (SELECT CAST(MIN(i) AS BIGINT) FROM range(1, 1025) t(i)"
+    " WHERE i*i*i >= (SELECT COUNT(*) FROM embeddings)))"
+)
+
+
+@register(
+    "q_llm_imi_recall",
+    oracle=f"""
+WITH {_duck_imi_ctes("embeddings", _IMI_C_RULE, 4, 8)},
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM imi_cells a
+    JOIN imi_cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0
+), truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0
+), j AS (
+    SELECT t.sim, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM truth t
+    LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_sampled,
+       CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN sim >= 0.35 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(SUM(hit) AS BIGINT) AS n_cand,
+       ROUND(CAST(SUM(CASE WHEN sim >= 0.35 AND hit = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS DOUBLE), 0.0),
+             6) AS recall_pairs,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS cand_frac
+FROM j
+""",
+    note="the IMI recall audit — same protocol as q_llm_ann_recall_nprobe "
+    "(near-dup PAIR recall at sim >= 0.35 against exact ground truth on "
+    "the deterministic 10%-of-pairs sample) over the multi-sequence "
+    "inverted multi-index at its audited dial: C = max(4, ⌈∛n⌉) per half "
+    "(EXACT integer cube root — float pow(n,1/3) is not correctly "
+    "rounded and can flip ceil at perfect cubes), top-4 per half, top-8 "
+    "product cells by s1+s2. Measured: recall 0.92/0.91/0.69 at "
+    "sf0.001/0.01/0.1, cand_frac 0.57/0.59/0.28 — the same frontier as "
+    "flat IVF at matched candidate budget (0.565@0.195 IMI vs "
+    "0.542@0.187 IVF at the mid dial) for quadratically cheaper "
+    "assignment. cand_frac falls as n^(-2/3) under the ∛n sizing "
+    "(vs n^(-1/2) for IVF) — the sub-n^1.5 trend, measured in the "
+    "stress probe tiers (SCALE.md §3.5)",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import (
+        imi_c_per_half,
+        imi_candidate_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Scalar plan-build action (sizes the codebooks), same class as the
+    # other √n/∛n operators.
+    c_per_half = imi_c_per_half(emb.count())
+    cand = (
+        imi_candidate_pairs(emb, c_per_half, nprobe_half=4, nprobe_cells=8)
+        .where(F.col("id_a") % 10 == 0)
+        .select("id_a", "id_b", F.lit(1).alias("hit"))
+    )
+    a0 = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    truth = (
+        b.crossJoin(F.broadcast(a0))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot, 4))
+        .select("id_a", "id_b", "sim")
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "left").select(
+        "sim", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    is_true = F.col("sim") >= 0.35
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_sampled"),
+        F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(F.when(is_true & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_found"),
+        F.sum("hit").cast("bigint").alias("n_cand"),
+    ).select(
+        "n_pairs_sampled",
+        "n_true",
+        "n_found",
+        "n_cand",
+        F.round(
+            F.col("n_found").cast("double")
+            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall_pairs"),
+        F.round(
+            F.col("n_cand").cast("double") / F.col("n_pairs_sampled").cast("double"), 6
+        ).alias("cand_frac"),
+    )
+
+
 @register(
     "q_llm_sim_knn_scale",
     oracle=None,  # MLlib random projections — no SQL twin; rows-only.

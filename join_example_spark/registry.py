@@ -79,6 +79,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H anchors and the 2.2/2.3/2.4/2.8 blocks last green in round 1 -
     # after this rotation every oracle-able query has a driver row and the
     # oldest greens are re-proven on the current fixture.
+    # round-5 additions: the inverted-multi-index family (new queries —
+    # listed explicitly so the prefix math stays auditable).
+    "q_llm_dedup_semantic_imi",
+    "q_llm_sim_imi",
+    "q_llm_imi_recall",
+    "q_llm_dedup_substring",
     "q_llm_split_leakage_safe",
     "q_llm_dedup_semantic_exact",
     "q_win_sliding_distinct_hll",

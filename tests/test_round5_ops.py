@@ -173,3 +173,116 @@ def test_identity_contraction_component_equivalence(spark):
     assert big == want, (
         {c: (big.get(c), want.get(c)) for c in set(big) ^ set(want) or list(want)[:3]}
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted multi-index (IMI) — the sub-n^1.5 ANN rung added late in round 5.
+# ---------------------------------------------------------------------------
+
+
+def test_imi_c_per_half_rule_is_exact_integer_cbrt():
+    """The codebook sizing rule must be the exact smallest C with C³ ≥ n
+    (floored at 4) for every n, and must agree with the DuckDB range-scan
+    formula embedded in the oracles — including at perfect cubes, where
+    float pow(n, 1/3) + ceil is allowed to disagree between engines."""
+    import duckdb
+
+    from join_example_spark.operators.similarity import imi_c_per_half
+
+    con = duckdb.connect()
+    for n in [1, 2, 63, 64, 65, 124, 125, 126, 500, 511, 512, 513, 999, 1000, 2000]:
+        got = imi_c_per_half(n)
+        brute = next(c for c in range(1, 1026) if c * c * c >= max(n, 1))
+        assert got == max(4, brute), (n, got, brute)
+        duck = con.execute(
+            "SELECT GREATEST(4, (SELECT CAST(MIN(i) AS BIGINT)"
+            " FROM range(1, 1025) t(i) WHERE i*i*i >= ?))",
+            [n],
+        ).fetchone()[0]
+        assert got == duck, (n, got, duck)
+
+
+def test_imi_cells_assignment_multiplicity(spark):
+    """Single-assignment must give exactly one home cell per vector;
+    multi-sequence probing at (p=4, T=8) exactly 8 distinct product cells
+    per vector; and every cell must decode to per-half indexes within
+    [1, C]."""
+    from join_example_spark.operators.similarity import imi_cells
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+
+    home = imi_cells(emb, 8)
+    assert home.count() == n
+    assert home.select("vec_id").distinct().count() == n
+
+    multi = imi_cells(emb, 8, nprobe_half=4, nprobe_cells=8)
+    per = (
+        multi.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("cell").alias("cells"),
+        )
+        .agg(F.min("rows"), F.max("rows"), F.min("cells"), F.max("cells"))
+        .collect()[0]
+    )
+    assert tuple(per) == (8, 8, 8, 8), tuple(per)
+
+    bad = multi.where(
+        (F.col("cell") % 1024 < 1)
+        | (F.col("cell") % 1024 > 8)
+        | (F.floor(F.col("cell") / 1024) < 1)
+        | (F.floor(F.col("cell") / 1024) > 8)
+    )
+    assert bad.count() == 0
+
+
+def test_imi_recall_floor_smoke(spark):
+    """The audited IMI dial (C=⌈∛n⌉, p=4, T=8) must keep pair recall ≥ 0.9
+    at sf0.001 (measured 0.92) — a collapse here means the multi-sequence
+    ranking or the composite-cell join regressed, exactly the class of bug
+    a rows/schema check would miss."""
+    from join_example_spark.queries.llm_similarity import q_llm_imi_recall
+
+    row = q_llm_imi_recall(spark, SF_SMOKE).collect()[0]
+    assert row.n_true > 0
+    assert row.recall_pairs >= 0.9, row
+    assert 0.0 < row.cand_frac < 0.65, row
+
+
+def test_imi_identity_contraction_component_equivalence(spark):
+    """The contraction theorem holds for the IMI edge path too: k-fold
+    bit-identical duplication (disjoint ids) leaves cluster ids and
+    elected reps invariant and scales every cluster_size by k. This is
+    what makes q_llm_dedup_semantic_imi safe on duplicate-saturated
+    corpora — without contraction the product-cell join would pay k² in
+    pair volume."""
+    from join_example_spark.operators.similarity import identity_contracted_imi_edges
+    from join_example_spark.queries.llm_dedup import _semantic_cluster_reps
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    k = 3
+    dup = emb
+    for i in range(1, k):
+        dup = dup.unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+
+    def clusters(df):
+        return {
+            r.cluster_id: (r.rep_vec_id, r.cluster_size)
+            for r in _semantic_cluster_reps(
+                df, identity_contracted_imi_edges(df)
+            ).collect()
+        }
+
+    small = clusters(emb)
+    big = clusters(dup)
+    want = {cid: (rep, sz * k) for cid, (rep, sz) in small.items()}
+    assert big == want, (
+        {c: (big.get(c), want.get(c)) for c in set(big) ^ set(want) or list(want)[:3]}
+    )

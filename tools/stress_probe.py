@@ -41,6 +41,7 @@ DEFAULT_QUERIES = [
     "q_llm_decontaminate_semantic",
     "q_llm_dedup_semantic",
     "q_llm_dedup_semantic_ivf",
+    "q_llm_dedup_semantic_imi",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -231,6 +232,95 @@ def main() -> None:
             "t_screen_sec": round(t_screen, 1),
         }
         log(f"candfrac: {out['candfrac']}")
+
+    if os.environ.get("SPARK_GRAFT_PROBE_IMI") == "1":
+        # IMI vs flat-IVF candidate scaling on a DISTINCT-vector
+        # enlargement. The duplicate-saturated probe tables contract away
+        # (identity contraction collapses them back to n_reps = 2000), so
+        # the sub-n^1.5 claim needs genuinely distinct growth: copy k
+        # cyclically rotates the 64 components by k positions — an
+        # isometry (unit norms and within-copy pair structure preserved,
+        # cross-copy sims scrambled), giving a corpus that behaves like a
+        # real Nx-larger one. Reported per index: work_pairs (cell
+        # histogram — the join's scan cost), distinct candidate pairs,
+        # and their fractions of n(n-1)/2; theory columns alongside
+        # (IVF p²/√n with p=5; IMI T²/C² with T=8, C=⌈∛n⌉).
+        import math
+
+        from join_example_spark.operators.similarity import (
+            imi_c_per_half,
+            imi_candidate_pairs,
+            imi_cells,
+            ivf_candidate_pairs,
+            ivf_cells,
+        )
+
+        base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n0 = base.count()
+        big = base
+        for k in range(1, COPIES):
+            r = k % 63 + 1  # rotations 1..63: never the identity.
+            big = big.union(
+                base.select(
+                    (F.col("vec_id") + F.lit(k * n0)).alias("vec_id"),
+                    F.expr(
+                        f"concat(slice(embedding, {r + 1}, {64 - r}),"
+                        f" slice(embedding, 1, {r}))"
+                    ).alias("embedding"),
+                    F.col("label"),
+                )
+            )
+        big = big.repartition(32).localCheckpoint(eager=True)
+        n = big.count()
+        total = n * (n - 1) / 2.0
+        imi_block = {"n": n, "total_pairs": int(total)}
+
+        c_ivf = int(math.ceil(math.sqrt(n)))
+        cells = ivf_cells(big, n_centroids=c_ivf, nprobe=5)
+        work_ivf = (
+            cells.groupBy("cell").count()
+            .selectExpr("CAST(SUM(count * (count - 1) / 2) AS BIGINT) AS w")
+            .collect()[0].w
+        )
+        t0 = time.time()
+        d_ivf = (
+            ivf_candidate_pairs(big, n_centroids=c_ivf, nprobe=5, dedup=False)
+            .select("id_a", "id_b").distinct().count()
+        )
+        imi_block["ivf"] = {
+            "centroids": c_ivf,
+            "work_pairs": int(work_ivf),
+            "distinct_pairs": int(d_ivf),
+            "work_frac": round(work_ivf / total, 4),
+            "distinct_frac": round(d_ivf / total, 4),
+            "theory_frac_p2_over_sqrt_n": round(25.0 / c_ivf, 4),
+            "t_distinct_sec": round(time.time() - t0, 1),
+        }
+        log(f"imi-probe ivf: {imi_block['ivf']}")
+
+        c_imi = imi_c_per_half(n)
+        icells = imi_cells(big, c_imi, nprobe_half=4, nprobe_cells=8)
+        work_imi = (
+            icells.groupBy("cell").count()
+            .selectExpr("CAST(SUM(count * (count - 1) / 2) AS BIGINT) AS w")
+            .collect()[0].w
+        )
+        t0 = time.time()
+        d_imi = (
+            imi_candidate_pairs(big, c_imi, nprobe_half=4, nprobe_cells=8, dedup=False)
+            .select("id_a", "id_b").distinct().count()
+        )
+        imi_block["imi"] = {
+            "c_per_half": c_imi,
+            "work_pairs": int(work_imi),
+            "distinct_pairs": int(d_imi),
+            "work_frac": round(work_imi / total, 4),
+            "distinct_frac": round(d_imi / total, 4),
+            "theory_frac_t2_over_c2": round(64.0 / (c_imi * c_imi), 4),
+            "t_distinct_sec": round(time.time() - t0, 1),
+        }
+        log(f"imi-probe imi: {imi_block['imi']}")
+        out["imi_probe"] = imi_block
 
     print(json.dumps(out, indent=1))
     spark.stop()
