@@ -326,3 +326,17 @@ def test_train_pipeline_has_exactly_two_shuffles(spark):
     # REUSE the source partitioning (source alone co-locates every group).
     plan = executed_plan(_REG["q_llm_train_pipeline"].fn(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+
+
+def test_imi_pair_join_exchanges_are_pinned(spark):
+    # The IMI cell join is a pair-generating join (tiny input bytes,
+    # quadratic output) — both sides must carry the explicit-N
+    # repartition that exempts the exchange from AQE's bytes-based
+    # coalescing (the round-5 `_by_cell` rule; 17.6 s vs 3.2 s measured
+    # on the 8x decontamination join when this regresses).
+    plan = executed_plan(_REG["q_llm_sim_imi"].fn(spark, SF_SMOKE))
+    pinned = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(cell" in ln and "REPARTITION_BY_NUM" in ln
+    ]
+    assert len(pinned) >= 2, plan[:1500]

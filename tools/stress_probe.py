@@ -10,6 +10,11 @@ Env:    SPARK_GRAFT_PROBE_COPIES=N   tier multiplier (default 8; round 5
                                      (work pairs via the cell histogram,
                                      distinct pairs, int8-screen
                                      survivors) at the probe tier
+        SPARK_GRAFT_PROBE_IMI=1      measure IMI-vs-IVF candidate scaling
+                                     on a rotation-enlarged DISTINCT
+                                     corpus (SCALE.md §3.5 — saturated
+                                     tiers contract away and cannot show
+                                     the n-growth trend)
 
 Builds Nx embeddings/documents/events tables (the sf0.1 rows unioned with
 N-1 id-shifted copies — near-dup-saturated, the adversarial case for
