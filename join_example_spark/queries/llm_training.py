@@ -513,3 +513,105 @@ def q_llm_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_toks") <= 300)
         .select("doc_id", "source", "tok_cnt", "cum_toks")
     )
+
+
+@register(
+    "q_llm_decontaminate_substring",
+    oracle="""
+WITH tr AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, ((length(text) - 40) // 20) + 1),
+               i -> substring(text, CAST(i * 20 + 1 AS INT), 40))) AS w
+    FROM documents WHERE source <> 'src19' AND length(text) >= 40
+), evw AS (
+    SELECT unnest(list_transform(range(0, length(text) - 40 + 1),
+               i -> substring(text, CAST(i + 1 AS INT), 40))) AS w
+    FROM documents WHERE source = 'src19' AND length(text) >= 40
+), ev AS (
+    SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(str_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (acc, b) -> (acc * 31 + b) % 1000000000000037) AS h
+    FROM evw
+), trh AS (
+    SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(str_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (acc, b) -> (acc * 31 + b) % 1000000000000037) AS h
+    FROM tr
+)
+SELECT trh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS is_contaminated
+FROM trh LEFT JOIN ev ON trh.h = ev.h
+GROUP BY trh.doc_id
+""",
+    note="EXACT-SUBSTRING decontamination — the third modality of the "
+    "family (n-gram shingles: q_llm_decontaminate; embedding space: "
+    "q_llm_decontaminate_semantic; verbatim character runs: here). "
+    "Training docs (every non-benchmark source) shingle at stride 20; "
+    "the benchmark source (src19) hashes EVERY alignment (stride 1), so "
+    "a shared 40-char span is caught wherever it starts — any verbatim "
+    "leak of >= 59 chars is caught with certainty (some train stride "
+    "window then lies fully inside the run), >= 40 chars with "
+    "probability (59 - run_len)/20 of missing. Same portable 31-poly "
+    "fold mod the verified 1e15 prime as q_llm_dedup_substring. Output "
+    "is the per-doc audit over ALL train docs (window count, leaked "
+    "count, flag) rather than the flagged subset, so the certification "
+    "exercises the full pipeline even at SFs where the fixture has no "
+    "verbatim leak (sf0.01 measures 0 contaminated; sf0.1 measures 24 "
+    "docs / 231 leaked windows). Cost shape: linear explode -> one "
+    "hash-key semi-join against the DISTINCT eval-window set (tiny, "
+    "broadcastable at any realistic eval size) -> one doc-key rollup",
+    tags=("llm", "training", "decontaminate"),
+)
+def q_llm_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.queries.llm_dedup import (
+        _SUBSTR_FOLD_SPARK,
+        _SUBSTR_STRIDE,
+        _SUBSTR_WIN,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    long_enough = F.length("text") >= _SUBSTR_WIN
+    tr = docs.where((F.col("source") != "src19") & long_enough).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(CAST(0 AS BIGINT),"
+                f" (length(text) - {_SUBSTR_WIN}) DIV {_SUBSTR_STRIDE}),"
+                f" i -> substring(text, CAST(i * {_SUBSTR_STRIDE} + 1 AS INT),"
+                f" {_SUBSTR_WIN}))"
+            )
+        ).alias("w"),
+    )
+    ev = (
+        docs.where((F.col("source") == "src19") & long_enough)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(CAST(0 AS BIGINT),"
+                    f" CAST(length(text) - {_SUBSTR_WIN} AS BIGINT)),"
+                    f" i -> substring(text, CAST(i + 1 AS INT), {_SUBSTR_WIN}))"
+                )
+            ).alias("w")
+        )
+        .select(F.expr(_SUBSTR_FOLD_SPARK).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    trh = tr.select("doc_id", F.expr(_SUBSTR_FOLD_SPARK).alias("h"))
+    leaked = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        trh.join(F.broadcast(ev), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            leaked.cast("bigint").alias("n_leaked"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_leaked",
+            (F.col("n_leaked") > 0).alias("is_contaminated"),
+        )
+    )

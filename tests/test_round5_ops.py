@@ -286,3 +286,47 @@ def test_imi_identity_contraction_component_equivalence(spark):
     assert big == want, (
         {c: (big.get(c), want.get(c)) for c in set(big) ^ set(want) or list(want)[:3]}
     )
+
+
+def test_substring_decontamination_catches_planted_leak(spark):
+    """True-positive control: graft a 60-char span from a benchmark
+    (src19) document into a long-enough train document and the audit
+    must flag that document (>= 59-char verbatim runs are caught with
+    certainty — some stride-20 train window lies fully inside the run).
+    Built on a modified in-memory corpus, so it also proves the operator
+    is not fixture-coincidence."""
+    from join_example_spark.queries.llm_training import (
+        q_llm_decontaminate_substring,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    leak = (
+        docs.where((F.col("source") == "src19") & (F.length("text") >= 60))
+        .orderBy("doc_id")
+        .limit(1)
+        .select(F.substring("text", 1, 60).alias("span"))
+    )
+    victim_id = (
+        docs.where((F.col("source") != "src19") & (F.length("text") >= 40))
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    patched = docs.crossJoin(F.broadcast(leak)).select(
+        "doc_id",
+        F.when(F.col("doc_id") == victim_id, F.concat(F.col("text"), F.col("span")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        patched.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {
+            r.doc_id: (r.n_leaked, r.is_contaminated)
+            for r in q_llm_decontaminate_substring(spark, td).collect()
+        }
+    n_leaked, flagged = out[victim_id]
+    assert flagged and n_leaked >= 1, (victim_id, out.get(victim_id))
