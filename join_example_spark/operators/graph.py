@@ -280,3 +280,76 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    tele_num: float = 0.15,
+    id_col: str = "vec_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    round_digits: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list — the
+    power-method centrality as pure DataFrame algebra, bit-deterministic
+    across engines and partitionings.
+
+    Determinism contract (the repo's decimal-bridge pattern): per-edge
+    contributions are ROUND(r/deg, ``round_digits``) doubles (identical
+    IEEE division both engines), summed EXACTLY in DECIMAL(25,8) (order-
+    independent), and each new rank is one rounded affine map of that
+    exact sum — so every iteration's rank vector is bit-identical to the
+    unrolled-CTE oracle regardless of partition order. Ranks start at
+    1/N and stay O(1/N), where the 8-decimal rounding window is ~1e-10
+    per value — far under the ulp-boundary risk that made ROUND(x, 12)
+    unsafe (window shrinks 10× per rounded digit removed; see CLAUDE.md
+    ROUND note). Dangling nodes keep teleport + incoming mass; their own
+    mass is not redistributed (the simple variant — stated in the oracle
+    identically).
+
+    Fixed ``iters`` (unrollable in SQL) rather than convergence-tested:
+    the oracle must be a static query. At 100 TB each iteration is one
+    edge-key join + one narrow (dst, contrib) shuffle; edges+degrees are
+    localCheckpointed once (executor-side) so the k iterations do not
+    re-execute the candidate-pair subplan k times.
+    """
+    n = nodes.count()
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    # tele_num is a separate PARSED literal, not 1 - damping: IEEE
+    # 1.0 - 0.85 = 0.15000000000000002 while a parsed "0.15" is a
+    # different double — the oracle writes CAST(0.15 AS DOUBLE)/n, so the
+    # Spark side must divide the same parsed literal.
+    tele = tele_num / float(n)
+    r = nodes.select(F.col(id_col), F.lit(1.0 / float(n)).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(r, edges["src"] == r[id_col])
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.round(F.col("r") / F.col("deg"), round_digits).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.expr("CAST(SUM(CAST(c AS DECIMAL(25,8))) AS DOUBLE)").alias("s")
+        )
+        r = nodes.join(sums, nodes[id_col] == sums["dst"], "left").select(
+            F.col(id_col),
+            F.round(
+                F.lit(tele) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                round_digits,
+            ).alias("r"),
+        )
+    return r

@@ -1359,3 +1359,94 @@ def q_llm_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch=emb.where(F.col("vec_id") % 5 == 0),
         corpus=emb.where(F.col("vec_id") % 5 != 0),
     )
+
+
+def _duck_pagerank_sql(iters: int = 3) -> str:
+    """Unrolled power-method PageRank oracle over the label-blocked
+    near-dup graph — textually mirrors operators/graph.py:pagerank_fixed
+    (same ROUND(r/deg, 8) contributions, exact DECIMAL(25,8) sums, same
+    parsed-literal 0.15/0.85 affine map)."""
+    ctes = [
+        f"""pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), deg AS (
+    SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+), r0 AS (
+    SELECT vec_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+    FROM embeddings
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+    SELECT e.dst, ROUND(p.r / d.deg, 8) AS c
+    FROM edges e
+    JOIN r{i - 1} p ON p.vec_id = e.src
+    JOIN deg d ON d.v = e.src
+), s{i} AS (
+    SELECT dst, CAST(SUM(CAST(c AS DECIMAL(25,8))) AS DOUBLE) AS s
+    FROM c{i} GROUP BY dst
+), r{i} AS (
+    SELECT v.vec_id,
+           ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                 + CAST(0.85 AS DOUBLE) * COALESCE(s{i}.s, CAST(0.0 AS DOUBLE)),
+                 8) AS r
+    FROM embeddings v LEFT JOIN s{i} ON s{i}.dst = v.vec_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, rank, rn
+FROM (
+    SELECT vec_id, r AS rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, vec_id) AS BIGINT) AS rn
+    FROM r{iters}
+)
+WHERE rn <= 20
+"""
+    )
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_duck_pagerank_sql(3),
+    note="fixed-3-iteration power-method PageRank over the label-blocked "
+    "embedding near-dup graph (damping 0.85, teleport 0.15/N, no "
+    "dangling redistribution — stated identically in the oracle): the "
+    "centrality that ranks a cluster's most-connected members, e.g. to "
+    "pick canonical representatives or prioritize review queues. "
+    "Bit-deterministic by the decimal-bridge pattern: per-edge "
+    "contributions are ROUND(r/deg, 8) doubles summed EXACTLY in "
+    "DECIMAL(25,8) (order-independent under any partitioning), each "
+    "iteration one rounded affine map; 0.15 is a parsed literal on both "
+    "sides, never computed as 1 - 0.85 (IEEE 1.0-0.85 is a DIFFERENT "
+    "double). Edges + degrees localCheckpoint once so 3 iterations do "
+    "not re-run the pair join 3x. Top-20 under a total order. At 100 TB "
+    "each iteration is one edge join + one narrow (dst, contrib) "
+    "shuffle — the Pregel cost shape with no driver-side state at all",
+    tags=("llm", "similarity", "graph"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.graph import pagerank_fixed
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    nodes = emb.select("vec_id")
+    pairs = cosine_near_pairs(emb, threshold=0.35)
+    r = pagerank_fixed(nodes, pairs, iters=3, damping=0.85)
+    w = Window.orderBy(F.col("r").desc(), F.col("vec_id"))
+    return (
+        r.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 20)
+        .select("vec_id", F.col("r").alias("rank"), "rn")
+    )

@@ -54,6 +54,11 @@ SENSITIVE = [
     "q_win_sliding_distinct_hll",  # windowed HLL union merge under different partitioning
     # round-5 additions
     "q_llm_split_leakage_safe",  # identity contraction + CC labels + cluster hash
+    "q_llm_dedup_semantic_imi",  # product-cell candidates + contraction fixpoint
+    "q_llm_imi_recall",          # two-codebook assignment + pair-hit join folds
+    "q_llm_dedup_substring",     # window-hash histogram + per-doc rollup merge
+    "q_audience_overlap_hll",    # HLL IE over per-type sketch merge trees
+    "q_graph_pagerank",          # 3 chained decimal-bridged iterations + rank ties
 ]
 
 
