@@ -128,6 +128,17 @@ def ivf_cells(
     sides must de-duplicate pairs. At 100 TB: centroids broadcast,
     assignment is map-side — the shared front half of every IVF-bucketed
     operator (top-k search, cell-local dedup candidate generation).
+
+    Plan shape (rewritten late round 5 to match ``imi_cells``): vectors
+    are DROPPED before the per-vector top-``nprobe`` extraction — a
+    narrow (id, cent_id, csim) hash aggregate with a sorted-slice, then
+    one join-back of the vectors by id. The previous formulation ran a
+    ROW_NUMBER window over the n·C cross-join WITH the vector column
+    aboard, shuffling C× the corpus bytes and sorting wide rows; the
+    narrow aggregate shuffles ~16-byte rows and the vectors exactly
+    once. Selection semantics are bit-identical (reverse ascending
+    (csim, -cent_id) == csim DESC, cent_id ASC), pinned by the unchanged
+    oracles of every IVF-family query.
     """
     cents = (
         emb.orderBy(id_col)
@@ -135,13 +146,30 @@ def ivf_cells(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
     )
     cdot = F.expr(DOT_SQL.format(a=vec_col, b="cvec"))
-    w_assign = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cdot, round_digits))
-        .withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") <= nprobe)
-        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
+    narrow = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("cent_id"),
+        F.round(cdot, round_digits).alias("csim"),
+    )
+    top = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("csim").alias("s"), (-F.col("cent_id")).alias("negc"))
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    cells = (
+        narrow.groupBy(id_col)
+        .agg(top.alias("top"))
+        .select(id_col, F.explode("top").alias("t"))
+        .select(id_col, (-F.col("t.negc")).alias("cell"))
+    )
+    return cells.join(emb.select(id_col, vec_col), id_col).select(
+        id_col, vec_col, "cell"
     )
 
 
