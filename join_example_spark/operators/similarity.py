@@ -689,8 +689,8 @@ def identity_contracted_imi_edges(
     the coarse quantizer is the two-codebook product index sized
     ``c_per_half = ⌈∛n_reps⌉``, so BOTH the assignment and the candidate
     volume are O(n_reps^(4/3)) instead of Θ(n_reps^1.5) (SCALE.md §3.5;
-    measured recall 0.92/0.69 at sf0.01/sf0.1 — the audited dial of
-    ``q_llm_imi_recall``)."""
+    measured recall 0.92/0.91/0.69 at sf0.001/0.01/0.1 — the audited
+    dial of ``q_llm_imi_recall``)."""
     grp = emb.groupBy(vec_col).agg(F.min(id_col).alias("gid"))
     g = (
         emb.select(F.col(id_col), F.col(vec_col))
