@@ -914,6 +914,85 @@ def pq_adc_rerank_topk(
     )
 
 
+def _pq_score_shortlist_rerank(
+    emb: DataFrame,
+    cand_ids: DataFrame,
+    k: int,
+    shortlist: int,
+    n_codes: int,
+    n_sub: int,
+    sub_dim: int,
+    probe_pred: str,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Shared back half of the coarse-quantizer + PQ search stacks
+    (`ivfpq_topk`, `imipq_topk`): given (probe_id, cand_id) pairs from
+    ANY cell restriction, ADC-score candidates from their PQ codes via
+    the probes' broadcast LUT, exact-re-rank the per-probe shortlist,
+    and return the top-k with exact sims."""
+    cbs = pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
+    probes_sub = emb.where(F.expr(probe_pred)).select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.expr(f"sequence(0, {n_sub - 1})")).alias("sub"),
+        F.col(vec_col),
+    ).select(
+        "probe_id",
+        "sub",
+        F.expr(f"slice({vec_col}, sub * {sub_dim} + 1, {sub_dim})").alias("p_sub"),
+    )
+    pdot = F.expr(DOT_SQL.format(a="p_sub", b="cb_sub"))
+    lut = (
+        probes_sub.join(F.broadcast(cbs), "sub")
+        .withColumn("part", F.round(pdot, round_digits))
+        .select("probe_id", "sub", "code", "part")
+    )
+    # PQ-encode ONLY vectors that are candidates of some probe (semi-join
+    # restriction): assignments are per-vector independent, so the result
+    # is unchanged, and the n × n_codes encode folds — the dominant cost —
+    # shrink to the probed-cell population (~nprobe/C of the corpus when
+    # probes are a small fraction; in production the codes are precomputed
+    # at ingest and this stage reads them).
+    cand_vecs = emb.join(
+        cand_ids.select(F.col("cand_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    codes = pq_assignments(
+        cand_vecs, n_codes, n_sub, sub_dim, id_col, vec_col, round_digits,
+        codebook_subs=cbs,  # codebook from the FULL corpus, not the subset
+    ).select(F.col(id_col).alias("cand_id"), "sub", "code")
+    scored = (
+        cand_ids.join(codes, "cand_id")
+        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "cand_id")
+        .agg(
+            F.expr("CAST(SUM(CAST(part AS DECIMAL(25,6))) AS DOUBLE)").alias("adc_sim")
+        )
+    )
+    w_short = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_sim").desc(), F.col("cand_id")
+    )
+    short = (
+        scored.withColumn("arn", F.row_number().over(w_short))
+        .where(F.col("arn") <= shortlist)
+        .select("probe_id", "cand_id")
+    )
+    p = emb.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vec_p"))
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vec_c"))
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    rescored = (
+        short.join(p, "probe_id").join(c, "cand_id").withColumn("sim", F.round(dot, round_digits))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "cand_id", "sim", "rn")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     k: int = 3,
@@ -984,64 +1063,64 @@ def ivfpq_topk(
         .where(F.col("probe_id") != F.col("cand_id"))
         .select("probe_id", "cand_id")
     )
-    cbs = pq_codebook_subs(emb, n_codes, n_sub, sub_dim, id_col, vec_col)
-    probes_sub = emb.where(F.expr(probe_pred)).select(
-        F.col(id_col).alias("probe_id"),
-        F.explode(F.expr(f"sequence(0, {n_sub - 1})")).alias("sub"),
-        F.col(vec_col),
-    ).select(
-        "probe_id",
-        "sub",
-        F.expr(f"slice({vec_col}, sub * {sub_dim} + 1, {sub_dim})").alias("p_sub"),
+    return _pq_score_shortlist_rerank(
+        emb, cand_ids, k, shortlist, n_codes, n_sub, sub_dim,
+        probe_pred, id_col, vec_col, round_digits,
     )
-    pdot = F.expr(DOT_SQL.format(a="p_sub", b="cb_sub"))
-    lut = (
-        probes_sub.join(F.broadcast(cbs), "sub")
-        .withColumn("part", F.round(pdot, round_digits))
-        .select("probe_id", "sub", "code", "part")
-    )
-    # PQ-encode ONLY vectors that are candidates of some probe (semi-join
-    # restriction): assignments are per-vector independent, so the result
-    # is unchanged, and the n × n_codes encode folds — the dominant cost —
-    # shrink to the probed-cell population (~nprobe/C of the corpus when
-    # probes are a small fraction; in production the codes are precomputed
-    # at ingest and this stage reads them).
-    cand_vecs = emb.join(
-        cand_ids.select(F.col("cand_id").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    )
-    codes = pq_assignments(
-        cand_vecs, n_codes, n_sub, sub_dim, id_col, vec_col, round_digits,
-        codebook_subs=cbs,  # codebook from the FULL corpus, not the subset
-    ).select(F.col(id_col).alias("cand_id"), "sub", "code")
-    scored = (
-        cand_ids.join(codes, "cand_id")
-        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
-        .groupBy("probe_id", "cand_id")
-        .agg(
-            F.expr("CAST(SUM(CAST(part AS DECIMAL(25,6))) AS DOUBLE)").alias("adc_sim")
+
+
+def imipq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    c_per_half: int = 16,
+    nprobe_half: int = 2,
+    nprobe_cells: int | None = None,
+    shortlist: int = 32,
+    n_codes: int = 256,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    probe_pred: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Multi-D-ADC — the search system of the inverted-multi-index paper
+    (Babenko & Lempitsky 2012, §5), assembled from this repo's audited
+    halves exactly like :func:`ivfpq_topk`:
+
+    1. **IMI restriction**: candidates sit in their single home PRODUCT
+       cell (C² cells for 2·n·C assignment dots); probes search their
+       top-``nprobe_cells`` multi-sequence cells;
+    2. **ADC scoring** of in-cell candidates from 32-bit PQ codes via
+       the probes' broadcast LUT;
+    3. **exact re-rank** of the per-probe shortlist — output sims exact.
+
+    vs IVFPQ the coarse stage trades n·K assignment for 2·n·C with
+    K = C² cells — the sub-n^1.5 front end with the same compressed-
+    domain scan behind it. Candidates are single-assigned so each
+    (probe, candidate) pair arises at most once — no dedup before ADC.
+    """
+    if probe_pred is None:
+        probe_pred = f"{id_col} % 100 = 0"
+    home = imi_cells(
+        emb, c_per_half, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).select(F.col(id_col).alias("cand_id"), "cell")
+    probes = (
+        imi_cells(
+            emb, c_per_half, nprobe_half, nprobe_cells,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
         )
+        .where(F.expr(probe_pred))
+        .select(F.col(id_col).alias("probe_id"), "cell")
     )
-    w_short = Window.partitionBy("probe_id").orderBy(
-        F.col("adc_sim").desc(), F.col("cand_id")
-    )
-    short = (
-        scored.withColumn("arn", F.row_number().over(w_short))
-        .where(F.col("arn") <= shortlist)
+    cand_ids = (
+        _by_cell(probes).join(_by_cell(home), "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
         .select("probe_id", "cand_id")
     )
-    p = emb.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vec_p"))
-    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vec_c"))
-    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
-    rescored = (
-        short.join(p, "probe_id").join(c, "cand_id").withColumn("sim", F.round(dot, round_digits))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
-    return (
-        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rn") <= k)
-        .select("probe_id", "cand_id", "sim", "rn")
+    return _pq_score_shortlist_rerank(
+        emb, cand_ids, k, shortlist, n_codes, n_sub, sub_dim,
+        probe_pred, id_col, vec_col, round_digits,
     )
 
 

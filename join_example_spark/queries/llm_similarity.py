@@ -1450,3 +1450,87 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("vec_id", F.col("r").alias("rank"), "rn")
     )
+
+
+@register(
+    "q_llm_sim_imipq",
+    oracle=f"""
+WITH {{PQ}},
+{{IMI}},
+home AS (
+    SELECT a1.vec_id, a1.cidx * 1024 + a2.cidx AS cell
+    FROM imi_assign a1
+    JOIN imi_assign a2 ON a1.vec_id = a2.vec_id
+    WHERE a1.rn1 = 1 AND a2.rn2 = 1
+),
+probedc AS (
+    SELECT vec_id AS probe_id, cell FROM imi_cells WHERE vec_id % 100 = 0
+),
+cand_ids AS (
+    SELECT p.probe_id, h.vec_id AS cand_id
+    FROM probedc p JOIN home h ON h.cell = p.cell
+    WHERE h.vec_id <> p.probe_id
+),
+lut AS (
+    SELECT v.vec_id AS probe_id, v.sub, c.code,
+           ROUND({{DOT_VS}}, 4) AS part
+    FROM vs v JOIN cbs c ON c.sub = v.sub
+    WHERE v.vec_id % 100 = 0
+),
+scored AS (
+    SELECT ci.probe_id, ci.cand_id,
+           CAST(SUM(CAST(l.part AS DECIMAL(25,6))) AS DOUBLE) AS adc_sim
+    FROM cand_ids ci
+    JOIN assign a ON a.vec_id = ci.cand_id
+    JOIN lut l ON l.probe_id = ci.probe_id AND l.sub = a.sub AND l.code = a.code
+    GROUP BY ci.probe_id, ci.cand_id
+),
+short AS (
+    SELECT probe_id, cand_id FROM (
+        SELECT probe_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_sim DESC, cand_id) AS srn
+        FROM scored
+    ) WHERE srn <= 32
+),
+rescored AS (
+    SELECT s.probe_id, s.cand_id,
+           ROUND({{DOT_PC}}, 4) AS sim
+    FROM short s
+    JOIN embeddings p ON p.vec_id = s.probe_id
+    JOIN embeddings c ON c.vec_id = s.cand_id
+)
+SELECT probe_id, cand_id, sim, rn FROM (
+    SELECT probe_id, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+    FROM rescored
+) WHERE rn <= 3
+""".format(
+        PQ=_PQ_CTES,
+        IMI=_duck_imi_ctes("embeddings", "16", 2, 4),
+        DOT_VS=_DUCK_DOT.format(a="v.v_sub", b="c.cb_sub"),
+        DOT_PC=_DUCK_DOT.format(a="p.embedding", b="c.embedding"),
+    ),
+    note="Multi-D-ADC — the search system of the inverted-multi-index "
+    "paper (Babenko & Lempitsky 2012 §5), composed from this repo's "
+    "audited halves like q_llm_sim_ivfpq: IMI product-cell restriction "
+    "(two 16-centroid half-codebooks, 256 cells for 2·n·16 assignment "
+    "dots; probes search their 2×2 multi-sequence product) + ADC "
+    "scoring of in-cell candidates from 32-bit PQ codes via the "
+    "broadcast LUT + exact re-rank of the per-probe top-32 shortlist. "
+    "The coarse stage trades IVFPQ's n·K assignment for 2·n·C with "
+    "K = C² cells — the sub-n^1.5 front end, same compressed-domain "
+    "scan behind it; candidates single-assigned so no pair dedup before "
+    "ADC. Recall is the product of the IMI cell dial (q_llm_imi_recall "
+    "curve) and PQ shortlist coverage",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_sim_imipq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import imipq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return imipq_topk(
+        emb, k=3, c_per_half=16, nprobe_half=2, shortlist=32,
+        probe_pred="vec_id % 100 = 0",
+    )
