@@ -59,6 +59,7 @@ SENSITIVE = [
     "q_llm_dedup_substring",     # window-hash histogram + per-doc rollup merge
     "q_audience_overlap_hll",    # HLL IE over per-type sketch merge trees
     "q_graph_pagerank",          # 3 chained decimal-bridged iterations + rank ties
+    "q_llm_sim_imipq",           # IMI cells x PQ LUT x shortlist x rerank composition
 ]
 
 

@@ -238,15 +238,17 @@ def test_imi_cells_assignment_multiplicity(spark):
 
 
 def test_imi_recall_floor_smoke(spark):
-    """The audited IMI dial (C=⌈∛n⌉, p=4, T=8) must keep pair recall ≥ 0.9
-    at sf0.001 (measured 0.92) — a collapse here means the multi-sequence
-    ranking or the composite-cell join regressed, exactly the class of bug
-    a rows/schema check would miss."""
+    """The audited IMI dial (C=⌈∛n⌉, p=4, T=8) must keep pair recall
+    ≥ 0.85 at sf0.001 (measured 0.92; the floor leaves margin for a
+    fixture regeneration, like the IVF recall floor) — a collapse here
+    means the multi-sequence ranking or the composite-cell join
+    regressed, exactly the class of bug a rows/schema check would
+    miss."""
     from join_example_spark.queries.llm_similarity import q_llm_imi_recall
 
     row = q_llm_imi_recall(spark, SF_SMOKE).collect()[0]
     assert row.n_true > 0
-    assert row.recall_pairs >= 0.9, row
+    assert row.recall_pairs >= 0.85, row
     assert 0.0 < row.cand_frac < 0.65, row
 
 
