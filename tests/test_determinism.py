@@ -1,6 +1,7 @@
 """Partition-independence regression: results must not depend on the
-physical parallelism. The full sweep (all 85 oracle queries under
-local[5]/7-shuffle-partitions: 0 mismatches) was run out-of-band; this fast
+physical parallelism. The full sweep (round 5: all 188 oracle queries
+under local[5]/7-shuffle-partitions, 0 mismatches in 191 s — reproducible
+via tools/sweep_partition_independence.py) was run out-of-band; this fast
 version re-checks the most partition-sensitive query classes — float
 aggregation merge order, collect_list order, LIMIT boundaries, window
 ranking — with an odd shuffle-partition count at runtime."""
