@@ -91,3 +91,50 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables):
     agg = li_b.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan}"
+
+
+def test_bucketed_cell_store_pair_join_zero_shuffle(spark):
+    """The ANN-family version of the bucketed-layout claim (SCALE.md §3.5):
+    a vector store persisted BUCKETED BY the coarse-quantizer cell key
+    turns the candidate pair-generation self-join — the one shuffle the
+    IVF/IMI dedup path pays per run — into a zero-Exchange local join,
+    with the identical candidate-pair set as the in-memory shuffled path.
+    At 100 TB this is the difference between re-shuffling the corpus per
+    dedup run and reading pre-bucketed cell files."""
+    from join_example_spark.operators.similarity import (
+        ivf_candidate_pairs,
+        ivf_cells,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cells = ivf_cells(emb, n_centroids=16, nprobe=2)
+    spark.sql("DROP TABLE IF EXISTS cells_bucketed")
+    try:
+        (
+            cells.write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "cell")
+            .sortBy("cell")
+            .saveAsTable("cells_bucketed")
+        )
+        cb = spark.table("cells_bucketed")
+        a = cb.select(F.col("vec_id").alias("id_a"), "cell")
+        b = cb.select(F.col("vec_id").alias("id_b"), "cell")
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            got = {(r.id_a, r.id_b) for r in joined.select("id_a", "id_b").collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed cell join still shuffles:\n{plan}"
+        want = {
+            (r.id_a, r.id_b)
+            for r in ivf_candidate_pairs(emb, n_centroids=16, nprobe=2)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cells_bucketed")
