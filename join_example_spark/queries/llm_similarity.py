@@ -1444,10 +1444,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = emb.select("vec_id")
     pairs = cosine_near_pairs(emb, threshold=0.35)
     r = pagerank_fixed(nodes, pairs, iters=3, damping=0.85)
+    # TakeOrderedAndProject over the corpus-sized rank vector, THEN a
+    # row_number over the surviving 20 rows — never a global-order window
+    # over all n nodes (the unpartitioned-window scale hazard).
+    top = r.orderBy(F.col("r").desc(), F.col("vec_id")).limit(20)
     w = Window.orderBy(F.col("r").desc(), F.col("vec_id"))
     return (
-        r.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rn") <= 20)
+        top.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .select("vec_id", F.col("r").alias("rank"), "rn")
     )
 
