@@ -248,3 +248,60 @@ def test_pq_assignments_match_python_argmin(spark, vs):
                     best = (d2, code)
             want[(vid, s)] = (best[1], best[0])
     assert got == want
+
+
+@st.composite
+def _vectors(draw, dim=4, max_rows=10):
+    n = draw(st.integers(2, max_rows))
+    rows = []
+    for i in range(n):
+        vec = [
+            float(draw(st.integers(-4, 4))) / 4.0 for _ in range(dim)
+        ]
+        rows.append((i, vec))
+    return rows
+
+
+@given(rows=_vectors())
+@settings(**_SETTINGS)
+def test_imi_home_cells_match_python_reference(spark, rows):
+    """IMI single-assignment must equal an independently-written Python
+    argmax: per half, the rounded-dot-max centroid with lowest-index
+    tiebreak. Generated vectors hit exact dot TIES (quarter-integer
+    components), the case the fixture corpus never produces — the
+    reverse-sorted (s, -cidx) extraction must break them identically."""
+    from join_example_spark.operators.similarity import imi_cells
+
+    dim, half = 4, 2
+    c = min(3, len(rows))
+    cents = sorted(rows)[:c]
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in imi_cells(df, c_per_half=c, half_dim=half).collect()
+    }
+    # Float32 storage: the reference must dot the same float32-rounded
+    # values Spark reads back, so build it from the collected column.
+    stored = {r.vec_id: list(r.embedding) for r in df.collect()}
+    cents_stored = [(i, stored[i]) for i, _ in cents]
+
+    def ref_cell_stored(vec):
+        idxs = []
+        for h in (0, 1):
+            best = None
+            for j, (_, cv) in enumerate(cents_stored):
+                s = round(
+                    sum(vec[h * half + d] * cv[h * half + d] for d in range(half)),
+                    4,
+                )
+                key = (s, -(j + 1))
+                if best is None or key > best[0]:
+                    best = (key, j + 1)
+            idxs.append(best[1])
+        return idxs[0] * 1024 + idxs[1]
+
+    want = {i: ref_cell_stored(stored[i]) for i, _ in rows}
+    assert got == want
