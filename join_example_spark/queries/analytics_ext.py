@@ -1182,3 +1182,102 @@ def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ie_within_tol"),
         )
     )
+
+
+@register(
+    "q_ts_sim_search",
+    oracle="""
+WITH per AS (
+    SELECT event_type, epoch_us(ts) // 60000000 AS m, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(m) AS mn, MAX(m) AS mx FROM per GROUP BY 1
+), spine AS (
+    SELECT event_type, unnest(range(mn, mx + 1)) AS m FROM bounds
+), series AS (
+    SELECT s.event_type, s.m, COALESCE(p.cnt, 0) AS cnt
+    FROM spine s
+    LEFT JOIN per p ON p.event_type = s.event_type AND p.m = s.m
+), wins AS (
+    SELECT event_type, m,
+           list(cnt) OVER (PARTITION BY event_type ORDER BY m
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+    FROM series
+), full_w AS (
+    SELECT * FROM wins WHERE len(w) = 8
+), q AS (
+    SELECT w AS qw FROM full_w WHERE event_type = 'click' ORDER BY m LIMIT 1
+), scored AS (
+    SELECT f.event_type, f.m,
+           CAST(list_aggregate(list_transform(list_zip(f.w, q.qw),
+               p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+                    * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))), 'sum')
+               AS BIGINT) AS sse
+    FROM full_w f CROSS JOIN q
+)
+SELECT event_type, win_start_m, sse, rn FROM (
+    SELECT event_type, CAST(m AS BIGINT) AS win_start_m, sse,
+           CAST(ROW_NUMBER() OVER (ORDER BY sse, event_type, m) AS BIGINT) AS rn
+    FROM scored
+) WHERE rn <= 10
+""",
+    note="time-series subsequence similarity search (the EDBT'19 "
+    "streaming-similarity class, UCR-suite shape): the event stream "
+    "rolls up to gap-filled per-(type, minute) count series; every "
+    "8-minute sliding window is scored against a deterministic query "
+    "pattern (the click series' first full window) by sum-of-squared "
+    "differences computed ENTIRELY in BIGINT — counts are integers, so "
+    "there is no float/rounding surface at all, the strongest "
+    "determinism class in the repo. Top-10 via TakeOrderedAndProject "
+    "(never a global-order window over all windows), unique (sse, type, "
+    "start) total order. The self-match (sse=0) ranks first by "
+    "construction — kept as the sanity anchor. Cost shape: one rollup "
+    "shuffle, a per-type minute spine (sequence — ascending since "
+    "mx >= mn), one ROWS-frame window, broadcast 1-row query pattern; "
+    "at 100 TB the spine/window partitions by type and the scan never "
+    "materializes pairwise window combinations",
+    tags=("temporal", "similarity", "analytics"),
+)
+def q_ts_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    per = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 60000000").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = per.groupBy("event_type").agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
+    )
+    series = spine.join(per, ["event_type", "m"], "left").select(
+        "event_type", "m", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w_frame = (
+        Window.partitionBy("event_type").orderBy("m").rowsBetween(0, 7)
+    )
+    wins = series.select(
+        "event_type", "m", F.collect_list("cnt").over(w_frame).alias("w")
+    ).where(F.size("w") == 8)
+    q = (
+        wins.where(F.col("event_type") == "click")
+        .orderBy("m")
+        .limit(1)
+        .select(F.col("w").alias("qw"))
+    )
+    sse = F.expr(
+        "CAST(aggregate(zip_with(w, qw, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+    )
+    scored = wins.crossJoin(F.broadcast(q)).select(
+        "event_type", F.col("m").cast("bigint").alias("win_start_m"), sse.alias("sse")
+    )
+    top = scored.orderBy("sse", "event_type", "win_start_m").limit(10)
+    w_rn = Window.orderBy("sse", "event_type", "win_start_m")
+    return top.withColumn("rn", F.row_number().over(w_rn).cast("bigint")).select(
+        "event_type", "win_start_m", "sse", "rn"
+    )

@@ -61,6 +61,7 @@ SENSITIVE = [
     "q_audience_overlap_hll",    # HLL IE over per-type sketch merge trees
     "q_graph_pagerank",          # 3 chained decimal-bridged iterations + rank ties
     "q_llm_sim_imipq",           # IMI cells x PQ LUT x shortlist x rerank composition
+    "q_ts_sim_search",           # frame-ordered collect_list + integer SSE + top-k ties
 ]
 
 
