@@ -1281,3 +1281,87 @@ def q_ts_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rn", F.row_number().over(w_rn).cast("bigint")).select(
         "event_type", "win_start_m", "sse", "rn"
     )
+
+
+@register(
+    "q_ts_rolling_corr",
+    oracle="""
+WITH per AS (
+    SELECT epoch_us(ts) // 60000000 AS m,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM per),
+spine AS (SELECT unnest(range(mn, mx + 1)) AS m FROM bounds),
+series AS (
+    SELECT s.m, COALESCE(p.x, 0) AS x, COALESCE(p.y, 0) AS y
+    FROM spine s LEFT JOIN per p ON p.m = s.m
+), sums AS (
+    SELECT m,
+           COUNT(*) OVER w AS n,
+           SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+           SUM(x * y) OVER w AS sxy,
+           SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+    FROM series
+    WINDOW w AS (ORDER BY m ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(m AS BIGINT) AS win_end_m,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+           AS click_error_corr
+FROM sums WHERE n = 60
+""",
+    note="rolling 60-minute Pearson correlation between the click and "
+    "error count series — temporal co-movement monitoring (does error "
+    "volume track traffic?) with ZERO float accumulation: all five "
+    "moments (Σx, Σy, Σxy, Σx², Σy²) are BIGINT window sums over "
+    "integer counts (exact and order-independent — integer addition "
+    "commutes, unlike float), and the correlation is one final IEEE "
+    "expression (mul/div/sqrt are correctly rounded) of identical "
+    "integer operands on both engines. NULL where the window variance "
+    "is zero. Gap-filled minute spine; full 60-minute windows only. "
+    "One rollup + one tiny ordered window over ~minutes rows",
+    tags=("temporal", "analytics", "window"),
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    per = ev.groupBy(F.expr("unix_micros(ts) DIV 60000000").alias("m")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    spine = bounds.select(F.explode(F.expr("sequence(mn, mx)")).alias("m"))
+    series = spine.join(per, "m", "left").select(
+        "m",
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("m").rowsBetween(-59, 0)
+    sums = series.select(
+        "m",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).where(F.col("n") == 60)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.lit(0.0),
+    )
+    return sums.select(
+        F.col("m").cast("bigint").alias("win_end_m"),
+        (num / den).alias("click_error_corr"),
+    )

@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_llm_sim_imipq",
     "q_ts_sim_search",
+    "q_ts_rolling_corr",
     "q_llm_split_leakage_safe",
     "q_llm_dedup_semantic_exact",
     "q_win_sliding_distinct_hll",
