@@ -199,3 +199,60 @@ def latest_per_key(
     """
     w = Window.partitionBy(*keys).orderBy(F.col(ts).desc(), F.col(tiebreak).desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def ts_subseq_topk(
+    per: DataFrame,
+    window_len: int = 8,
+    query_type: str = "click",
+    k: int = 10,
+) -> DataFrame:
+    """Subsequence similarity search over a per-(type, minute) count
+    rollup ``per(event_type, m, cnt)`` — the back half of
+    ``q_ts_sim_search``, shared with the streaming series-maintenance
+    demo so the batch query and the search over the incrementally
+    maintained store are one code path.
+
+    Gap-fills each type's minute spine, forms every ``window_len``-minute
+    sliding window (frame-ordered collect_list), scores against the query
+    pattern (the ``query_type`` series' first full window) by
+    sum-of-squared differences in EXACT BIGINT arithmetic, and returns
+    the top-``k`` under the unique (sse, type, start) total order via
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bounds = per.groupBy("event_type").agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
+    )
+    series = spine.join(per, ["event_type", "m"], "left").select(
+        "event_type", "m", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w_frame = (
+        Window.partitionBy("event_type").orderBy("m").rowsBetween(0, window_len - 1)
+    )
+    wins = series.select(
+        "event_type", "m", F.collect_list("cnt").over(w_frame).alias("w")
+    ).where(F.size("w") == window_len)
+    q = (
+        wins.where(F.col("event_type") == query_type)
+        .orderBy("m")
+        .limit(1)
+        .select(F.col("w").alias("qw"))
+    )
+    sse = F.expr(
+        "CAST(aggregate(zip_with(w, qw, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+    )
+    scored = wins.crossJoin(F.broadcast(q)).select(
+        "event_type", F.col("m").cast("bigint").alias("win_start_m"), sse.alias("sse")
+    )
+    top = scored.orderBy("sse", "event_type", "win_start_m").limit(k)
+    w_rn = Window.orderBy("sse", "event_type", "win_start_m")
+    return top.withColumn("rn", F.row_number().over(w_rn).cast("bigint")).select(
+        "event_type", "win_start_m", "sse", "rn"
+    )

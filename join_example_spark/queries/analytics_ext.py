@@ -1239,48 +1239,15 @@ SELECT event_type, win_start_m, sse, rn FROM (
     tags=("temporal", "similarity", "analytics"),
 )
 def q_ts_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from join_example_spark.operators.temporal import ts_subseq_topk
     from join_example_spark.sources.readers import read_events
 
     ev = read_events(spark, sf_dir)
     per = ev.groupBy(
         "event_type",
         F.expr("unix_micros(ts) DIV 60000000").alias("m"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    bounds = per.groupBy("event_type").agg(
-        F.min("m").alias("mn"), F.max("m").alias("mx")
-    )
-    spine = bounds.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
-    )
-    series = spine.join(per, ["event_type", "m"], "left").select(
-        "event_type", "m", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
-    )
-    w_frame = (
-        Window.partitionBy("event_type").orderBy("m").rowsBetween(0, 7)
-    )
-    wins = series.select(
-        "event_type", "m", F.collect_list("cnt").over(w_frame).alias("w")
-    ).where(F.size("w") == 8)
-    q = (
-        wins.where(F.col("event_type") == "click")
-        .orderBy("m")
-        .limit(1)
-        .select(F.col("w").alias("qw"))
-    )
-    sse = F.expr(
-        "CAST(aggregate(zip_with(w, qw, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
-    )
-    scored = wins.crossJoin(F.broadcast(q)).select(
-        "event_type", F.col("m").cast("bigint").alias("win_start_m"), sse.alias("sse")
-    )
-    top = scored.orderBy("sse", "event_type", "win_start_m").limit(10)
-    w_rn = Window.orderBy("sse", "event_type", "win_start_m")
-    return top.withColumn("rn", F.row_number().over(w_rn).cast("bigint")).select(
-        "event_type", "win_start_m", "sse", "rn"
-    )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return ts_subseq_topk(per)
 
 
 @register(

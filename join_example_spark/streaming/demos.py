@@ -559,3 +559,52 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users",
         )
     )
+
+
+def stream_ts_series_maintain(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the per-(type, minute) count series + the
+    SAME subsequence search ``q_ts_sim_search`` runs — the streaming shape
+    of the PAPERS.md EDBT'19 time-series-similarity class.
+
+    Window scores depend on the WHOLE series, so unlike the per-row
+    ingest-dedup demos the search itself cannot be batch-local. What IS
+    streaming-maintainable is the series: per-minute counts are
+    associative partials (the stream_upsert_matview algebra), so each
+    micro-batch appends its (type, minute, partial-count) rollup to the
+    store and merge-on-read (SUM per key) reconstructs EXACTLY the batch
+    rollup under any micro-batch chopping. The search then runs the
+    shared :func:`operators.temporal.ts_subseq_topk` over the maintained
+    store — one code path with the batch query, equality asserted in
+    tests. At 100 TB: the store is the tiny (types × minutes) rollup,
+    compacted periodically; arriving events never re-scan history.
+    """
+    arriving = read_events_stream(spark, sf_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                "event_type",
+                F.expr("unix_micros(ts) DIV 60000000").alias("m"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        arriving.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from join_example_spark.operators.temporal import ts_subseq_topk
+
+    maintained = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "m")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return ts_subseq_topk(maintained)

@@ -590,3 +590,20 @@ def test_stream_incremental_dedup_restart_from_checkpoint(spark, tmp_path):
     )
     problems = compare_frames(got.toPandas(), want.toPandas())
     assert not problems, problems
+
+
+def test_stream_ts_series_maintain_equals_batch_search(spark, tmp_path):
+    """The maintained per-minute series must reproduce the batch
+    subsequence search EXACTLY: count partials merge associatively under
+    any micro-batch chopping, and the search is the shared
+    ts_subseq_topk code path — so the streaming store's top-10 equals
+    q_ts_sim_search's row for row."""
+    from join_example_spark.queries.analytics_ext import q_ts_sim_search
+    from join_example_spark.streaming import demos
+
+    got = demos.stream_ts_series_maintain(
+        spark, SF_SMOKE, str(tmp_path / "store"), str(tmp_path / "ck")
+    ).collect()
+    want = q_ts_sim_search(spark, SF_SMOKE).collect()
+    key = lambda r: (r.rn, r.event_type, r.win_start_m, r.sse)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
