@@ -1332,3 +1332,95 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("win_end_m"),
         (num / den).alias("click_error_corr"),
     )
+
+
+@register(
+    "q_dq_stats_drift",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           SUM(CAST(value AS DECIMAL(25,6))) AS sum_dec
+    FROM events GROUP BY 1
+), trailed AS (
+    SELECT day, n_events, n_users, sum_dec,
+           COUNT(*) OVER w AS trail_n,
+           SUM(n_events) OVER w AS t_events,
+           SUM(n_users) OVER w AS t_users,
+           SUM(sum_dec) OVER w AS t_sum
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_events, n_users,
+       CAST(sum_dec AS DOUBLE) / CAST(n_events AS DOUBLE) AS avg_value,
+       CAST(n_events AS DOUBLE) * 7.0 / CAST(t_events AS DOUBLE) AS vol_ratio,
+       CAST(n_users AS DOUBLE) * 7.0 / CAST(t_users AS DOUBLE) AS user_ratio,
+       (CAST(sum_dec AS DOUBLE) / CAST(n_events AS DOUBLE))
+           / (CAST(t_sum AS DOUBLE) / CAST(t_events AS DOUBLE)) AS avg_ratio,
+       (CAST(n_events AS DOUBLE) * 7.0 / CAST(t_events AS DOUBLE) < 0.5
+        OR CAST(n_events AS DOUBLE) * 7.0 / CAST(t_events AS DOUBLE) > 2.0)
+           AS vol_anomaly,
+       (CAST(n_users AS DOUBLE) * 7.0 / CAST(t_users AS DOUBLE) < 0.5
+        OR CAST(n_users AS DOUBLE) * 7.0 / CAST(t_users AS DOUBLE) > 2.0)
+           AS user_anomaly,
+       ((CAST(sum_dec AS DOUBLE) / CAST(n_events AS DOUBLE))
+           / (CAST(t_sum AS DOUBLE) / CAST(t_events AS DOUBLE)) < 0.8
+        OR (CAST(sum_dec AS DOUBLE) / CAST(n_events AS DOUBLE))
+           / (CAST(t_sum AS DOUBLE) / CAST(t_events AS DOUBLE)) > 1.25)
+           AS avg_anomaly
+FROM trailed WHERE trail_n = 7
+""",
+    note="multi-metric ingest drift monitor — the statistical half of the "
+    "data-quality family (q_dq_constraints audits rules, "
+    "q_dq_volume_anomaly audits row counts; this audits the DISTRIBUTION): "
+    "per-day volume, distinct-user, and mean-value profiles, each "
+    "compared to its trailing-7-day aggregate. Determinism: value sums "
+    "ride the standard DECIMAL(25,6) bridge and the trailing mean is "
+    "trailing-decimal-SUM / trailing-COUNT (never an avg-of-avgs of raw "
+    "doubles — float window sums are merge-order-dependent); every ratio "
+    "is a raw IEEE quotient of identical operands both engines, "
+    "thresholds compare those quotients directly. Warm-up days excluded "
+    "(trail_n = 7). One corpus-sized rollup, then a window over ~days "
+    "rows — the bounded-by-time frame class",
+    tags=("quality", "window", "temporal"),
+)
+def q_dq_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("sum_dec"),
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trailed = daily.select(
+        "day",
+        "n_events",
+        "n_users",
+        "sum_dec",
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        F.sum("n_events").over(w).alias("t_events"),
+        F.sum("n_users").over(w).alias("t_users"),
+        F.sum("sum_dec").over(w).alias("t_sum"),
+    ).where(F.col("trail_n") == 7)
+    avg_value = F.col("sum_dec").cast("double") / F.col("n_events").cast("double")
+    vol_ratio = F.col("n_events").cast("double") * 7.0 / F.col("t_events").cast("double")
+    user_ratio = F.col("n_users").cast("double") * 7.0 / F.col("t_users").cast("double")
+    trail_avg = F.col("t_sum").cast("double") / F.col("t_events").cast("double")
+    avg_ratio = avg_value / trail_avg
+    return trailed.select(
+        "day",
+        "n_events",
+        "n_users",
+        avg_value.alias("avg_value"),
+        vol_ratio.alias("vol_ratio"),
+        user_ratio.alias("user_ratio"),
+        avg_ratio.alias("avg_ratio"),
+        ((vol_ratio < 0.5) | (vol_ratio > 2.0)).alias("vol_anomaly"),
+        ((user_ratio < 0.5) | (user_ratio > 2.0)).alias("user_anomaly"),
+        ((avg_ratio < 0.8) | (avg_ratio > 1.25)).alias("avg_anomaly"),
+    )

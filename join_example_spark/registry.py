@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_sim_imipq",
     "q_ts_sim_search",
     "q_ts_rolling_corr",
+    "q_dq_stats_drift",
     "q_llm_split_leakage_safe",
     "q_llm_dedup_semantic_exact",
     "q_win_sliding_distinct_hll",

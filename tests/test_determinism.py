@@ -63,6 +63,7 @@ SENSITIVE = [
     "q_llm_sim_imipq",           # IMI cells x PQ LUT x shortlist x rerank composition
     "q_ts_sim_search",           # frame-ordered collect_list + integer SSE + top-k ties
     "q_ts_rolling_corr",         # BIGINT moment window sums + one IEEE corr expression
+    "q_dq_stats_drift",          # trailing decimal sums + ratio thresholds at boundaries
 ]
 
 
