@@ -1367,3 +1367,49 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_prefix",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS t
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(LEN(list_intersect(a.t, b.t)) AS DOUBLE)
+         / CAST(LEN(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) AS jaccard
+FROM toks a
+JOIN toks b ON a.doc_id < b.doc_id
+WHERE 2 * LEN(list_intersect(a.t, b.t))
+      >= LEN(list_distinct(list_concat(a.t, b.t)))
+ORDER BY id_a, id_b
+""",
+    note="PPJoin-style PREFIX-FILTERED set-similarity self-join (token "
+    "Jaccard >= 1/2): vocabulary ranked by ascending document frequency, "
+    "each doc keeps only its s DIV 2 + 1 rarest tokens as the candidate "
+    "join key, plus the 2*s_b >= s_a length filter, then exact "
+    "integer-cross-multiplied Jaccard verify. The oracle is the NAIVE "
+    "QUADRATIC all-pairs ground truth, so the hash match is a per-row "
+    "proof that prefix filtering is lossless — unlike the lang+length "
+    "blocking of q_llm_dedup_near (which certifies only its blocked "
+    "subset). 100 TB shape: no stage is quadratic in the corpus; "
+    "candidate fan-out rides on the RAREST tokens per doc, the one join "
+    "key distribution that flattens as the vocabulary grows. jaccard is "
+    "one IEEE division of identical integers — bit-stable unrounded",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.dedup import prefix_filter_pairs
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select(
+            "doc_id",
+            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
+        )
+    )
+    return prefix_filter_pairs(docs, id_col="doc_id", toks_col="toks")

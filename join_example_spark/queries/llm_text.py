@@ -330,3 +330,111 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), F.col("term"))
     return freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+_BM25_TERMS = ("vector", "hash", "window")
+_BM25_IN = "('vector', 'hash', 'window')"
+
+
+@register(
+    "q_llm_bm25_search",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, str_split(LOWER(TRIM(text)), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+), sized AS (
+    SELECT doc_id, LEN(t) AS dl FROM docs
+), stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM sized
+), terms AS (
+    SELECT doc_id, unnest(t) AS term FROM docs
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM terms
+    WHERE term IN {_BM25_IN} GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+    WHERE term IN {_BM25_IN} GROUP BY term
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + (0.3 + 0.9 * (CAST(z.dl AS DOUBLE)
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))),
+               6) AS DECIMAL(18,6)) AS s6
+    FROM tf
+    JOIN sized z USING (doc_id)
+    JOIN df USING (term)
+    CROSS JOIN stats s
+), summed AS (
+    SELECT doc_id, CAST(SUM(s6) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+    FROM summed
+)
+SELECT doc_id, bm25, rnk FROM ranked WHERE rnk <= 10 ORDER BY rnk
+""",
+    note="BM25 top-10 retrieval for a fixed 3-term query (Lucene idf "
+    "variant ln(1 + (N-df+0.5)/(df+0.5)) — always positive on a "
+    "common-term vocabulary; k1=1.2, b=0.75). Determinism: every integer "
+    "is CAST to DOUBLE before float arithmetic with an IDENTICAL "
+    "expression tree on both engines (each IEEE +,*,/ is then "
+    "bit-identical; ln carries the same accepted 1-ulp-then-ROUND risk "
+    "as q_llm_tfidf, driver-green since r2); per-term scores round to 6 "
+    "decimals into DECIMAL(18,6), the per-doc SUM runs in exact decimal "
+    "space (order-independent), and one final cast emits the double. "
+    "Scale shape: tf and df are map-side-combined aggregates over "
+    "narrow (doc, term) rows filtered to the query terms BEFORE any "
+    "shuffle; stats and df broadcast; top-10 is TakeOrderedAndProject, "
+    "never a global-order window over the corpus",
+    tags=("llm", "text", "search"),
+)
+def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower(F.trim("text")), " ").alias("t"))
+    )
+    sized = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    terms = docs.select("doc_id", F.explode("t").alias("term")).where(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + (
+        F.lit(0.3) + F.lit(0.9) * (F.col("dl").cast("double") / avgdl)
+    )
+    s6 = F.round(idf * (F.col("tf").cast("double") * F.lit(2.2)) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    scored = (
+        tf.join(sized, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s6.alias("s6"))
+    )
+    summed = scored.groupBy("doc_id").agg(
+        F.sum("s6").cast("double").alias("bm25")
+    )
+    top = summed.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "bm25", "rnk"
+    )

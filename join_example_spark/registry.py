@@ -81,6 +81,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # oldest greens are re-proven on the current fixture.
     # round-5 additions: the inverted-multi-index family (new queries —
     # listed explicitly so the prefix math stays auditable).
+    "q_llm_dedup_prefix",
+    "q_llm_bm25_search",
     "q_llm_dedup_semantic_imi",
     "q_llm_sim_imi",
     "q_llm_imi_recall",
