@@ -353,3 +353,50 @@ def pagerank_fixed(
             ).alias("r"),
         )
     return r
+
+
+def bfs_distances(
+    seeds: DataFrame,
+    pairs: DataFrame,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Multi-source BFS shortest-path distances over an undirected pair
+    list, bounded at ``iters`` hops — pure integer min-plus relaxation,
+    bit-deterministic under any partitioning (no floats anywhere).
+
+    Level-synchronous Pregel shape: each round relaxes EVERY currently
+    settled node through the edge list (dist' = min(dist, neighbor+1))
+    and re-aggregates with an integer MIN — identical to the unrolled
+    min-relaxation CTE chain the oracle runs, with no path enumeration
+    (a WITH RECURSIVE UNION ALL walk would multiply per-path rows on
+    cyclic near-dup graphs; the min-relaxation form stays node-sized
+    every round). ``dist`` is referenced twice per round (relax + union),
+    so each round eager-localCheckpoints the node-sized frontier —
+    the sanctioned pattern (CLAUDE.md round-5: a twice-referenced
+    subplan re-executes its whole upstream otherwise). At 100 TB each
+    round is one edge-key join plus one narrow (node, dist) shuffle.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col(id_col).alias("v"), F.lit(0).cast("bigint").alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        relax = edges.join(dist, edges["src"] == dist["v"]).select(
+            F.col("dst").alias("v"), (F.col("d") + F.lit(1)).alias("d")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("v")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

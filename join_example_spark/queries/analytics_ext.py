@@ -1424,3 +1424,153 @@ def q_dq_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((user_ratio < 0.5) | (user_ratio > 2.0)).alias("user_anomaly"),
         ((avg_ratio < 0.8) | (avg_ratio > 1.25)).alias("avg_anomaly"),
     )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+WITH per AS (
+    SELECT event_type, epoch_us(ts) // 60000000 AS m,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM per),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+    SELECT t.event_type, unnest(range(b.mn, b.mx + 1)) AS m
+    FROM types t CROSS JOIN bounds b
+), series AS (
+    SELECT s.event_type, s.m, COALESCE(p.x, CAST(0 AS BIGINT)) AS x
+    FROM spine s
+    LEFT JOIN per p ON p.event_type = s.event_type AND p.m = s.m
+), contrib AS (
+    SELECT s.event_type, s.m + u.k AS t, s.x << (19 - u.k) AS c
+    FROM series s CROSS JOIN (SELECT unnest(range(0, 20)) AS k) u
+)
+SELECT event_type,
+       CAST(t AS BIGINT) AS win_end_m,
+       CAST(SUM(c) AS DOUBLE) / 1048576.0 AS ewma
+FROM contrib
+GROUP BY event_type, t
+HAVING COUNT(*) = 20
+""",
+    note="EXACT truncated EWMA (alpha = 1/2, 20-minute horizon) of each "
+    "event type's per-minute count series: the smoothed-rate monitor "
+    "behind alerting/trend lines. The dyadic-weight trick makes it "
+    "bit-exact with NO rounding anywhere: weight (1/2)^(k+1) becomes an "
+    "integer shiftleft(x, 19-k), the weighted sum is a BIGINT SUM "
+    "(order-independent), and the single closing division by 2^20 is an "
+    "exact binary scaling — the entire query is integer arithmetic plus "
+    "one lossless float op. Gap-filled minute spine per type; complete "
+    "20-minute windows only (COUNT(*) = 20). Scale shape: one rollup "
+    "shuffle, a broadcast bounds row, a 20x narrow contribution explode "
+    "(map-side), one (type, minute) grouped sum — no window over the "
+    "raw stream, no range join, streaming-maintainable as a keyed "
+    "running state",
+    tags=("temporal", "analytics", "window"),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    per = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 60000000").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
+    )
+    series = spine.join(per, ["event_type", "m"], "left").select(
+        "event_type", "m", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
+    )
+    contrib = series.select(
+        "event_type",
+        "m",
+        "x",
+        F.explode(F.expr("sequence(0, 19)")).alias("k"),
+    ).select(
+        "event_type",
+        (F.col("m") + F.col("k")).alias("t"),
+        F.expr("shiftleft(x, 19 - CAST(k AS INT))").alias("c"),
+    )
+    return (
+        contrib.groupBy("event_type", "t")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 20)
+        .select(
+            "event_type",
+            F.col("t").cast("bigint").alias("win_end_m"),
+            (F.col("s").cast("double") / F.lit(1048576.0)).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "q_ts_twap",
+    oracle="""
+WITH seq AS (
+    SELECT event_type, value, event_id, epoch_us(ts) AS t,
+           LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+    FROM events
+), iv AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,3)) * 1000 AS BIGINT) AS v_milli,
+           nxt - t AS dur
+    FROM seq WHERE nxt IS NOT NULL
+)
+SELECT event_type,
+       CAST(SUM(v_milli * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) / 1000.0
+           AS twap,
+       CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM iv GROUP BY event_type
+""",
+    note="time-weighted average value (TWAP) per event type: each "
+    "reading holds until the next event of the same type, so its weight "
+    "is the integer microsecond duration from LEAD — the metric that "
+    "prices irregularly-sampled gauges correctly where a plain AVG "
+    "over-weights bursts. Determinism: value carries <= 3 fixture "
+    "decimals so CAST to DECIMAL(12,3) * 1000 -> BIGINT is a lossless "
+    "integerization; the weighted sum then accumulates in PURE BIGINT "
+    "(order-independent, and int64 -> double conversion is correctly "
+    "rounded on both engines — unlike wide-DECIMAL -> double, where "
+    "DuckDB's int128-then-divide double conversion rounds twice and "
+    "diverged from Spark's exact parse by 1 ulp at 18 significant "
+    "digits; caught by the mirror on first run), and the closing "
+    "division chain is IEEE ops on identical operands. LEAD sits "
+    "under a (ts, event_id) total order. Scale: one keyed window scan + "
+    "one rollup — and because the weight of a reading is determined by "
+    "the NEXT event only, the operator is streaming-maintainable with "
+    "one pending row of state per key",
+    tags=("temporal", "analytics", "agg"),
+)
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", "value", "event_id", F.expr("unix_micros(ts)").alias("t"), "ts"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    iv = (
+        ev.withColumn("nxt", F.lead("t").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(CAST(value AS DECIMAL(12,3)) * 1000 AS BIGINT)").alias(
+                "v_milli"
+            ),
+            (F.col("nxt") - F.col("t")).alias("dur"),
+        )
+    )
+    return iv.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v_milli") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double")
+            / F.lit(1000.0)
+        ).alias("twap"),
+        F.sum("dur").cast("bigint").alias("total_dur_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )

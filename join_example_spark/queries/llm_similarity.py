@@ -1537,3 +1537,73 @@ def q_llm_sim_imipq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=3, c_per_half=16, nprobe_half=2, shortlist=32,
         probe_pred="vec_id % 100 = 0",
     )
+
+
+def _duck_bfs_sql(iters: int = 4, seed_mod: int = 97, tau: float = 0.25) -> str:
+    """Unrolled multi-source BFS oracle over the label-blocked near-dup
+    graph — textually mirrors operators/graph.py:bfs_distances (same
+    integer min-plus relaxation per level; no WITH RECURSIVE walk, which
+    would enumerate paths and explode on cyclic duplicate cliques)."""
+    ctes = [
+        f"""pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= {tau}
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), d0 AS (
+    SELECT vec_id AS v, CAST(0 AS BIGINT) AS d
+    FROM embeddings WHERE vec_id % {seed_mod} = 0
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""u{i} AS (
+    SELECT v, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS v, p.d + 1 AS d
+    FROM d{i - 1} p JOIN edges e ON e.src = p.v
+), d{i} AS (
+    SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM u{i} GROUP BY v
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS vec_id, d AS dist FROM d{iters}
+"""
+    )
+
+
+@register(
+    "q_graph_bfs",
+    oracle=_duck_bfs_sql(4),
+    note="multi-source BFS shortest-path distances (4 hops) from the "
+    "vec_id % 97 = 0 seed set over the label-blocked tau=0.25 embedding "
+    "similarity graph (looser than the 0.35 dedup threshold so genuine "
+    "2+-hop chains exist at every fixture SF — at 0.35 the graph has "
+    "ZERO multi-hop structure at sf0.001 and the query would certify "
+    "nothing but the seed echo) — the reachability/contamination-radius primitive (how far "
+    "does a flagged document's duplicate neighborhood extend?). Pure "
+    "integer min-plus relaxation, level-synchronous, bit-deterministic "
+    "under any partitioning with NO float anywhere; the oracle is the "
+    "identical unrolled min-relaxation CTE chain, deliberately not a "
+    "WITH RECURSIVE walk (path enumeration explodes on cyclic duplicate "
+    "cliques; min-relaxation stays node-sized every round). Edges "
+    "localCheckpoint once, each frontier eager-localCheckpoints because "
+    "it is referenced twice per round (relax + union) — the sanctioned "
+    "twice-referenced-subplan pattern. At 100 TB each round is one "
+    "edge-key join + one narrow (node, dist) shuffle — Pregel cost, "
+    "zero driver-side state",
+    tags=("llm", "similarity", "graph"),
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import bfs_distances
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") % 97 == 0)
+    pairs = cosine_near_pairs(emb, threshold=0.25)
+    dist = bfs_distances(seeds, pairs, iters=4)
+    return dist.select(F.col("v").alias("vec_id"), F.col("d").alias("dist"))

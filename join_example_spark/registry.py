@@ -83,6 +83,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # listed explicitly so the prefix math stays auditable).
     "q_llm_dedup_prefix",
     "q_llm_bm25_search",
+    "q_graph_bfs",
+    "q_ts_ewma",
+    "q_ts_twap",
     "q_llm_dedup_semantic_imi",
     "q_llm_sim_imi",
     "q_llm_imi_recall",
