@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -400,3 +400,60 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def label_propagation_fixed(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (community detection)
+    over an undirected pair list — pure integer algebra, bit-deterministic.
+
+    Every node starts as its own community (label = id). Each round, a
+    node adopts the MODE of its neighbors' labels, ties broken by the
+    SMALLEST label (the deterministic variant of Raghavan et al.'s LPA —
+    random tie-breaks would be irreproducible across engines); isolated
+    nodes keep their current label. Synchronous update (all nodes read
+    the previous round's labels) makes the rounds order-independent and
+    lets the oracle unroll them as static CTEs.
+
+    Per round: one edge join, one (node, nbr_label) count aggregate, one
+    mode pick via ROW_NUMBER under a (count DESC, label ASC) total
+    order, one left-join-back. Labels are referenced twice per round
+    (propagate + keep-own fallback), so each round's node-sized label
+    vector is eager-localCheckpointed (the twice-referenced-subplan
+    rule). Pregel cost shape, no driver state.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("v"), F.col(id_col).cast("bigint").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        nbr = edges.join(labels, edges["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), F.col("lbl").alias("nlbl")
+        )
+        counts = nbr.groupBy("v", "nlbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nlbl").asc())
+        mode = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("v", F.col("nlbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(mode, "v", "left")
+            .select(
+                "v", F.coalesce("new_lbl", "lbl").cast("bigint").alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -1574,3 +1574,67 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur").cast("bigint").alias("total_dur_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
+
+
+@register(
+    "q_dq_robust_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type, quantile_disc(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, m.med, ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+), stats AS (
+    SELECT event_type, med, quantile_disc(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type, med
+)
+SELECT s.event_type, s.med, s.mad,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d.adev > 4.4478 * s.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN stats s USING (event_type)
+GROUP BY s.event_type, s.med, s.mad
+""",
+    note="robust outlier monitor: per event type, median and MAD (median "
+    "absolute deviation) of value, and the count of readings beyond the "
+    "3-sigma-equivalent robust fence |x - med| > 4.4478 * MAD (4.4478 = "
+    "3 x 1.4826, written as ONE parsed literal on both sides — composing "
+    "it as 3*1.4826 would be a different double). Unlike the mean/stddev "
+    "screen (q_dq_stats_drift), median/MAD don't move when the outliers "
+    "themselves get worse — the estimator a DQ fence actually wants. "
+    "Bit-determinism: both medians are TRUE discrete quantiles "
+    "(approx_percentile at accuracy 1e7 >> group sizes == DuckDB "
+    "quantile_disc, the round-4-certified pattern), so med/mad are "
+    "actual data doubles; |x - med| is one exact-rounded IEEE sub; the "
+    "fence compare is identical doubles on both engines. Scale: two "
+    "sketch-mergeable percentile passes + one counting pass, all "
+    "map-side combined; the deviation pass re-reads the base scan "
+    "twice rather than caching a corpus-sized intermediate",
+    tags=("dq", "analytics", "agg"),
+)
+def q_dq_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000000)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    stats = dev.groupBy("event_type", "med").agg(
+        F.expr("approx_percentile(adev, 0.5, 10000000)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(stats.select("event_type", "mad")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

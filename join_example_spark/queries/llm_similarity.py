@@ -1607,3 +1607,73 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_near_pairs(emb, threshold=0.25)
     dist = bfs_distances(seeds, pairs, iters=4)
     return dist.select(F.col("v").alias("vec_id"), F.col("d").alias("dist"))
+
+
+def _duck_lpa_sql(iters: int = 3, tau: float = 0.25) -> str:
+    """Unrolled synchronous label-propagation oracle — textually mirrors
+    operators/graph.py:label_propagation_fixed (same mode-with-smallest-
+    label tiebreak, same keep-own fallback for isolated nodes)."""
+    ctes = [
+        f"""pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= {tau}
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), l0 AS (
+    SELECT vec_id AS v, CAST(vec_id AS BIGINT) AS lbl FROM embeddings
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+    SELECT e.dst AS v, p.lbl AS nlbl, COUNT(*) AS c
+    FROM l{i - 1} p JOIN edges e ON e.src = p.v
+    GROUP BY e.dst, p.lbl
+), m{i} AS (
+    SELECT v, nlbl AS new_lbl FROM (
+        SELECT v, nlbl,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v ORDER BY c DESC, nlbl ASC) AS rn
+        FROM c{i}
+    ) WHERE rn = 1
+), l{i} AS (
+    SELECT l.v, CAST(COALESCE(m.new_lbl, l.lbl) AS BIGINT) AS lbl
+    FROM l{i - 1} l LEFT JOIN m{i} m ON m.v = l.v
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS vec_id, lbl AS community FROM l{iters}
+"""
+    )
+
+
+@register(
+    "q_graph_label_prop",
+    oracle=_duck_lpa_sql(3),
+    note="fixed-3-round synchronous label propagation (deterministic LPA: "
+    "each node adopts the MODE of neighbor labels, ties to the SMALLEST "
+    "label, isolated nodes keep their own) over the tau=0.25 embedding "
+    "similarity graph — the lightweight community-detection rung between "
+    "connected components (pure reachability) and PageRank (centrality): "
+    "dense duplicate cliques converge to one community while bridge "
+    "edges do NOT glue weakly-linked groups the way min-label CC does. "
+    "All-integer algebra, bit-deterministic under any partitioning; the "
+    "oracle is the identical unrolled mode-pick CTE chain. Per round one "
+    "edge join + one (node, label) count + a per-node top-1 window + "
+    "one join-back; node-sized label vectors eager-localCheckpoint "
+    "(twice-referenced-subplan rule). Pregel cost shape at 100 TB",
+    tags=("llm", "similarity", "graph"),
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import label_propagation_fixed
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    nodes = emb.select("vec_id")
+    pairs = cosine_near_pairs(emb, threshold=0.25)
+    lbl = label_propagation_fixed(nodes, pairs, iters=3)
+    return lbl.select(F.col("v").alias("vec_id"), F.col("lbl").alias("community"))

@@ -615,3 +615,65 @@ def q_llm_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_leaked") > 0).alias("is_contaminated"),
         )
     )
+
+
+@register(
+    "q_llm_sample_weighted",
+    oracle=f"""
+WITH tickets AS (
+    SELECT doc_id, n_chars,
+           unnest(range(1, LEAST(GREATEST(n_chars // 50, 1), 20) + 1)) AS t
+    FROM documents
+), hashed AS (
+    SELECT doc_id, n_chars, {id_hash_sql("(doc_id * 64 + t)")} AS h
+    FROM tickets
+), pri AS (
+    SELECT doc_id, MAX(n_chars) AS n_chars,
+           CAST(MIN(h) AS BIGINT) AS priority
+    FROM hashed GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rnk
+    FROM pri
+)
+SELECT doc_id, n_chars, priority, rnk FROM ranked WHERE rnk <= 50 ORDER BY rnk
+""",
+    note="deterministic WEIGHTED priority sampling (bottom-k over "
+    "replicated tickets): each document draws w = clamp(n_chars/50, 1, "
+    "20) portable-hash tickets, its priority is the MIN ticket hash, and "
+    "the 50 lowest-priority docs win — longer documents draw more "
+    "tickets so inclusion probability rises with length (the weighted "
+    "generalization of q_llm_sample_hash's uniform bottom-k), while the "
+    "whole draw stays a pure function of doc_id: reproducible across "
+    "runs, partitionings, AND engines (all-integer portable hash, "
+    "total-order tiebreak). The training-mix primitive for 'sample "
+    "proportional to token count'. Scale shape: a <=20x map-side ticket "
+    "explode of narrow rows, MIN partial-agg combines map-side, top-50 "
+    "is TakeOrderedAndProject — no global sort, no rand(), no window "
+    "over the corpus",
+    tags=("llm", "training", "sampling"),
+)
+def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tickets = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr("sequence(1, LEAST(GREATEST(n_chars DIV 50, 1), 20))")
+        ).alias("t"),
+    )
+    pri = (
+        tickets.withColumn("h", id_hash("(doc_id * 64 + t)"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").cast("bigint").alias("n_chars"),
+            F.min("h").cast("bigint").alias("priority"),
+        )
+    )
+    top = pri.orderBy("priority", "doc_id").limit(50)
+    w = Window.orderBy("priority", "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "n_chars", "priority", "rnk"
+    )

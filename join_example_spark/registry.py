@@ -84,6 +84,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_prefix",
     "q_llm_bm25_search",
     "q_graph_bfs",
+    "q_graph_label_prop",
+    "q_llm_sample_weighted",
+    "q_dq_robust_mad",
     "q_ts_ewma",
     "q_ts_twap",
     "q_llm_dedup_semantic_imi",
