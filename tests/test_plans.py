@@ -340,3 +340,50 @@ def test_imi_pair_join_exchanges_are_pinned(spark):
         if "Exchange hashpartitioning(cell" in ln and "REPARTITION_BY_NUM" in ln
     ]
     assert len(pinned) >= 2, plan[:1500]
+
+
+def test_bm25_broadcasts_and_takes_ordered(spark):
+    # df/stats are broadcast (never a fact-side shuffle for dictionary-sized
+    # tables) and top-10 is TakeOrderedAndProject, not a global-order window
+    # over the scored corpus.
+    df = _REG["q_llm_bm25_search"].fn(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_hash_join(df)
+
+
+def test_prefix_filter_join_is_never_cartesian(spark):
+    # The whole point of the PPJoin rewrite: candidate generation is an
+    # equi-join on prefix tokens. A CartesianProduct anywhere would mean
+    # the quadratic space leaked back into the plan.
+    df = _REG["q_llm_dedup_prefix"].fn(spark, SF_SMOKE)
+    assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_ewma_has_no_window_operator(spark):
+    # The dyadic-shift EWMA is rollup + map-side explode + grouped sum —
+    # the scale win over a per-row weighted frame is that NO window
+    # operator (densify-and-sort hazard) appears at all.
+    df = _REG["q_ts_ewma"].fn(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_takes_ordered(spark):
+    df = _REG["q_llm_sample_weighted"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_twap_single_keyed_window(spark):
+    # One LEAD window partitioned by event_type; no unpartitioned window
+    # (the "Moving all data to a single partition" hazard) anywhere.
+    df = _REG["q_ts_twap"].fn(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 1
+    import re as _re
+
+    for m in _re.finditer(r"Window \[", plan):
+        # every Window operator line must carry a partition spec
+        line = plan[m.start() : plan.index("\n", m.start())]
+        assert "event_type" in line, f"unpartitioned window: {line}"
