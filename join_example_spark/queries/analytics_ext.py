@@ -1638,3 +1638,121 @@ def q_dq_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_ts_concurrency",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), mk AS (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN LAG(ts_us) OVER w IS NULL
+                     OR ts_us - LAG(ts_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), isl AS (
+    SELECT user_id, ts_us,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM mk
+), sess AS (
+    SELECT user_id, island, MIN(ts_us) AS s, MAX(ts_us) AS e
+    FROM isl GROUP BY user_id, island
+), pieces AS (
+    SELECT unnest(range(s // 86400000000, e // 86400000000 + 1)) AS day, s, e
+    FROM sess
+), clipped AS (
+    SELECT day,
+           GREATEST(s, day * 86400000000) AS ps,
+           LEAST(e, (day + 1) * 86400000000 - 1) AS pe
+    FROM pieces
+), deltas AS (
+    SELECT day, ps AS t, 1 AS d FROM clipped
+    UNION ALL
+    SELECT day, pe + 1 AS t, -1 AS d FROM clipped
+), perts AS (
+    SELECT day, t, SUM(d) AS d FROM deltas GROUP BY day, t
+), run AS (
+    SELECT day,
+           SUM(d) OVER (PARTITION BY day ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+    FROM perts
+), npd AS (
+    SELECT day, COUNT(*) AS n_sessions FROM clipped GROUP BY day
+)
+SELECT CAST(r.day AS BIGINT) AS day,
+       CAST(n.n_sessions AS BIGINT) AS n_sessions,
+       CAST(MAX(r.cur) AS BIGINT) AS max_concurrent
+FROM run r JOIN npd n USING (day)
+GROUP BY r.day, n.n_sessions
+""",
+    note="sweep-line interval concurrency: 30-minute-gap sessions per "
+    "user (gaps-and-islands), clipped to UTC epoch-day pieces, then the "
+    "classic +1/-1 boundary sweep with a per-day running sum — max "
+    "concurrent active sessions per day plus the day's session count, "
+    "the capacity-planning number a plain per-hour COUNT can't give "
+    "(overlap, not volume). All-integer microsecond arithmetic, "
+    "bit-deterministic: boundary deltas are pre-aggregated per (day, "
+    "timestamp) so the running sum is over a unique total order. Scale "
+    "shape: keyed session windows, a <=days-spanned explode, and the "
+    "sweep partitions by DAY (bounded rows per partition — never one "
+    "global unpartitioned running sum over all boundaries; day "
+    "clipping is exactly what makes the sweep parallel at 100 TB)",
+    tags=("temporal", "analytics", "window"),
+)
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    day_us = 86_400_000_000
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = marked.withColumn("island", F.sum("is_new").over(wrun))
+    sess = isl.groupBy("user_id", "island").agg(
+        F.min("ts_us").alias("s"), F.max("ts_us").alias("e")
+    )
+    clipped = sess.select(
+        F.explode(
+            F.expr(f"sequence(s DIV {day_us}, e DIV {day_us})")
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "day",
+        F.expr(f"GREATEST(s, day * {day_us})").alias("ps"),
+        F.expr(f"LEAST(e, (day + 1) * {day_us} - 1)").alias("pe"),
+    )
+    deltas = clipped.select("day", F.col("ps").alias("t"), F.lit(1).alias("d")).unionByName(
+        clipped.select("day", (F.col("pe") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    perts = deltas.groupBy("day", "t").agg(F.sum("d").alias("d"))
+    wday = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = perts.withColumn("cur", F.sum("d").over(wday))
+    npd = clipped.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        run.groupBy("day")
+        .agg(F.max("cur").cast("bigint").alias("max_concurrent"))
+        .join(npd, "day")
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "n_sessions",
+            "max_concurrent",
+        )
+    )

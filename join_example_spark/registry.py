@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dq_robust_mad",
     "q_ts_ewma",
     "q_ts_twap",
+    "q_ts_concurrency",
     "q_llm_dedup_semantic_imi",
     "q_llm_sim_imi",
     "q_llm_imi_recall",
