@@ -393,102 +393,3 @@ def incremental_dedup_verdicts(batch: DataFrame, corpus: DataFrame) -> DataFrame
         )
     )
 
-
-def prefix_filter_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    toks_col: str = "toks",
-) -> DataFrame:
-    """All-pairs token-Jaccard >= 0.5 via PPJoin-style prefix filtering.
-
-    The published scale technique for exact set-similarity self-joins
-    (Xiao/Wang/Lin/Yu, "Efficient Similarity Joins for Near Duplicate
-    Detection", WWW'08 — public literature): order the vocabulary by
-    ascending document frequency (rarest token first, ties by token text),
-    and for a set of size s keep only its first ``p = s - ceil(t*s) + 1``
-    tokens in that order as its *prefix*. Two sets with Jaccard >= t MUST
-    share at least one prefix token (pigeonhole on the required overlap
-    ``ceil(t/(1+t) * (s_a + s_b))``), so the candidate join is an equi-join
-    on prefix tokens only — and because prefixes are built from the RAREST
-    tokens, per-token fan-out is minimal. A length filter
-    (``t*s_a <= s_b <= s_a/t``, exact in integers for t=1/2 as
-    ``2*s_b >= s_a AND 2*s_a >= s_b``) prunes further before the verify.
-
-    The filter is LOSSLESS: the output equals the naive quadratic all-pairs
-    join (the oracle certifies exactly that). The remaining exact verify
-    (ARRAY_INTERSECT / ARRAY_UNION cross-multiplied in integers) runs only
-    on surviving candidates.
-
-    Scale shape: one explode + groupBy(token) for document frequencies, a
-    vocabulary-sized global rank (narrow (df, token) rows — range-partition
-    the sort at 100 TB), one window per doc to take prefix positions, one
-    equi-join on prefix tokens, then the verify join. No stage is quadratic
-    in the corpus; candidate volume is governed by rare-token fan-out, not
-    block sizes. PPJoin's positional and suffix filters are the next rungs
-    if candidate volume ever dominates — not needed at this threshold.
-
-    Input: ``(id_col, toks_col)`` with DISTINCT token arrays.
-    Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, Jaccard >= 0.5.
-    """
-    toks = docs.select(F.col(id_col).alias("_id"), F.col(toks_col).alias("_toks"))
-    # Narrow (_id, _size, _tok) rows — the set size rides along as a scalar
-    # so no wide array ever enters the token-keyed shuffles.
-    exploded = toks.select(
-        "_id", F.size("_toks").alias("_size"), F.explode("_toks").alias("_tok")
-    )
-
-    # Global document-frequency rank: rarest first, ties by token text.
-    # Vocabulary-sized narrow rows; single-partition sort locally, a
-    # range-partitioned sort on a real cluster.
-    vocab_w = Window.orderBy(F.col("_df").asc(), F.col("_tok").asc())
-    vocab = (
-        exploded.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .withColumn("_rank", F.row_number().over(vocab_w))
-        .select("_tok", "_rank")
-    )
-
-    # Per-doc prefix: position by ascending global rank, keep pos <= p where
-    # p = s - ceil(s/2) + 1 = s DIV 2 + 1 (t = 1/2, exact integer form).
-    sized = exploded.join(vocab, "_tok")
-    pos_w = Window.partitionBy("_id").orderBy(F.col("_rank"))
-    prefix = (
-        sized.withColumn("_pos", F.row_number().over(pos_w))
-        .where(F.col("_pos") <= F.expr("_size DIV 2 + 1"))
-        .select("_id", "_tok", "_size")
-    )
-
-    pa = prefix.select(
-        F.col("_id").alias("id_a"), "_tok", F.col("_size").alias("_size_a")
-    )
-    pb = prefix.select(
-        F.col("_id").alias("id_b"), "_tok", F.col("_size").alias("_size_b")
-    )
-    candidates = (
-        pa.join(pb, "_tok")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (2 * F.col("_size_b") >= F.col("_size_a"))
-            & (2 * F.col("_size_a") >= F.col("_size_b"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-    ta = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_toks_a"))
-    tb = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_toks_b"))
-    verified = (
-        candidates.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("_inter", F.expr("SIZE(ARRAY_INTERSECT(_toks_a, _toks_b))"))
-        .withColumn("_union", F.expr("SIZE(ARRAY_UNION(_toks_a, _toks_b))"))
-        # Jaccard >= 1/2  <=>  2*|inter| >= |union|  (exact integer test).
-        .where(2 * F.col("_inter") >= F.col("_union"))
-    )
-    return verified.select(
-        "id_a",
-        "id_b",
-        (F.col("_inter").cast("double") / F.col("_union").cast("double")).alias(
-            "jaccard"
-        ),
-    )

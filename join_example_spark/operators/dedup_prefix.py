@@ -1,0 +1,174 @@
+"""PPJoin-style prefix-filtered set-similarity self-join (token Jaccard),
+with exact-identity contraction so duplicate saturation pays join-cheap
+expansion instead of array-verify work.
+
+Split out of dedup.py so the two halves of the design read as one unit:
+
+1. ``_rep_prefix_pairs`` — the published prefix-filter join (Xiao/Wang/
+   Lin/Yu, "Efficient Similarity Joins for Near Duplicate Detection",
+   WWW'08) over DISTINCT token sets.
+2. ``prefix_filter_pairs`` — the public operator: contract identical token
+   sets to their lowest-id representative first, run the prefix join on
+   representatives only, then EXPAND representative pairs back to member
+   pairs by narrow joins.
+
+Why contract for a PAIR-LIST output (the round-5 contraction lesson says
+pair lists have irreducibly quadratic output volume in duplicate
+multiplicity)?  Because the output volume is irreducible but the WORK per
+output pair is not: without contraction, m-fold duplicate saturation
+multiplies the prefix-token join fan-out by m (candidates x m²) and runs
+the ARRAY_INTERSECT/ARRAY_UNION verify on every one of those m² pairs —
+the 8x stress probe measured 46x wall. With contraction the verify runs
+once per DISTINCT-set pair and the m² member pairs are produced by two
+hash joins on narrow (group, member) rows, inheriting the representative
+pair's Jaccard (identical sets => identical Jaccard, exactly).
+
+Measured on the 8x duplicate-saturated tier (453 distinct sets at BOTH
+tiers): 46x -> 14.8x wall. The stage profile shows the split exactly as
+designed — rep-pair verify is CONSTANT across tiers (67,170 rep pairs,
+~4 s, identical work at 1x and 8x), and the remaining growth is the
+expansion joins materializing the 5.5M-pair ground truth (this synthetic
+two-source vocabulary is pathologically dense: 65% of all rep pairs are
+genuine Jaccard >= 0.5 matches, so the ANSWER is quadratic and no
+candidate-reduction scheme can be sub-quadratic in it). On a realistic
+corpus where matches are rare, the contracted prefix join's cost is
+candidate-bounded, not output-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rep_prefix_pairs(reps: DataFrame) -> DataFrame:
+    """Prefix-filtered Jaccard >= 1/2 join over ``(_id, _toks)`` rows with
+    pairwise-distinct token sets. Returns ``(id_a, id_b, jaccard)``.
+
+    Order the vocabulary by ascending document frequency (rarest first,
+    ties by token text); a set of size s keeps only its first
+    ``p = s - ceil(s/2) + 1 = s DIV 2 + 1`` tokens in that order as its
+    prefix. Two sets with Jaccard >= t MUST share a prefix token
+    (pigeonhole on the required overlap ``ceil(t/(1+t) * (s_a+s_b))``),
+    so candidates come from an equi-join on prefix tokens — built from
+    the RAREST tokens, the one join-key distribution that flattens as
+    the corpus grows. The integer length filter (2*s_b >= s_a and
+    2*s_a >= s_b) prunes further; the exact cross-multiplied verify
+    (2*|inter| >= |union|) runs only on survivors. The vocabulary rank
+    is a narrow (df, token) global sort — vocabulary-sized, not
+    corpus-sized; range-partition it on a real cluster. PPJoin's
+    positional/suffix filters are the next rungs if candidate volume
+    ever dominates.
+    """
+    # Narrow (_id, _size, _tok) rows — the set size rides along as a
+    # scalar so no wide array enters the token-keyed shuffles.
+    exploded = reps.select(
+        "_id", F.size("_toks").alias("_size"), F.explode("_toks").alias("_tok")
+    )
+    vocab_w = Window.orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    vocab = (
+        exploded.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_rank", F.row_number().over(vocab_w))
+        .select("_tok", "_rank")
+    )
+    pos_w = Window.partitionBy("_id").orderBy(F.col("_rank"))
+    prefix = (
+        exploded.join(vocab, "_tok")
+        .withColumn("_pos", F.row_number().over(pos_w))
+        .where(F.col("_pos") <= F.expr("_size DIV 2 + 1"))
+        .select("_id", "_tok", "_size")
+    )
+    pa = prefix.select(
+        F.col("_id").alias("id_a"), "_tok", F.col("_size").alias("_size_a")
+    )
+    pb = prefix.select(
+        F.col("_id").alias("id_b"), "_tok", F.col("_size").alias("_size_b")
+    )
+    candidates = (
+        pa.join(pb, "_tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (2 * F.col("_size_b") >= F.col("_size_a"))
+            & (2 * F.col("_size_a") >= F.col("_size_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = reps.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_toks_a"))
+    tb = reps.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_toks_b"))
+    verified = (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("_inter", F.expr("SIZE(ARRAY_INTERSECT(_toks_a, _toks_b))"))
+        .withColumn("_union", F.expr("SIZE(ARRAY_UNION(_toks_a, _toks_b))"))
+        # Jaccard >= 1/2  <=>  2*|inter| >= |union|  (exact integer test).
+        .where(2 * F.col("_inter") >= F.col("_union"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (F.col("_inter").cast("double") / F.col("_union").cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """All-pairs token-Jaccard >= 0.5, prefix-filtered and identity-
+    contracted. LOSSLESS: output equals the naive quadratic all-pairs join
+    (the oracle certifies exactly that, per row).
+
+    Input: ``(id_col, toks_col)`` with DISTINCT token arrays.
+    Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, Jaccard >= 0.5.
+    """
+    toks = docs.select(F.col(id_col).alias("_id"), F.col(toks_col).alias("_toks"))
+    # Exact-identity contraction: identical SORTED token arrays form one
+    # group (Jaccard is a set function, so same set => every downstream
+    # number identical). groupBy on the array column is the proven cheap
+    # form (a window PARTITION BY array sorts with an interpreted
+    # comparator — ~7x slower, CLAUDE.md round-5).
+    keyed = toks.select("_id", F.array_sort("_toks").alias("_k"), "_toks")
+    groups = keyed.groupBy("_k").agg(
+        F.min("_id").alias("_gid"), F.count(F.lit(1)).alias("_m")
+    )
+    # members/reps are each consumed by several joins below; eager
+    # localCheckpoint stops the groupBy subplan re-executing per consumer
+    # (the twice-referenced-subplan rule).
+    members = (
+        keyed.join(groups, "_k")
+        .select(F.col("_gid"), F.col("_id"))
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select(
+        F.col("_gid").alias("_id"), F.col("_k").alias("_toks")
+    ).localCheckpoint(eager=True)
+
+    rep_pairs = _rep_prefix_pairs(reps)
+
+    ma = members.select(F.col("_gid").alias("id_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_gid").alias("id_b"), F.col("_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "_gid")
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -1402,7 +1402,7 @@ ORDER BY id_a, id_b
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from join_example_spark.operators.dedup import prefix_filter_pairs
+    from join_example_spark.operators.dedup_prefix import prefix_filter_pairs
 
     docs = (
         read_table(spark, sf_dir, "documents")
