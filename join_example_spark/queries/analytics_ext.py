@@ -1756,3 +1756,269 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_concurrent",
         )
     )
+
+
+@register(
+    "q_ts_trend",
+    oracle="""
+WITH per AS (
+    SELECT event_type, epoch_us(ts) // 60000000 AS m,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM per),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+    SELECT t.event_type, unnest(range(b.mn, b.mx + 1)) AS m, b.mn
+    FROM types t CROSS JOIN bounds b
+), series AS (
+    SELECT s.event_type, s.m - s.mn AS x, COALESCE(p.y, CAST(0 AS BIGINT)) AS y
+    FROM spine s
+    LEFT JOIN per p ON p.event_type = s.event_type AND p.m = s.m
+), moments AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM series GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+           / (CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM moments
+""",
+    note="per-type linear trend (OLS slope/intercept/r2) of the gap-filled "
+    "per-minute count series — the volume-trend detector behind 'is "
+    "traffic growing/decaying and how fast'. ZERO float accumulation: "
+    "all five moments are BIGINT sums over integer (minute-index, count) "
+    "pairs (x re-based to m - mn so n*sxx stays ~1e18 max, inside "
+    "int64), and slope/intercept/r2 are closing IEEE expressions of "
+    "identical integer operands with identical trees on both engines "
+    "(the numerator square is computed in DOUBLE — num^2 would overflow "
+    "int64). Same exact-moment discipline as q_ts_rolling_corr, global "
+    "fit instead of rolling. One rollup + a broadcast spine join + one "
+    "5-row aggregate",
+    tags=("temporal", "analytics", "agg"),
+)
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    per = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 60000000").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m"), "mn"
+    )
+    series = spine.join(per, ["event_type", "m"], "left").select(
+        "event_type",
+        (F.col("m") - F.col("mn")).alias("x"),
+        F.coalesce("y", F.lit(0).cast("bigint")).alias("y"),
+    )
+    mom = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return mom.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        ((num * num) / (den * deny)).alias("r2"),
+    )
+
+
+@register(
+    "q_resample_locf",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, event_id, value, epoch_us(ts) // 60000000 AS m,
+           epoch_us(ts) AS t
+    FROM events
+), lastin AS (
+    SELECT event_type, m, value FROM (
+        SELECT event_type, m, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, m
+                   ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev
+    ) WHERE rn = 1
+), bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM ev),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+    SELECT t.event_type, unnest(range(b.mn, b.mx + 1)) AS m
+    FROM types t CROSS JOIN bounds b
+), series AS (
+    SELECT s.event_type, s.m, l.value AS v
+    FROM spine s
+    LEFT JOIN lastin l ON l.event_type = s.event_type AND l.m = s.m
+)
+SELECT event_type, CAST(m AS BIGINT) AS m,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       v IS NULL AS is_gap
+FROM series
+""",
+    note="LOCF (last observation carried forward) resampling onto the "
+    "gap-filled minute spine: per (type, minute) the LAST reading of the "
+    "minute (full (ts, event_id) total order), empty minutes forward-"
+    "filled with last_value IGNORE NULLS — the step-function "
+    "materialization that turns an irregular gauge stream into a "
+    "regular series downstream models can consume; is_gap marks "
+    "carried vs observed. Values pass through VERBATIM (no arithmetic "
+    "at all), so determinism reduces to the two total orders. Leading "
+    "minutes before a type's first reading stay NULL by design. Window "
+    "partitions by type (bounded by time span, never one global "
+    "order); at 100 TB the per-minute pick is a keyed aggregate and "
+    "the fill runs per type-partition",
+    tags=("temporal", "analytics", "window"),
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.expr("unix_micros(ts) DIV 60000000").alias("m"),
+        F.unix_micros("ts").alias("t"),
+    )
+    wpick = Window.partitionBy("event_type", "m").orderBy(
+        F.col("t").desc(), F.col("event_id").desc()
+    )
+    lastin = (
+        ev.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select("event_type", "m", F.col("value").alias("v"))
+    )
+    bounds = ev.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
+    )
+    series = spine.join(lastin, ["event_type", "m"], "left")
+    wfill = Window.partitionBy("event_type").orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return series.select(
+        "event_type",
+        F.col("m").cast("bigint").alias("m"),
+        F.last("v", ignorenulls=True).over(wfill).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+#: Exact dyadic Holt (alpha = beta = 1/2, zero-init, 8-minute window)
+#: coefficients of x_1..x_8 (x_8 = current) in the 3-step-ahead forecast
+#: l + 3b, scaled by 2^16. Derived symbolically with exact Fractions
+#: (tools-free: the recurrence halves at each step, so every coefficient
+#: is a dyadic rational with denominator dividing 2^16); asserted integer
+#: at generation time.
+_HOLT_WF = (-5983, -11180, -15984, -17600, -12032, 5120, 36864, 81920)
+_HOLT_ARR_SPARK = "ARRAY(" + ", ".join(str(w) + "L" for w in _HOLT_WF) + ")"
+_HOLT_ARR_DUCK = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in _HOLT_WF) + "]"
+
+
+@register(
+    "q_ts_holt_forecast",
+    oracle=f"""
+WITH per AS (
+    SELECT event_type, epoch_us(ts) // 60000000 AS m,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM per),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+    SELECT t.event_type, unnest(range(b.mn, b.mx + 1)) AS m
+    FROM types t CROSS JOIN bounds b
+), series AS (
+    SELECT s.event_type, s.m, COALESCE(p.x, CAST(0 AS BIGINT)) AS x
+    FROM spine s
+    LEFT JOIN per p ON p.event_type = s.event_type AND p.m = s.m
+), contrib AS (
+    SELECT s.event_type, s.m + u.k AS t,
+           s.x * ({_HOLT_ARR_DUCK}[8 - u.k]) AS c
+    FROM series s CROSS JOIN (SELECT unnest(range(0, 8)) AS k) u
+)
+SELECT event_type,
+       CAST(t AS BIGINT) AS win_end_m,
+       CAST(SUM(c) AS DOUBLE) / 65536.0 AS forecast_3m
+FROM contrib
+GROUP BY event_type, t
+HAVING COUNT(*) = 8
+""",
+    note="Holt's linear-trend 3-minute-ahead forecast (alpha = beta = "
+    "1/2, zero-init, truncated 8-minute window) of each type's "
+    "per-minute count series — the level+trend upgrade of q_ts_ewma "
+    "that extrapolates instead of just smoothing. The halving "
+    "recurrence makes every coefficient of l + 3b a dyadic rational "
+    "with denominator dividing 2^16, so the forecast is a BIGINT "
+    "weighted sum (integer coefficient table, derived symbolically "
+    "with exact Fractions and embedded as literals on BOTH sides) "
+    "followed by one exact power-of-two division: bit-exact, zero "
+    "rounding, zero float accumulation — the same dyadic-weight trick "
+    "as q_ts_ewma extended to a two-state recurrence. Complete windows "
+    "only; one rollup + an 8x map-side contribution explode + one "
+    "grouped sum, no window operator at all",
+    tags=("temporal", "analytics", "window"),
+)
+def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    per = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 60000000").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
+    )
+    series = spine.join(per, ["event_type", "m"], "left").select(
+        "event_type", "m", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
+    )
+    contrib = series.select(
+        "event_type",
+        "m",
+        "x",
+        F.explode(F.expr("sequence(0, 7)")).alias("k"),
+    ).select(
+        "event_type",
+        (F.col("m") + F.col("k")).alias("t"),
+        F.expr(f"x * element_at({_HOLT_ARR_SPARK}, 8 - CAST(k AS INT))").alias("c"),
+    )
+    return (
+        contrib.groupBy("event_type", "t")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 8)
+        .select(
+            "event_type",
+            F.col("t").cast("bigint").alias("win_end_m"),
+            (F.col("s").cast("double") / F.lit(65536.0)).alias("forecast_3m"),
+        )
+    )

@@ -90,6 +90,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_ewma",
     "q_ts_twap",
     "q_ts_concurrency",
+    "q_ts_trend",
+    "q_ts_holt_forecast",
+    "q_resample_locf",
     "q_llm_dedup_semantic_imi",
     "q_llm_sim_imi",
     "q_llm_imi_recall",

@@ -332,3 +332,86 @@ def test_substring_decontamination_catches_planted_leak(spark):
         }
     n_leaked, flagged = out[victim_id]
     assert flagged and n_leaked >= 1, (victim_id, out.get(victim_id))
+
+
+def test_holt_coefficient_table_matches_symbolic_derivation():
+    """Re-derive the dyadic Holt forecast weights with exact Fractions and
+    assert the literal table embedded in q_ts_holt_forecast (and its
+    DuckDB oracle) is that derivation — the bit-exactness claim rests on
+    these integers being the TRUE alpha=beta=1/2 zero-init coefficients
+    of l + 3b scaled by 2^16."""
+    from fractions import Fraction as Fr
+
+    from join_example_spark.queries.analytics_ext import _HOLT_WF
+
+    L = 8
+    l = {i: Fr(0) for i in range(1, L + 1)}
+    b = {i: Fr(0) for i in range(1, L + 1)}
+    for t in range(1, L + 1):
+        lp, bp = dict(l), dict(b)
+        for i in range(1, L + 1):
+            xi = Fr(1) if i == t else Fr(0)
+            l[i] = Fr(1, 2) * xi + Fr(1, 2) * (lp[i] + bp[i])
+            b[i] = Fr(1, 2) * (l[i] - lp[i]) + Fr(1, 2) * bp[i]
+    S = 2**16
+    derived = []
+    for i in range(1, L + 1):
+        coef = (l[i] + 3 * b[i]) * S
+        assert coef.denominator == 1, (i, coef)
+        derived.append(int(coef))
+    assert tuple(derived) == _HOLT_WF
+
+
+def test_weighted_sample_inclusion_scales_with_length(spark):
+    """Longer docs draw more tickets, so the MIN-ticket priority is
+    stochastically smaller: the mean n_chars of the selected 50 must
+    exceed the corpus mean (a weak but deterministic property of the
+    fixed hash draw on this fixture)."""
+    import pyspark.sql.functions as F
+
+    from join_example_spark.registry import load_all
+
+    reg = load_all()
+    sel = reg["q_llm_sample_weighted"].fn(spark, "/root/testdata/sf0.01")
+    sel_mean = sel.agg(F.avg("n_chars")).collect()[0][0]
+    from join_example_spark.sources.readers import read_table
+
+    corpus_mean = (
+        read_table(spark, "/root/testdata/sf0.01", "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sel_mean > corpus_mean
+
+
+def test_bfs_distances_match_pure_python(spark):
+    """Independent witness: recompute multi-source BFS distances with a
+    plain Python BFS over the same edge set and compare exactly."""
+    import pyspark.sql.functions as F
+
+    from join_example_spark.operators.similarity import cosine_near_pairs
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    edges = {}
+    for r in cosine_near_pairs(emb, threshold=0.25).collect():
+        edges.setdefault(r.id_a, set()).add(r.id_b)
+        edges.setdefault(r.id_b, set()).add(r.id_a)
+    seeds = [r.vec_id for r in emb.where(F.col("vec_id") % 97 == 0).collect()]
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in range(1, 5):
+        nxt = []
+        for v in frontier:
+            for u in edges.get(v, ()):
+                if u not in dist:
+                    dist[u] = d
+                    nxt.append(u)
+        frontier = nxt
+    reg = load_all()
+    got = {
+        r.vec_id: r.dist for r in reg["q_graph_bfs"].fn(spark, sf).collect()
+    }
+    assert got == dist
