@@ -256,3 +256,57 @@ def ts_subseq_topk(
     return top.withColumn("rn", F.row_number().over(w_rn).cast("bigint")).select(
         "event_type", "win_start_m", "sse", "rn"
     )
+
+
+def dyadic_weighted_series(
+    per: DataFrame,
+    weights_by_offset: tuple[int, ...],
+    divisor: float,
+    out_col: str,
+) -> DataFrame:
+    """Exact integer-weighted trailing-window transform of a per-(type,
+    minute) count series — the shared core of q_ts_ewma (geometric dyadic
+    weights) and q_ts_holt_forecast (Holt l+3b dyadic coefficients), and
+    of their stream-maintained twin.
+
+    ``per``: (event_type, m, x) minute rollup (BIGINT counts — associative
+    partials, so a stream-maintained store reconstructs it exactly).
+    ``weights_by_offset[k]``: integer weight of the reading k minutes
+    BEFORE the window end. ``divisor``: the exact power-of-two scale the
+    BIGINT weighted sum is divided by (one lossless float op).
+
+    Gap-filled spine from the series' own bounds; complete windows only
+    (COUNT(*) == L). Shape: one broadcast bounds row, an L× map-side
+    contribution explode of narrow rows, one grouped BIGINT sum — no
+    window operator, bit-exact under any partitioning.
+    """
+    L = len(weights_by_offset)
+    arr = "ARRAY(" + ", ".join(f"{w}L" for w in weights_by_offset) + ")"
+    bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    types = per.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
+    )
+    series = spine.join(per, ["event_type", "m"], "left").select(
+        "event_type", "m", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
+    )
+    contrib = series.select(
+        "event_type",
+        "m",
+        "x",
+        F.explode(F.expr(f"sequence(0, {L - 1})")).alias("k"),
+    ).select(
+        "event_type",
+        (F.col("m") + F.col("k")).alias("t"),
+        F.expr(f"x * element_at({arr}, CAST(k AS INT) + 1)").alias("c"),
+    )
+    return (
+        contrib.groupBy("event_type", "t")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == L)
+        .select(
+            "event_type",
+            F.col("t").cast("bigint").alias("win_end_m"),
+            (F.col("s").cast("double") / F.lit(divisor)).alias(out_col),
+        )
+    )

@@ -1469,40 +1469,17 @@ HAVING COUNT(*) = 20
     tags=("temporal", "analytics", "window"),
 )
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.temporal import dyadic_weighted_series
     from join_example_spark.sources.readers import read_events
 
     ev = read_events(spark, sf_dir)
     per = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) DIV 60000000").alias("m")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
-    types = ev.select("event_type").distinct()
-    spine = types.crossJoin(F.broadcast(bounds)).select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
-    )
-    series = spine.join(per, ["event_type", "m"], "left").select(
-        "event_type", "m", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
-    )
-    contrib = series.select(
-        "event_type",
-        "m",
-        "x",
-        F.explode(F.expr("sequence(0, 19)")).alias("k"),
-    ).select(
-        "event_type",
-        (F.col("m") + F.col("k")).alias("t"),
-        F.expr("shiftleft(x, 19 - CAST(k AS INT))").alias("c"),
-    )
-    return (
-        contrib.groupBy("event_type", "t")
-        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") == 20)
-        .select(
-            "event_type",
-            F.col("t").cast("bigint").alias("win_end_m"),
-            (F.col("s").cast("double") / F.lit(1048576.0)).alias("ewma"),
-        )
-    )
+    # weight of the reading k minutes before the window end: 2^(19-k)
+    # (the alpha = 1/2 geometric series scaled by 2^20).
+    weights = tuple(1 << (19 - k) for k in range(20))
+    return dyadic_weighted_series(per, weights, 1048576.0, "ewma")
 
 
 @register(
@@ -1940,7 +1917,6 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: is a dyadic rational with denominator dividing 2^16); asserted integer
 #: at generation time.
 _HOLT_WF = (-5983, -11180, -15984, -17600, -12032, 5120, 36864, 81920)
-_HOLT_ARR_SPARK = "ARRAY(" + ", ".join(str(w) + "L" for w in _HOLT_WF) + ")"
 _HOLT_ARR_DUCK = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in _HOLT_WF) + "]"
 
 
@@ -1988,37 +1964,15 @@ HAVING COUNT(*) = 8
     tags=("temporal", "analytics", "window"),
 )
 def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.temporal import dyadic_weighted_series
     from join_example_spark.sources.readers import read_events
 
     ev = read_events(spark, sf_dir)
     per = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) DIV 60000000").alias("m")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
-    types = ev.select("event_type").distinct()
-    spine = types.crossJoin(F.broadcast(bounds)).select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
-    )
-    series = spine.join(per, ["event_type", "m"], "left").select(
-        "event_type", "m", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
-    )
-    contrib = series.select(
-        "event_type",
-        "m",
-        "x",
-        F.explode(F.expr("sequence(0, 7)")).alias("k"),
-    ).select(
-        "event_type",
-        (F.col("m") + F.col("k")).alias("t"),
-        F.expr(f"x * element_at({_HOLT_ARR_SPARK}, 8 - CAST(k AS INT))").alias("c"),
-    )
-    return (
-        contrib.groupBy("event_type", "t")
-        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") == 8)
-        .select(
-            "event_type",
-            F.col("t").cast("bigint").alias("win_end_m"),
-            (F.col("s").cast("double") / F.lit(65536.0)).alias("forecast_3m"),
-        )
+    # _HOLT_WF is indexed by step (x_1..x_8, x_8 = window end); the shared
+    # operator wants weight-by-offset-before-end, i.e. the reverse.
+    return dyadic_weighted_series(
+        per, tuple(reversed(_HOLT_WF)), 65536.0, "forecast_3m"
     )

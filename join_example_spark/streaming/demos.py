@@ -608,3 +608,51 @@ def stream_ts_series_maintain(
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return ts_subseq_topk(maintained)
+
+
+def stream_ts_smooth_maintain(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the per-(type, minute) count store, read
+    back through the SHARED :func:`operators.temporal.dyadic_weighted_series`
+    EWMA — the stream-maintained smoothed-rate monitor.
+
+    Same store algebra as :func:`stream_ts_series_maintain` (per-minute
+    counts are associative partials: append each micro-batch's rollup,
+    merge-on-read with SUM — exact under any micro-batch chopping), and
+    the smoothing is the same bit-exact dyadic-weight code path as the
+    batch ``q_ts_ewma``, so the streaming result equals the batch result
+    row for row (asserted in tests). At 100 TB the store is the tiny
+    (types × minutes) rollup; each trigger touches only arriving
+    partials, and the 20-minute EWMA reads only the trailing window of
+    the store.
+    """
+    arriving = read_events_stream(spark, sf_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                "event_type",
+                F.expr("unix_micros(ts) DIV 60000000").alias("m"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        arriving.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from join_example_spark.operators.temporal import dyadic_weighted_series
+
+    maintained = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "m")
+        .agg(F.sum("cnt").cast("bigint").alias("x"))
+    )
+    weights = tuple(1 << (19 - k) for k in range(20))
+    return dyadic_weighted_series(maintained, weights, 1048576.0, "ewma")

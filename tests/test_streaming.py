@@ -607,3 +607,19 @@ def test_stream_ts_series_maintain_equals_batch_search(spark, tmp_path):
     want = q_ts_sim_search(spark, SF_SMOKE).collect()
     key = lambda r: (r.rn, r.event_type, r.win_start_m, r.sse)  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_stream_ts_smooth_maintain_equals_batch_ewma(spark, tmp_path):
+    """The stream-maintained count store fed through the SHARED dyadic
+    EWMA code path must equal batch q_ts_ewma bit for bit: count partials
+    merge associatively under any micro-batch chopping, and the smoothing
+    is integer arithmetic + one exact power-of-two division."""
+    from join_example_spark.queries.analytics_ext import q_ts_ewma
+    from join_example_spark.streaming import demos
+
+    got = demos.stream_ts_smooth_maintain(
+        spark, SF_SMOKE, str(tmp_path / "store"), str(tmp_path / "ck")
+    ).collect()
+    want = q_ts_ewma(spark, SF_SMOKE).collect()
+    key = lambda r: (r.event_type, r.win_end_m, r.ewma)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
