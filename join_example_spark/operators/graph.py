@@ -457,3 +457,42 @@ def label_propagation_fixed(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected pair list: each round
+    drops every node with current degree < k (and its edges), ``rounds``
+    times; returns surviving ``(v, core_deg)``.
+
+    Fixed rounds rather than peel-to-convergence so the oracle can unroll
+    identically (the same reason PageRank/BFS/LPA are fixed-iteration);
+    the round count is part of the declared semantics. All-integer —
+    bit-deterministic under any partitioning. Each round is one degree
+    aggregate + two semi-joins; the shrinking edge list is
+    eager-localCheckpointed per round (referenced by degree + both
+    semi-joins — the twice-referenced-subplan rule). Pregel cost shape.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    )

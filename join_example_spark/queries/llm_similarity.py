@@ -1677,3 +1677,62 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_near_pairs(emb, threshold=0.25)
     lbl = label_propagation_fixed(nodes, pairs, iters=3)
     return lbl.select(F.col("v").alias("vec_id"), F.col("lbl").alias("community"))
+
+
+def _duck_kcore_sql(k: int = 2, rounds: int = 3, tau: float = 0.25) -> str:
+    """Unrolled fixed-round k-core peel oracle — textually mirrors
+    operators/graph.py:kcore_peel (same degree-then-two-semi-joins round)."""
+    ctes = [
+        f"""pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= {tau}
+), e0 AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""k{i} AS (
+    SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+), e{i} AS (
+    SELECT e.src, e.dst
+    FROM e{i - 1} e
+    JOIN k{i} a ON e.src = a.src
+    JOIN k{i} b ON e.dst = b.src
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e{rounds} GROUP BY src
+"""
+    )
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_duck_kcore_sql(2, 3),
+    note="fixed-3-round 2-core peel of the tau=0.25 similarity graph: "
+    "each round drops every node of degree < 2 with its edges, then the "
+    "survivors' degrees are reported — the dense-cluster extractor that "
+    "separates genuinely interlinked duplicate groups from dangling "
+    "chain-ends (a node pair joined by a single bridge edge never "
+    "survives, unlike in connected components). Fixed rounds so the "
+    "oracle unrolls identically (the PageRank/BFS/LPA convention); "
+    "all-integer degree arithmetic, bit-deterministic under any "
+    "partitioning. Per round one degree aggregate + two semi-joins on "
+    "the shrinking edge list (eager-localCheckpointed — referenced "
+    "three ways per round). Pregel cost shape at 100 TB",
+    tags=("llm", "similarity", "graph"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import kcore_peel
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(emb, threshold=0.25)
+    core = kcore_peel(pairs, k=2, rounds=3)
+    return core.select(F.col("v").alias("vec_id"), "core_deg")

@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_bm25_search",
     "q_graph_bfs",
     "q_graph_label_prop",
+    "q_graph_kcore",
     "q_llm_sample_weighted",
     "q_dq_robust_mad",
     "q_ts_ewma",
