@@ -327,6 +327,54 @@ def main() -> None:
         log(f"imi-probe imi: {imi_block['imi']}")
         out["imi_probe"] = imi_block
 
+    if os.environ.get("SPARK_GRAFT_PROBE_PREFIX") == "1":
+        # Prefix-filter join on a DISTINCT-text enlargement. The saturated
+        # probe tables contract to the same 453 rep sets (the identity-
+        # contraction rewrite makes that tier output-bound), so the
+        # organic n-growth claim needs genuinely distinct text: copy k
+        # prefixes every token with 'k{k}x' (replace ' ' -> ' k{k}x'),
+        # which keeps each copy's internal similarity structure intact
+        # while making cross-copy token sets disjoint — per-copy match
+        # density is preserved and the vocabulary grows Nx, the organic
+        # regime where prefix fan-out should stay flat.
+        docs_base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n0 = docs_base.count()
+        bigd = docs_base
+        for k in range(1, COPIES):
+            mark = f"k{k}x"
+            bigd = bigd.union(
+                docs_base.select(
+                    *[
+                        (F.col("doc_id") + F.lit(k * n0)).alias("doc_id")
+                        if c == "doc_id"
+                        else F.expr(
+                            f"concat('{mark}', replace(text, ' ', ' {mark}'))"
+                        ).alias("text")
+                        if c == "text"
+                        else F.col(c)
+                        for c in docs_base.columns
+                    ]
+                )
+            )
+        pdir = f"{PROBE_DIR}_prefix_distinct"
+        os.makedirs(pdir, exist_ok=True)
+        bigd.repartition(32).write.mode("overwrite").parquet(
+            f"{pdir}/documents.parquet"
+        )
+        t0 = time.time()
+        run("q_llm_dedup_prefix", SF_DIR)
+        base_s = time.time() - t0
+        t0 = time.time()
+        run("q_llm_dedup_prefix", pdir)
+        dist_s = time.time() - t0
+        out["prefix_distinct_probe"] = {
+            "copies": COPIES,
+            "sf0.1_sec": round(base_s, 2),
+            "distinct_sec": round(dist_s, 2),
+            "ratio": round(dist_s / base_s, 2),
+        }
+        log(f"prefix-distinct probe: {out['prefix_distinct_probe']}")
+
     print(json.dumps(out, indent=1))
     spark.stop()
 
