@@ -1736,3 +1736,89 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_near_pairs(emb, threshold=0.25)
     core = kcore_peel(pairs, k=2, rounds=3)
     return core.select(F.col("v").alias("vec_id"), "core_deg")
+
+
+@register(
+    "q_llm_mine_margin",
+    oracle=f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+    WHERE vec_id % 50 = 0
+), corpus AS (
+    SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+    WHERE vec_id % 50 <> 0
+), scored AS (
+    SELECT p.probe_id, c.cand_id,
+           ROUND({_DUCK_DOT.format(a="p.pv", b="c.cv")}, 4) AS sim
+    FROM probes p CROSS JOIN corpus c
+), ranked AS (
+    SELECT probe_id, cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM scored
+), best2 AS (
+    SELECT probe_id,
+           MAX(CASE WHEN rn = 1 THEN cand_id END) AS best_id,
+           MAX(CASE WHEN rn = 1 THEN sim END) AS best_sim,
+           MAX(CASE WHEN rn = 2 THEN sim END) AS second_sim
+    FROM ranked WHERE rn <= 2 GROUP BY probe_id
+)
+SELECT probe_id, CAST(best_id AS BIGINT) AS best_id, best_sim,
+       best_sim - second_sim AS margin,
+       (best_sim - second_sim) >= 0.05 AND best_sim >= 0.3 AS accepted
+FROM best2
+""",
+    note="margin-based mining (the Artetxe & Schwenk bitext-mining "
+    "acceptance rule, absolute-margin variant): each probe keeps its "
+    "best corpus match only if best_sim clears a floor AND beats the "
+    "second-best by a margin — the curation signal that rejects hubness "
+    "artifacts (a probe whose neighborhood is uniformly mediocre gets a "
+    "small margin and is dropped, where a plain top-1 would keep it). "
+    "Determinism: sims are ROUND(fold, 4) doubles under a (sim desc, "
+    "cand_id) total order; margin is one exact-rounded IEEE subtraction "
+    "of identical operands, and both acceptance comparisons evaluate "
+    "on identical doubles. This is the flat-scan baseline (probe x "
+    "corpus fold); at 100 TB the probe side routes through the "
+    "IVF/IMI front ends exactly as the dedup family does — the margin "
+    "rule only needs each probe's top-2, which multi-probe candidate "
+    "generation preserves at the audited recall",
+    tags=("llm", "similarity", "search"),
+)
+def q_llm_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.similarity import DOT_SQL
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    corpus = emb.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    scored = probes.crossJoin(corpus).select(
+        "probe_id",
+        "cand_id",
+        F.round(F.expr(DOT_SQL.format(a="pv", b="cv")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    best2 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("probe_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cand_id"))).alias("best_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias("best_sim"),
+            F.max(F.when(F.col("rn") == 2, F.col("sim"))).alias("second_sim"),
+        )
+    )
+    margin = F.col("best_sim") - F.col("second_sim")
+    return best2.select(
+        "probe_id",
+        F.col("best_id").cast("bigint").alias("best_id"),
+        "best_sim",
+        margin.alias("margin"),
+        ((margin >= F.lit(0.05)) & (F.col("best_sim") >= F.lit(0.3))).alias(
+            "accepted"
+        ),
+    )
