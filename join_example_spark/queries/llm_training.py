@@ -677,3 +677,98 @@ def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
         "doc_id", "n_chars", "priority", "rnk"
     )
+
+
+@register(
+    "q_llm_curate_pipeline",
+    oracle=f"""
+WITH toked AS (
+    SELECT doc_id, n_chars,
+           list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS t,
+           len(str_split(LOWER(TRIM(text)), ' ')) AS n_tok
+    FROM documents
+    WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+), quality AS (
+    SELECT doc_id, n_chars, t FROM toked
+    WHERE n_chars >= 100 AND 10 * len(t) >= 3 * n_tok
+), pairs AS (
+    SELECT b.doc_id AS id_b
+    FROM quality a
+    JOIN quality b ON a.doc_id < b.doc_id
+    WHERE 2 * LEN(list_intersect(a.t, b.t))
+          >= LEN(list_distinct(list_concat(a.t, b.t)))
+), survivors AS (
+    SELECT q.doc_id, q.n_chars FROM quality q
+    WHERE q.doc_id NOT IN (SELECT id_b FROM pairs)
+), tickets AS (
+    SELECT doc_id, n_chars,
+           unnest(range(1, LEAST(GREATEST(n_chars // 50, 1), 20) + 1)) AS tk
+    FROM survivors
+), pri AS (
+    SELECT doc_id, MAX(n_chars) AS n_chars,
+           CAST(MIN({id_hash_sql("(doc_id * 64 + tk)")}) AS BIGINT) AS priority
+    FROM tickets GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rnk
+    FROM pri
+)
+SELECT doc_id, n_chars, priority, rnk FROM ranked WHERE rnk <= 100 ORDER BY rnk
+""",
+    note="curation pipeline capstone in ONE plan: quality gate (length "
+    "floor + distinct-token ratio >= 0.3, exact integer cross-multiply) "
+    "-> LOSSLESS prefix-filtered dedup (keep-lowest-id: drop any doc "
+    "with a smaller Jaccard>=1/2 match — greedy keep-first, stated "
+    "semantics, not CC-clustering) -> length-weighted priority sample "
+    "of 100. The oracle replays the same three stages with the naive "
+    "quadratic pair step, so the hash match certifies the composed "
+    "pipeline end-to-end, including that the prefix filter loses "
+    "nothing INSIDE a composition. Scale shape: each stage is the "
+    "already-audited operator (map-side gate; contracted prefix join; "
+    "ticket explode + TakeOrderedAndProject) fused by Catalyst into "
+    "one DAG — no materialization barriers between stages",
+    tags=("llm", "training", "dedup", "sampling"),
+)
+def q_llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.dedup_prefix import prefix_filter_pairs
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1") & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("t"),
+            F.expr("size(split(LOWER(TRIM(text)), ' '))").alias("n_tok"),
+        )
+    )
+    quality = docs.where(
+        (F.col("n_chars") >= 100) & (10 * F.size("t") >= 3 * F.col("n_tok"))
+    ).select("doc_id", "n_chars", "t")
+    pairs = prefix_filter_pairs(quality, id_col="doc_id", toks_col="t")
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = quality.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "n_chars"
+    )
+    tickets = survivors.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr("sequence(1, LEAST(GREATEST(n_chars DIV 50, 1), 20))")
+        ).alias("tk"),
+    )
+    pri = (
+        tickets.withColumn("h", id_hash("(doc_id * 64 + tk)"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").cast("bigint").alias("n_chars"),
+            F.min("h").cast("bigint").alias("priority"),
+        )
+    )
+    top = pri.orderBy("priority", "doc_id").limit(100)
+    w = Window.orderBy("priority", "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "n_chars", "priority", "rnk"
+    )

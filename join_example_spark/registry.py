@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_kcore",
     "q_llm_sample_weighted",
     "q_llm_mine_margin",
+    "q_llm_curate_pipeline",
     "q_dq_robust_mad",
     "q_ts_ewma",
     "q_ts_twap",
