@@ -41,20 +41,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _rep_prefix_pairs(reps: DataFrame) -> DataFrame:
-    """Prefix-filtered Jaccard >= 1/2 join over ``(_id, _toks)`` rows with
-    pairwise-distinct token sets. Returns ``(id_a, id_b, jaccard)``.
+def _rep_prefix_pairs(reps: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Prefix-filtered Jaccard >= num/den join over ``(_id, _toks)`` rows
+    with pairwise-distinct token sets. Returns ``(id_a, id_b, jaccard)``.
+    The threshold is an exact RATIONAL so every filter is an integer
+    cross-multiplication (t*s and the verify never touch floats).
 
     Order the vocabulary by ascending document frequency (rarest first,
     ties by token text); a set of size s keeps only its first
-    ``p = s - ceil(s/2) + 1 = s DIV 2 + 1`` tokens in that order as its
-    prefix. Two sets with Jaccard >= t MUST share a prefix token
+    ``p = s - ceil(t*s) + 1`` tokens in that order as its prefix
+    (integer form: ``s - (num*s + den - 1) DIV den + 1``). Two sets with Jaccard >= t MUST share a prefix token
     (pigeonhole on the required overlap ``ceil(t/(1+t) * (s_a+s_b))``),
     so candidates come from an equi-join on prefix tokens — built from
     the RAREST tokens, the one join-key distribution that flattens as
-    the corpus grows. The integer length filter (2*s_b >= s_a and
-    2*s_a >= s_b) prunes further; the exact cross-multiplied verify
-    (2*|inter| >= |union|) runs only on survivors. The vocabulary rank
+    the corpus grows. The integer length filter (den*s_b >= num*s_a and
+    den*s_a >= num*s_b) prunes further; the exact cross-multiplied
+    verify (den*|inter| >= num*|union|) runs only on survivors. The vocabulary rank
     is a narrow (df, token) global sort — vocabulary-sized, not
     corpus-sized; range-partition it on a real cluster. PPJoin's
     positional/suffix filters are the next rungs if candidate volume
@@ -76,7 +78,10 @@ def _rep_prefix_pairs(reps: DataFrame) -> DataFrame:
     prefix = (
         exploded.join(vocab, "_tok")
         .withColumn("_pos", F.row_number().over(pos_w))
-        .where(F.col("_pos") <= F.expr("_size DIV 2 + 1"))
+        .where(
+            F.col("_pos")
+            <= F.expr(f"_size - ({num} * _size + {den} - 1) DIV {den} + 1")
+        )
         .select("_id", "_tok", "_size")
     )
     pa = prefix.select(
@@ -89,8 +94,8 @@ def _rep_prefix_pairs(reps: DataFrame) -> DataFrame:
         pa.join(pb, "_tok")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (2 * F.col("_size_b") >= F.col("_size_a"))
-            & (2 * F.col("_size_a") >= F.col("_size_b"))
+            & (den * F.col("_size_b") >= num * F.col("_size_a"))
+            & (den * F.col("_size_a") >= num * F.col("_size_b"))
         )
         .select("id_a", "id_b")
         .distinct()
@@ -102,8 +107,8 @@ def _rep_prefix_pairs(reps: DataFrame) -> DataFrame:
         .join(tb, "id_b")
         .withColumn("_inter", F.expr("SIZE(ARRAY_INTERSECT(_toks_a, _toks_b))"))
         .withColumn("_union", F.expr("SIZE(ARRAY_UNION(_toks_a, _toks_b))"))
-        # Jaccard >= 1/2  <=>  2*|inter| >= |union|  (exact integer test).
-        .where(2 * F.col("_inter") >= F.col("_union"))
+        # Jaccard >= num/den  <=>  den*|inter| >= num*|union| (integers).
+        .where(den * F.col("_inter") >= num * F.col("_union"))
     )
     return verified.select(
         "id_a",
@@ -118,8 +123,10 @@ def prefix_filter_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     toks_col: str = "toks",
+    num: int = 1,
+    den: int = 2,
 ) -> DataFrame:
-    """All-pairs token-Jaccard >= 0.5, prefix-filtered and identity-
+    """All-pairs token-Jaccard >= num/den, prefix-filtered and identity-
     contracted. LOSSLESS: output equals the naive quadratic all-pairs join
     (the oracle certifies exactly that, per row).
 
@@ -148,7 +155,7 @@ def prefix_filter_pairs(
         F.col("_gid").alias("_id"), F.col("_k").alias("_toks")
     ).localCheckpoint(eager=True)
 
-    rep_pairs = _rep_prefix_pairs(reps)
+    rep_pairs = _rep_prefix_pairs(reps, num=num, den=den)
 
     ma = members.select(F.col("_gid").alias("id_a"), F.col("_id").alias("_ma"))
     mb = members.select(F.col("_gid").alias("id_b"), F.col("_id").alias("_mb"))

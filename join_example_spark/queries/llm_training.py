@@ -695,8 +695,8 @@ WITH toked AS (
     SELECT b.doc_id AS id_b
     FROM quality a
     JOIN quality b ON a.doc_id < b.doc_id
-    WHERE 2 * LEN(list_intersect(a.t, b.t))
-          >= LEN(list_distinct(list_concat(a.t, b.t)))
+    WHERE 5 * LEN(list_intersect(a.t, b.t))
+          >= 4 * LEN(list_distinct(list_concat(a.t, b.t)))
 ), survivors AS (
     SELECT q.doc_id, q.n_chars FROM quality q
     WHERE q.doc_id NOT IN (SELECT id_b FROM pairs)
@@ -747,7 +747,7 @@ def q_llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.where(
         (F.col("n_chars") >= 100) & (10 * F.size("t") >= 3 * F.col("n_tok"))
     ).select("doc_id", "n_chars", "t")
-    pairs = prefix_filter_pairs(quality, id_col="doc_id", toks_col="t")
+    pairs = prefix_filter_pairs(quality, id_col="doc_id", toks_col="t", num=4, den=5)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = quality.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "n_chars"
