@@ -387,3 +387,41 @@ def test_twap_single_keyed_window(spark):
         # every Window operator line must carry a partition spec
         line = plan[m.start() : plan.index("\n", m.start())]
         assert "event_type" in line, f"unpartitioned window: {line}"
+
+
+def test_curate_pipeline_takes_ordered(spark):
+    df = _REG["q_llm_curate_pipeline"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def _assert_all_windows_partitioned(plan: str, expect_any_of: tuple[str, ...]):
+    import re as _re
+
+    for m in _re.finditer(r"Window \[", plan):
+        line = plan[m.start() : plan.index("\n", m.start())]
+        assert any(k in line for k in expect_any_of), (
+            f"unpartitioned window: {line}"
+        )
+
+
+def test_concurrency_windows_are_partitioned(spark):
+    # Session windows partition by user_id; the sweep's running sum by day.
+    # No Window operator may run unpartitioned (the single-partition
+    # densify hazard).
+    df = _REG["q_ts_concurrency"].fn(spark, SF_SMOKE)
+    _assert_all_windows_partitioned(
+        executed_plan(df), ("user_id", "day")
+    )
+
+
+def test_locf_fill_window_partitioned_by_type(spark):
+    df = _REG["q_resample_locf"].fn(spark, SF_SMOKE)
+    _assert_all_windows_partitioned(executed_plan(df), ("event_type", "m"))
+
+
+def test_trend_and_holt_have_no_window_operator(spark):
+    # Both are rollup + broadcast-spine + grouped-sum shapes; the moment
+    # a Window sneaks in, the scale posture claim in their notes is wrong.
+    for name in ("q_ts_trend", "q_ts_holt_forecast"):
+        plan = executed_plan(_REG[name].fn(spark, SF_SMOKE))
+        assert "Window" not in plan, name
