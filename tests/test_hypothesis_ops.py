@@ -305,3 +305,47 @@ def test_imi_home_cells_match_python_reference(spark, rows):
 
     want = {i: ref_cell_stored(stored[i]) for i, _ in rows}
     assert got == want
+
+
+@st.composite
+def _token_corpora(draw, max_docs=8):
+    n = draw(st.integers(0, max_docs))
+    alphabet = ["a", "b", "c", "d", "e", "f"]
+    docs = []
+    for i in range(n):
+        toks = draw(
+            st.sets(st.sampled_from(alphabet), min_size=1, max_size=5)
+        )
+        docs.append((i, sorted(toks)))
+    return docs
+
+
+@given(docs=_token_corpora(), thresh=st.sampled_from([(1, 2), (4, 5)]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_pairs_lossless_vs_bruteforce(spark, docs, thresh):
+    """The prefix-filter join must equal brute-force all-pairs Jaccard at
+    ANY rational threshold — including corpora with many identical token
+    sets (the contraction path) and tiny/empty corpora the fixture never
+    produces."""
+    from join_example_spark.operators.dedup_prefix import prefix_filter_pairs
+
+    num, den = thresh
+
+    def ref(rows):
+        out = set()
+        for i, (ia, ta) in enumerate(rows):
+            sa = set(ta)
+            for ib, tb in rows[i + 1 :]:
+                sb = set(tb)
+                inter, union = len(sa & sb), len(sa | sb)
+                if den * inter >= num * union:
+                    out.add((ia, ib))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id BIGINT, toks ARRAY<STRING>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(df, num=num, den=den).collect()
+    }
+    assert got == ref(docs)
