@@ -1822,3 +1822,110 @@ def q_llm_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accepted"
         ),
     )
+
+
+@register(
+    "q_llm_cluster_dbscan",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.25
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS c FROM edges GROUP BY src),
+core AS (SELECT src AS v FROM deg WHERE c >= 3),
+ce AS (
+    SELECT e.src, e.dst FROM edges e
+    JOIN core a ON e.src = a.v
+    JOIN core b ON e.dst = b.v
+),
+reach(v, root) AS (
+    SELECT v, v FROM core
+    UNION
+    SELECT ce.dst, r.root FROM reach r JOIN ce ON ce.src = r.v
+),
+cc AS (SELECT v, MIN(root) AS cluster_id FROM reach GROUP BY v),
+border AS (
+    SELECT e.src AS v, MIN(c.cluster_id) AS cluster_id
+    FROM edges e
+    JOIN cc c ON c.v = e.dst
+    WHERE e.src NOT IN (SELECT v FROM core)
+    GROUP BY e.src
+)
+SELECT emb.vec_id,
+       CASE WHEN cc.v IS NOT NULL THEN 'core'
+            WHEN b.v IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cc.cluster_id, b.cluster_id) AS BIGINT) AS cluster_id
+FROM embeddings emb
+LEFT JOIN cc ON cc.v = emb.vec_id
+LEFT JOIN border b ON b.v = emb.vec_id
+""",
+    note="deterministic DBSCAN over the tau=0.25 similarity graph "
+    "(eps-neighborhood = rounded-cosine edge, core = >= 3 neighbors "
+    "i.e. minPts 4 counting self): clusters are connected components "
+    "of the CORE-induced subgraph, border points attach to the "
+    "SMALLEST adjacent core cluster (classic DBSCAN assigns borders "
+    "arbitrarily — the min rule makes it reproducible), everything "
+    "else is noise. The density-based third clustering paradigm next "
+    "to centroid k-means and similarity-graph CC/LPA: chain-linked "
+    "sparse bridges do NOT merge dense groups (bridge nodes fail the "
+    "core test) and outliers are labeled noise instead of polluting a "
+    "cluster. All-integer; core CC runs the convergence-checked "
+    "min-label loop (operators/graph.py), oracle = recursive-CTE "
+    "reachability over core-core edges (DuckDB UNION-distinct "
+    "recursion handles the cycles). Per stage one degree aggregate, "
+    "two semi-joins, the Pregel CC loop, one border min-join",
+    tags=("llm", "similarity", "graph"),
+)
+def q_llm_cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import connected_components
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(emb, threshold=0.25)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    core = deg.where(F.col("c") >= 3).select(F.col("src").alias("id"))
+    core_edges = edges.join(
+        core.select(F.col("id").alias("src")), "src", "left_semi"
+    ).join(core.select(F.col("id").alias("dst")), "dst", "left_semi")
+    cc = connected_components(core, core_edges, id_col="id")
+    border = (
+        edges.join(
+            cc.select(F.col("id").alias("dst"), "cluster_id"), "dst"
+        )
+        .join(core.select(F.col("id").alias("src")), "src", "left_anti")
+        .groupBy("src")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(
+            cc.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("c_cluster")),
+            "vec_id",
+            "left",
+        )
+        .join(border.select(F.col("src").alias("vec_id"), "b_cluster"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.expr(
+                "CASE WHEN c_cluster IS NOT NULL THEN 'core'"
+                " WHEN b_cluster IS NOT NULL THEN 'border'"
+                " ELSE 'noise' END"
+            ).alias("role"),
+            F.coalesce("c_cluster", "b_cluster").cast("bigint").alias("cluster_id"),
+        )
+    )
