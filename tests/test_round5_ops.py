@@ -415,3 +415,53 @@ def test_bfs_distances_match_pure_python(spark):
         r.vec_id: r.dist for r in reg["q_graph_bfs"].fn(spark, sf).collect()
     }
     assert got == dist
+
+
+def test_dbscan_matches_pure_python(spark):
+    """Independent witness: recompute the deterministic DBSCAN (core =
+    >=3 neighbors, clusters = CC over cores, border -> min adjacent core
+    cluster) with plain Python over the same edge set."""
+    from join_example_spark.operators.similarity import cosine_near_pairs
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    adj: dict[int, set[int]] = {}
+    for r in cosine_near_pairs(emb, threshold=0.25).collect():
+        adj.setdefault(r.id_a, set()).add(r.id_b)
+        adj.setdefault(r.id_b, set()).add(r.id_a)
+    core = {v for v, ns in adj.items() if len(ns) >= 3}
+    # CC over core-induced subgraph (min-id labels).
+    cluster: dict[int, int] = {}
+    for v in sorted(core):
+        if v in cluster:
+            continue
+        comp, stack = [], [v]
+        seen = {v}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for w in adj[u] & core:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        root = min(comp)
+        for u in comp:
+            cluster[u] = root
+    want = {}
+    all_ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    for v in all_ids:
+        if v in core:
+            want[v] = ("core", cluster[v])
+        else:
+            adj_cores = adj.get(v, set()) & core
+            if adj_cores:
+                want[v] = ("border", min(cluster[c] for c in adj_cores))
+            else:
+                want[v] = ("noise", None)
+    got = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in load_all()["q_llm_cluster_dbscan"].fn(spark, sf).collect()
+    }
+    assert got == want
