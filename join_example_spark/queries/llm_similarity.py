@@ -1929,3 +1929,159 @@ def q_llm_cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_cluster", "b_cluster").cast("bigint").alias("cluster_id"),
         )
     )
+
+
+@register(
+    "q_llm_cluster_quality",
+    oracle=f"""
+WITH RECURSIVE
+allp AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+pairs AS (SELECT id_a, id_b FROM allp WHERE sim >= 0.35),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.v
+),
+cc AS (SELECT v, MIN(root) AS cluster_id FROM reach GROUP BY v),
+sized AS (
+    SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+),
+intra AS (
+    SELECT ca.cluster_id,
+           CAST(SUM(CAST(p.sim AS DECIMAL(12,4))) AS DOUBLE)
+               / COUNT(*) AS mean_intra,
+           MIN(p.sim) AS min_intra
+    FROM allp p
+    JOIN cc ca ON ca.v = p.id_a
+    JOIN cc cb ON cb.v = p.id_b
+    WHERE ca.cluster_id = cb.cluster_id
+    GROUP BY ca.cluster_id
+),
+boundary AS (
+    SELECT cluster_id, MAX(sim) AS max_boundary FROM (
+        SELECT ca.cluster_id, p.sim
+        FROM allp p
+        JOIN cc ca ON ca.v = p.id_a
+        JOIN cc cb ON cb.v = p.id_b
+        WHERE ca.cluster_id <> cb.cluster_id
+        UNION ALL
+        SELECT cb.cluster_id, p.sim
+        FROM allp p
+        JOIN cc ca ON ca.v = p.id_a
+        JOIN cc cb ON cb.v = p.id_b
+        WHERE ca.cluster_id <> cb.cluster_id
+    ) GROUP BY cluster_id
+)
+SELECT s.cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       i.mean_intra, i.min_intra,
+       b.max_boundary,
+       COALESCE(i.min_intra > b.max_boundary, TRUE) AS separated
+FROM sized s
+JOIN intra i USING (cluster_id)
+LEFT JOIN boundary b USING (cluster_id)
+""",
+    note="cluster cohesion/separation audit (the silhouette idea made "
+    "exact and mergeable) for the tau=0.35 near-dup components: per "
+    "multi-member cluster, member count, mean and MIN intra-cluster "
+    "similarity (cohesion: decimal-bridged mean over rounded-4dp sims, "
+    "one IEEE division), and the MAX similarity from any member to any "
+    "same-label NON-member (boundary leakage); separated = cohesion "
+    "floor above boundary max (TRUE when no boundary pair exists). "
+    "The post-clustering DQ gate: a cluster whose min_intra dips under "
+    "max_boundary is a merge/threshold-tuning candidate. Similarity is "
+    "label-blocked exactly like the edge generation, so boundary means "
+    "'nearest non-member that COULD have been linked'. Scale: the pair "
+    "table is the already-blocked n²/labels set computed once and "
+    "reused for both cohesion and separation; cluster map via the "
+    "convergence-checked CC loop; all aggregates map-side partial",
+    tags=("llm", "similarity", "graph", "dq"),
+)
+def q_llm_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.graph import connected_components
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("blk"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("blk"),
+        F.col("embedding").alias("vb"),
+    )
+    from join_example_spark.operators.similarity import DOT_SQL
+
+    allp = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.expr(DOT_SQL.format(a="va", b="vb")), 4).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = allp.where(F.col("sim") >= 0.35)
+    cc = connected_components(
+        emb.select(F.col("vec_id").alias("id")),
+        pairs,
+        id_col="id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    cmap = cc.select(F.col("id").alias("v"), "cluster_id").localCheckpoint(
+        eager=True
+    )
+    sized = (
+        cmap.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+    tagged = (
+        allp.join(cmap.select(F.col("v").alias("id_a"), F.col("cluster_id").alias("ca")), "id_a")
+        .join(cmap.select(F.col("v").alias("id_b"), F.col("cluster_id").alias("cb")), "id_b")
+        .localCheckpoint(eager=True)
+    )
+    intra = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(
+            (
+                F.sum(F.col("sim").cast("decimal(12,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_intra"),
+            F.min("sim").alias("min_intra"),
+        )
+    )
+    crossp = tagged.where(F.col("ca") != F.col("cb"))
+    boundary = (
+        crossp.select(F.col("ca").alias("cluster_id"), "sim")
+        .unionByName(crossp.select(F.col("cb").alias("cluster_id"), "sim"))
+        .groupBy("cluster_id")
+        .agg(F.max("sim").alias("max_boundary"))
+    )
+    return (
+        sized.join(intra, "cluster_id")
+        .join(boundary, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            "mean_intra",
+            "min_intra",
+            "max_boundary",
+            F.coalesce(
+                F.col("min_intra") > F.col("max_boundary"), F.lit(True)
+            ).alias("separated"),
+        )
+    )

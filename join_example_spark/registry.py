@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_label_prop",
     "q_graph_kcore",
     "q_llm_cluster_dbscan",
+    "q_llm_cluster_quality",
     "q_llm_sample_weighted",
     "q_llm_mine_margin",
     "q_llm_curate_pipeline",
