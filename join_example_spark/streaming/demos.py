@@ -94,14 +94,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     # File-stream sources list a *directory*; pathGlobFilter scopes the
-    # listing to the events file within the fixture dir. The stream schema
-    # is footer-probed so either ts encoding (int64-ns or timestamp_ntz)
+    # listing to the events file(s) within the fixture dir. The wildcard
+    # matches exactly one file in fixture dirs and lets restart tests
+    # stage arrival waves (events_part2.parquet ...) like the ingest
+    # demos' documents*/embeddings* globs. The stream schema is
+    # footer-probed so either ts encoding (int64-ns or timestamp_ntz)
     # arrives intact, then normalize_event_ts dispatches on it.
     raw = (
         spark.readStream.schema(
             probe_stream_schema(spark, sf_dir, "events.parquet")
         )
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
     return normalize_event_ts(raw)
