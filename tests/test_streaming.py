@@ -623,3 +623,37 @@ def test_stream_ts_smooth_maintain_equals_batch_ewma(spark, tmp_path):
     want = q_ts_ewma(spark, SF_SMOKE).collect()
     key = lambda r: (r.event_type, r.win_end_m, r.ewma)  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_stream_ts_smooth_maintain_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart exactly-once for the maintained count store: the
+    stream processes event wave A, terminates, wave B lands while it is
+    down, and a NEW query over the SAME checkpoint + store processes only
+    B. The merged store's EWMA must equal batch q_ts_ewma over A ∪ B —
+    a double-append of A's partials would inflate counts and shift every
+    window."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from join_example_spark.queries.analytics_ext import q_ts_ewma
+    from tests.oracle_utils import compare_frames
+
+    full = papq.read_table(f"{SF_SMOKE}/events.parquet")
+    eid = full["event_id"].to_pandas()
+    is_b = pa.array((eid % 2 == 0).to_numpy())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    papq.write_table(full.filter(pa.compute.invert(is_b)), src / "events.parquet")
+
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    first = demos.stream_ts_smooth_maintain(spark, str(src), store, ck)
+    assert first.count() > 0
+
+    papq.write_table(full.filter(is_b), src / "events_part2.parquet")
+    got = demos.stream_ts_smooth_maintain(spark, str(src), store, ck)
+
+    want = q_ts_ewma(spark, SF_SMOKE)
+    problems = compare_frames(got.toPandas(), want.toPandas())
+    assert not problems, problems
