@@ -465,3 +465,125 @@ def test_dbscan_matches_pure_python(spark):
         for r in load_all()["q_llm_cluster_dbscan"].fn(spark, sf).collect()
     }
     assert got == want
+
+
+def test_label_propagation_matches_pure_python(spark):
+    """Independent witness: re-run 3 synchronous LPA rounds (mode of
+    neighbor labels, smallest-label tiebreak, isolated keep-own) in plain
+    Python over the same edge set."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from join_example_spark.operators.similarity import cosine_near_pairs
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    adj: dict[int, list[int]] = {}
+    for r in cosine_near_pairs(emb, threshold=0.25).collect():
+        adj.setdefault(r.id_a, []).append(r.id_b)
+        adj.setdefault(r.id_b, []).append(r.id_a)
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    lbl = {v: v for v in ids}
+    for _ in range(3):
+        new = {}
+        for v in ids:
+            ns = adj.get(v)
+            if not ns:
+                new[v] = lbl[v]
+                continue
+            counts = Counter(lbl[u] for u in ns)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lbl = new
+    got = {
+        r.vec_id: r.community
+        for r in load_all()["q_graph_label_prop"].fn(spark, sf).collect()
+    }
+    assert got == lbl
+
+
+def test_kcore_matches_pure_python(spark):
+    """Independent witness: 3 peeling rounds at k=2 in plain Python."""
+    from join_example_spark.operators.similarity import cosine_near_pairs
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    edges = set()
+    for r in cosine_near_pairs(emb, threshold=0.25).collect():
+        edges.add((r.id_a, r.id_b))
+        edges.add((r.id_b, r.id_a))
+    for _ in range(3):
+        deg: dict[int, int] = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 2}
+        edges = {(s, d) for s, d in edges if s in keep and d in keep}
+    want: dict[int, int] = {}
+    for s, _ in edges:
+        want[s] = want.get(s, 0) + 1
+    got = {
+        r.vec_id: r.core_deg
+        for r in load_all()["q_graph_kcore"].fn(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_concurrency_matches_pure_python(spark):
+    """Independent witness: sessions, day clipping, and the sweep re-done
+    with plain Python over the raw events."""
+    from join_example_spark.registry import load_all
+    from join_example_spark.sources.readers import read_events
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        read_events(spark, sf)
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS t")
+        .collect()
+    )
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.t, r.event_id))
+    day_us = 86_400_000_000
+    pieces: list[tuple[int, int, int]] = []  # (day, ps, pe)
+    for evs in per_user.values():
+        evs.sort()
+        s = e = evs[0][0]
+        sessions = []
+        for t, _ in evs[1:]:
+            if t - e > 1_800_000_000:
+                sessions.append((s, e))
+                s = t
+            e = t
+        sessions.append((s, e))
+        for s0, e0 in sessions:
+            for day in range(s0 // day_us, e0 // day_us + 1):
+                pieces.append(
+                    (day, max(s0, day * day_us), min(e0, (day + 1) * day_us - 1))
+                )
+    want: dict[int, tuple[int, int]] = {}
+    from collections import defaultdict
+
+    by_day: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    n_by_day: dict[int, int] = defaultdict(int)
+    for day, ps, pe in pieces:
+        by_day[day][ps] += 1
+        by_day[day][pe + 1] -= 1
+        n_by_day[day] += 1
+    for day, deltas in by_day.items():
+        cur = best = 0
+        first = True
+        for t in sorted(deltas):
+            cur += deltas[t]
+            best = cur if first else max(best, cur)
+            first = False
+        want[day] = (n_by_day[day], best)
+    got = {
+        r.day: (r.n_sessions, r.max_concurrent)
+        for r in load_all()["q_ts_concurrency"].fn(spark, sf).collect()
+    }
+    assert got == want
