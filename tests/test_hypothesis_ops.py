@@ -349,3 +349,117 @@ def test_prefix_filter_pairs_lossless_vs_bruteforce(spark, docs, thresh):
         for r in prefix_filter_pairs(df, num=num, den=den).collect()
     }
     assert got == ref(docs)
+
+
+@st.composite
+def _count_series(draw):
+    n = draw(st.integers(0, 10))
+    rows = []
+    for _ in range(n):
+        typ = draw(st.sampled_from(["a", "b"]))
+        m = draw(st.integers(100, 112))
+        x = draw(st.integers(1, 5))
+        rows.append((typ, m, x))
+    # collapse duplicate (typ, m) keys like a rollup would
+    agg = {}
+    for typ, m, x in rows:
+        agg[(typ, m)] = agg.get((typ, m), 0) + x
+    return [(t, m, x) for (t, m), x in agg.items()]
+
+
+@given(series=_count_series())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dyadic_weighted_series_matches_python_reference(spark, series):
+    """Fuzz the shared EWMA/Holt core: random sparse (type, minute, count)
+    rollups — short series (< window), gaps, single types — must match a
+    plain-Python spine-fill + weighted-sum + complete-window reference
+    exactly (integer weights, one power-of-two division: equality is
+    exact, no tolerance)."""
+    from join_example_spark.operators.temporal import dyadic_weighted_series
+
+    weights = (8, 4, 2, 1)  # L=4 dyadic table, divisor 16
+
+    def ref(rows):
+        if not rows:
+            return {}
+        mn = min(m for _, m, _ in rows)
+        mx = max(m for _, m, _ in rows)
+        types = {t for t, _, _ in rows}
+        vals = {(t, m): x for t, m, x in rows}
+        out = {}
+        for t in types:
+            xs = {m: vals.get((t, m), 0) for m in range(mn, mx + 1)}
+            for end in range(mn + 3, mx + 1):
+                s = sum(
+                    xs[end - k] * weights[k] for k in range(4)
+                )
+                out[(t, end)] = s / 16.0
+        return out
+
+    per = spark.createDataFrame(
+        series or [("zz", 0, 0)], "event_type STRING, m BIGINT, x BIGINT"
+    )
+    if not series:
+        per = per.where("1 = 0")
+    got = {
+        (r.event_type, r.win_end_m): r.out
+        for r in dyadic_weighted_series(per, weights, 16.0, "out").collect()
+    }
+    assert got == ref(series)
+
+
+@st.composite
+def _graphs(draw, max_nodes=8):
+    n = draw(st.integers(0, max_nodes))
+    nodes = list(range(n))
+    pairs = []
+    if n >= 2:
+        m = draw(st.integers(0, 10))
+        for _ in range(m):
+            a = draw(st.integers(0, n - 1))
+            b = draw(st.integers(0, n - 1))
+            if a != b:
+                pairs.append((min(a, b), max(a, b)))
+    seeds = draw(st.sets(st.sampled_from(nodes), max_size=3)) if n else set()
+    return nodes, sorted(set(pairs)), sorted(seeds)
+
+
+@given(g=_graphs())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_distances_fuzz_vs_python(spark, g):
+    """Random graphs + seed sets (empty seeds, disconnected components,
+    self-contained cliques) against a plain BFS."""
+    from join_example_spark.operators.graph import bfs_distances
+
+    nodes, pairs, seeds = g
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for d in range(1, 4):
+        nxt = []
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = d
+                    nxt.append(u)
+        frontier = nxt
+
+    seeds_df = spark.createDataFrame(
+        [(s,) for s in seeds] or [(0,)], "vec_id BIGINT"
+    )
+    if not seeds:
+        seeds_df = seeds_df.where("1 = 0")
+    pairs_df = spark.createDataFrame(
+        pairs or [(0, 1)], "id_a BIGINT, id_b BIGINT"
+    )
+    if not pairs:
+        pairs_df = pairs_df.where("1 = 0")
+    got = {
+        r.v: r.d for r in bfs_distances(seeds_df, pairs_df, iters=3).collect()
+    }
+    assert got == dist
