@@ -1,0 +1,238 @@
+"""Lossless metric-pruned cosine all-pairs join (threshold similarity).
+
+The cosine analog of the PPJoin prefix-filter join (dedup_prefix.py): a
+candidate-reduction scheme whose output is PROVABLY identical to the naive
+quadratic all-pairs join, so the DuckDB oracle can certify it per row.
+
+Dense unit-norm embeddings admit no sparse prefix filter (every dimension
+is populated, so Bayardo/Chaudhuri prefix candidates degenerate to all
+pairs); the right lossless pruning for dense vectors is METRIC: for unit
+vectors, ``sim(a,b) >= tau  <=>  ||a-b|| <= sqrt(2-2*tau)``, and by the
+triangle inequality a cell pair (c1, c2) with per-cell covering radii
+(r1, r2) can contain a qualifying pair only if
+
+    ||c1-c2|| - r1 - r2 <= sqrt(2 - 2*tau).
+
+So: contract bit-identical vectors to representatives, coarse-quantize the
+representatives per block onto ceil(sqrt(n)) deterministic centroids
+(lowest-id reps — the repo's IVF convention), compute per-cell covering
+radii, admit only cell pairs passing the triangle bound, and run the exact
+rounded-dot verify on members of admitted cell pairs only. Every filter
+over-approximates (generous epsilon slack; the verify is the same exact
+fold the naive join runs), hence losslessness by construction — and the
+oracle twin (the naive quadratic join) proves it per row at every SF.
+
+Scale posture — honest, measured (SCALE.md §3.7):
+
+- On CLUSTERED corpora (real embedding spaces: near-dup families, topical
+  clusters) the triangle bound prunes most cell pairs and candidate volume
+  tracks the output, not n² — the unit test plants such a geometry and
+  asserts >90% of cell pairs are pruned while output == brute force.
+- On the ISOTROPIC fixture corpus (within-label mean sim 0.000, sd = 1/8)
+  NO lossless method can be sub-quadratic: at tau = 0.25 the ANSWER is
+  2.2% of all n²/2 pairs (output-bound, the same regime as the saturated
+  PPJoin tier), and for output-sparse tau exact closest-pair search in
+  dimension >> log n admits no truly subquadratic algorithm under SETH
+  (Alman & Williams, FOCS'15 line of work). The pruning then admits
+  everything and the operator degrades to the naive join plus a bounded
+  index overhead (ceil(sqrt(n)) assignment dots per vector ~ n^1.5 per
+  block, strictly dominated by the n² verify it precedes).
+- Duplicate saturation is absorbed by the identity contraction exactly as
+  in dedup_prefix.py: the verify runs once per DISTINCT-vector pair;
+  member pairs are produced by narrow expansion joins inheriting the rep
+  pair's sim (bit-identical arrays => bit-identical fold), and intra-group
+  pairs take the group's self-sim computed once from the rep vector.
+
+At 100 TB: contraction is one hash shuffle on vector bytes; centroids are
+per-block sqrt-sized and BROADCAST; assignment is map-side; the only
+quadratic-capable exchange (members-of-admitted-cells join) is pinned with
+explicit repartition on the cell key against AQE byte-based coalescing
+(the `_by_cell` lesson, SCALE.md §3.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from join_example_spark.operators.similarity import D2_SQL, DOT_SQL
+
+
+def _cells_and_admissible(reps: DataFrame, thr_d: float) -> tuple[DataFrame, DataFrame]:
+    """Coarse quantization + triangle-inequality cell-pair admissibility.
+
+    Input: ``(_blk, _id, _vec)`` representative rows. Returns
+
+    - ``asg``: ``(_blk, _id, _cell, _d2)`` — each rep's deterministic
+      nearest-centroid assignment (argmin squared-L2, centroid-id tiebreak
+      via the MIN(STRUCT) partial-agg pattern) among the block's
+      ceil(sqrt(n_block)) lowest-id reps;
+    - ``adm``: ``(_blk, _ca, _cb)`` — ORDERED cell pairs passing
+      ``||c_a - c_b|| - r_a - r_b <= thr_d`` with per-cell covering radii
+      r (symmetric bound => both orders kept; with unique single assignment
+      each rep pair then meets in exactly one ordered cell combination, so
+      no pair dedup is needed anywhere downstream).
+
+    Split out so tests can measure the pruning rate directly (the
+    clustered-geometry unit test asserts most cell pairs are inadmissible
+    while the output still equals brute force).
+    """
+    # Deterministic per-block centroids: rank narrow (blk, id) rows only
+    # (the ivf_cells plan lesson: never sort vector-carrying rows), then
+    # fetch the vectors by id. Float sqrt sizing is safe here: the
+    # centroid count shapes COST only, never output.
+    cnt = reps.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    cw = Window.partitionBy("_blk").orderBy("_id")
+    cents = (
+        reps.select("_blk", "_id")
+        .withColumn("_rn", F.row_number().over(cw))
+        .join(F.broadcast(cnt), "_blk")
+        .where(F.col("_rn") <= F.ceil(F.sqrt(F.col("_n"))))
+        .join(reps, ["_blk", "_id"])
+        .select("_blk", F.col("_id").alias("_cid"), F.col("_vec").alias("_cvec"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Map-side assignment (broadcast centroids).
+    d2 = F.expr(D2_SQL.format(a="_vec", b="_cvec"))
+    asg = (
+        reps.join(F.broadcast(cents), "_blk")
+        .select("_blk", "_id", "_cid", d2.alias("_d2"))
+        .groupBy("_blk", "_id")
+        .agg(F.min(F.struct(F.col("_d2"), F.col("_cid"))).alias("_s"))
+        .select(
+            "_blk",
+            "_id",
+            F.col("_s._cid").alias("_cell"),
+            F.col("_s._d2").alias("_d2"),
+        )
+    )
+
+    # Per-cell covering radii (empty cells drop out via the inner joins —
+    # a cell with no members can hold no pair).
+    rad = asg.groupBy("_blk", "_cell").agg(
+        F.max(F.sqrt(F.greatest(F.col("_d2"), F.lit(0.0)))).alias("_r")
+    )
+
+    ca = cents.select("_blk", F.col("_cid").alias("_ca"), F.col("_cvec").alias("_va"))
+    cb = cents.select("_blk", F.col("_cid").alias("_cb"), F.col("_cvec").alias("_vb"))
+    cdist = F.sqrt(F.greatest(F.expr(D2_SQL.format(a="_va", b="_vb")), F.lit(0.0)))
+    adm = (
+        ca.join(cb, "_blk")
+        .select("_blk", "_ca", "_cb", cdist.alias("_D"))
+        .join(rad.select("_blk", F.col("_cell").alias("_ca"), F.col("_r").alias("_ra")), ["_blk", "_ca"])
+        .join(rad.select("_blk", F.col("_cell").alias("_cb"), F.col("_r").alias("_rb")), ["_blk", "_cb"])
+        .where(F.col("_D") - F.col("_ra") - F.col("_rb") <= F.lit(thr_d))
+        .select("_blk", "_ca", "_cb")
+    )
+    return asg, adm
+
+
+def cosine_lossless_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """All pairs with ``ROUND(dot, round_digits) >= threshold`` (within
+    ``block_col`` blocks; ``None`` = one global block), id_a < id_b.
+
+    Output is row-identical to the naive quadratic join — the certifying
+    oracle of ``q_llm_dedup_cosine_lossless`` states exactly that.
+    Assumes no NULL ids/vectors (fixture contract, FIXTURES.md).
+    """
+    # Soundness margin: a pair qualifies iff ROUND(sim, r) >= tau, i.e.
+    # sim >= tau - 0.5*10^-r. Budget a full 10^-r for that plus float32
+    # norm deviation (||v||^2 within ~2.4e-7 of 1) and the ~1e-14 fold
+    # error, then 1e-6 absolute on the distance — orders of magnitude of
+    # headroom, and slack only ADDS candidates (the verify is exact).
+    tau_eff = threshold - 10.0 ** (-round_digits)
+    thr_d = math.sqrt(max(0.0, 2.0 - 2.0 * tau_eff)) + 1e-6
+
+    blk = F.col(block_col) if block_col is not None else F.lit(0)
+    base = emb.select(
+        F.col(id_col).alias("_id"), blk.alias("_blk"), F.col(vec_col).alias("_v")
+    )
+
+    # -- identity contraction (hash aggregate on the vector bytes; never a
+    # window over the array column — the interpreted-comparator lesson).
+    # members/reps each feed several joins below; eager localCheckpoint
+    # stops the contraction subplan re-executing per consumer.
+    grp = base.groupBy("_blk", "_v").agg(F.min("_id").alias("_gid"))
+    members = (
+        base.join(grp, ["_blk", "_v"])
+        .select("_gid", "_id")
+        .localCheckpoint(eager=True)
+    )
+    reps = (
+        grp.select(
+            F.col("_gid").alias("_id"),
+            "_blk",
+            F.col("_v").alias("_vec"),
+            F.round(F.expr(DOT_SQL.format(a="_v", b="_v")), round_digits).alias(
+                "_selfsim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    asg, adm = _cells_and_admissible(reps.select("_blk", "_id", "_vec"), thr_d)
+    # -- candidates: members of admitted cell pairs. The only exchange with
+    # quadratic fan-out — pin it on the cell key on BOTH sides so AQE's
+    # byte-based coalescing cannot collapse the pair generation.
+    n_shuf = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    av = asg.select("_blk", "_id", "_cell").join(
+        reps.select("_blk", "_id", "_vec"), ["_blk", "_id"]
+    )
+    pa = av.select(
+        "_blk", F.col("_cell").alias("_ca"), F.col("_id").alias("id_a"),
+        F.col("_vec").alias("_pva"),
+    )
+    pb = av.select(
+        "_blk", F.col("_cell").alias("_cb"), F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_pvb"),
+    )
+    sim = F.round(F.expr(DOT_SQL.format(a="_pva", b="_pvb")), round_digits)
+    rep_pairs = (
+        pa.join(F.broadcast(adm), ["_blk", "_ca"])
+        .repartition(n_shuf, "_blk", "_cb")
+        .join(pb.repartition(n_shuf, "_blk", "_cb"), ["_blk", "_cb"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= F.lit(threshold))
+    )
+
+    # -- expansion back to member pairs: cross-group pairs inherit the rep
+    # pair's sim (bit-identical arrays => bit-identical fold); intra-group
+    # pairs take the group's self-sim, computed once from the rep vector
+    # with the SAME fold the naive join would run on the duplicate pair.
+    ma = members.select(F.col("_gid").alias("id_a"), F.col("_id").alias("_ia"))
+    mb = members.select(F.col("_gid").alias("id_b"), F.col("_id").alias("_ib"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "sim",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "_gid")
+        .where(F.col("x._id") < F.col("y._id"))
+        .join(
+            reps.select(F.col("_id").alias("_gid"), "_selfsim"), "_gid"
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("_selfsim").alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(threshold))
+    )
+    return cross.unionByName(intra)

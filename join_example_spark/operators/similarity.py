@@ -93,7 +93,37 @@ def cosine_near_pairs(
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim >= threshold) within blocks."""
+    """Embedding-cosine near-duplicate pairs (sim >= threshold) within blocks.
+
+    Since round 6 this delegates to the LOSSLESS metric-pruned generator
+    (operators/cosine_pairs.py): identity contraction + triangle-inequality
+    cell pruning + the same exact rounded-dot verify. Output is row-identical
+    to the naive quadratic join below (`cosine_near_pairs_naive`, kept as the
+    reference implementation) — certified per row by the unchanged oracles of
+    every consumer and by `q_llm_dedup_cosine_lossless`'s global twin.
+    """
+    from join_example_spark.operators.cosine_pairs import cosine_lossless_pairs
+
+    return cosine_lossless_pairs(
+        emb,
+        threshold=threshold,
+        block_col=block_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def cosine_near_pairs_naive(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Naive quadratic within-block cosine pair join — the reference
+    implementation `cosine_near_pairs` is certified against."""
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vec_a")
     )
@@ -1330,3 +1360,111 @@ def kmeans_lloyd_stats(
         "avg_sim",
         "centroid_shift",
     )
+
+
+def kmeans_lloyd_rounds(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Fixed-``rounds`` unrolled Lloyd iterations (k-means to convergence
+    audit) — the multi-round extension of :func:`kmeans_lloyd_stats`,
+    PageRank-convention: a FIXED round count so a SQL oracle can unroll
+    the same recurrence CTE-per-round.
+
+    Per round: assign (argmax rounded cosine, centroid-id tiebreak against
+    the previous round's centroids) → decimal-bridged centroid update
+    (per-component ROUND → DECIMAL(25,6) exact sum → one IEEE division)
+    → audit row ``(round, cell, n_members, avg_sim, centroid_shift)``.
+    Round-(r+1) assignment dots run over the round-r mean centroids:
+    both engines hold bit-identical centroid doubles (exact decimal sum +
+    one division), the arrays are reassembled in pos order (array_sort on
+    (pos, nc) structs here, list(nc ORDER BY pos) in the oracle), and the
+    sequential fold keeps the dot bit-identical — so every later round
+    inherits round 1's determinism. Cells that lose all members drop out
+    of later rounds (standard Lloyd degeneracy; both sides agree by
+    construction).
+
+    At 100 TB: centroids (k × dim doubles) broadcast every round;
+    assignment stays map-side; what shuffles is the O(k·dim) partial-sum
+    rollup, never member vectors. Each round's centroid table is tiny and
+    eager-localCheckpointed so the unrolled lineage stays flat instead of
+    re-executing r-1 rounds per consumer (the twice-referenced-subplan
+    rule — each round's centroids feed assignment, shift AND round r+1).
+    """
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cents = (
+        base.orderBy("_id")
+        .limit(n_centroids)
+        .select(
+            F.col("_id").alias("cell"),
+            F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    audits = []
+    w_assign = Window.partitionBy("_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    for r in range(1, rounds + 1):
+        cdot = F.expr(DOT_SQL.format(a="_v", b="cvec"))
+        cells = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.round(cdot, round_digits))
+            .withColumn("arn", F.row_number().over(w_assign))
+            .where(F.col("arn") == 1)
+            .select("_id", "_v", "cell", "csim")
+        )
+        comp = cells.select("cell", F.posexplode("_v").alias("pos", "val"))
+        newc_pos = comp.groupBy("cell", "pos").agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 4) AS DECIMAL(25,6)))"
+                " AS DOUBLE) / COUNT(*)"
+            ).alias("nc")
+        )
+        oldc_pos = cents.select(
+            "cell", F.posexplode("cvec").alias("pos", "oval")
+        ).select("cell", "pos", F.round(F.col("oval"), 4).alias("oc"))
+        shift = (
+            newc_pos.join(F.broadcast(oldc_pos), ["cell", "pos"])
+            .withColumn(
+                "d2", (F.col("nc") - F.col("oc")) * (F.col("nc") - F.col("oc"))
+            )
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "ROUND(SQRT(CAST(SUM(CAST(d2 AS DECIMAL(38,20))) AS DOUBLE)), 4)"
+                ).alias("centroid_shift")
+            )
+        )
+        stats = cells.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.expr(
+                "CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_sim"),
+        )
+        audits.append(
+            stats.join(shift, "cell").select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("cell").cast("bigint").alias("cell"),
+                "n_members",
+                "avg_sim",
+                "centroid_shift",
+            )
+        )
+        if r < rounds:
+            cents = (
+                newc_pos.groupBy("cell")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, nc))),"
+                        " s -> s.nc)"
+                    ).alias("cvec")
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out

@@ -1413,3 +1413,35 @@ def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return prefix_filter_pairs(docs, id_col="doc_id", toks_col="toks")
+
+
+@register(
+    "q_llm_dedup_cosine_lossless",
+    oracle=f"""
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) AS sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.40
+""",
+    note="LOSSLESS metric-pruned cosine all-pairs join, GLOBAL (no label "
+    "blocking) at sim >= 0.40 — the dense-vector analog of "
+    "q_llm_dedup_prefix's PPJoin certificate: the oracle is the naive "
+    "quadratic all-pairs ground truth, so the hash match is a per-row "
+    "proof that the candidate pruning (identity contraction + "
+    "ceil(sqrt(n)) deterministic centroids + triangle-inequality cell "
+    "admissibility ||c1-c2|| - r1 - r2 <= sqrt(2-2*tau') + exact "
+    "rounded-dot verify) drops no qualifying pair. Dense unit vectors "
+    "admit no sparse prefix filter, so the lossless pruning is METRIC "
+    "(operators/cosine_pairs.py docstring has the geometry and the "
+    "honest isotropic-corpus degradation analysis, SCALE.md §3.7 the "
+    "measurements). sim is the shared sequential-fold dot, rounded — "
+    "the certified cross-engine expression",
+    tags=("llm", "dedup", "similarity"),
+)
+def q_llm_dedup_cosine_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.cosine_pairs import cosine_lossless_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_lossless_pairs(emb, threshold=0.40, block_col=None)

@@ -2085,3 +2085,83 @@ def q_llm_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("separated"),
         )
     )
+
+
+def _kmeans_rounds_oracle(k: int, rounds: int) -> str:
+    """Generate the unrolled-CTE DuckDB oracle for ``kmeans_lloyd_rounds``
+    (PageRank convention: fixed round count => straight CTE replay)."""
+    dot = _DUCK_DOT.format(a="e.embedding", b="c.cvec")
+    parts = [
+        f"""cents0 AS (
+    SELECT vec_id AS cell,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""assign{r} AS (
+    SELECT e.vec_id, e.embedding, c.cell, ROUND({dot}, 4) AS csim
+    FROM embeddings e CROSS JOIN cents{p} c
+), cells{r} AS (
+    SELECT vec_id, embedding, cell, csim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cell) AS arn
+        FROM assign{r}
+    ) WHERE arn = 1
+), comp{r} AS (
+    SELECT cell, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           unnest(embedding) AS val
+    FROM cells{r}
+), newc{r} AS (
+    SELECT cell, pos,
+           CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 4) AS DECIMAL(25,6)))
+                AS DOUBLE) / COUNT(*) AS nc
+    FROM comp{r} GROUP BY cell, pos
+), oldp{r} AS (
+    SELECT cell, CAST(generate_subscripts(cvec, 1) - 1 AS INTEGER) AS pos,
+           ROUND(CAST(unnest(cvec) AS DOUBLE), 4) AS oc
+    FROM cents{p}
+), shift{r} AS (
+    SELECT n.cell,
+           ROUND(SQRT(CAST(SUM(CAST((n.nc - o.oc) * (n.nc - o.oc)
+                                    AS DECIMAL(38,20))) AS DOUBLE)), 4)
+             AS centroid_shift
+    FROM newc{r} n JOIN oldp{r} o ON n.cell = o.cell AND n.pos = o.pos
+    GROUP BY n.cell
+), stats{r} AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_sim
+    FROM cells{r} GROUP BY cell
+), audit{r} AS (
+    SELECT CAST({r} AS BIGINT) AS round, CAST(s.cell AS BIGINT) AS cell,
+           s.n_members, s.avg_sim, sh.centroid_shift
+    FROM stats{r} s JOIN shift{r} sh ON s.cell = sh.cell
+), cents{r} AS (
+    SELECT cell, list(nc ORDER BY pos) AS cvec FROM newc{r} GROUP BY cell
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM audit{r}" for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register(
+    "q_llm_kmeans_converged",
+    oracle=_kmeans_rounds_oracle(8, 3),
+    note="k-means run to a FIXED 3-round convergence audit (unrolled "
+    "Lloyd, PageRank convention): per round and cell, member count, mean "
+    "assigned similarity and centroid shift — the operational signal a "
+    "pipeline uses to decide convergence. Round r+1 assigns against "
+    "round r's decimal-bridged mean centroids: both engines hold "
+    "bit-identical centroid doubles (exact DECIMAL(25,6) component sums "
+    "+ one IEEE division), arrays reassembled in pos order (array_sort "
+    "of (pos,nc) structs == list(nc ORDER BY pos)), so the sequential "
+    "fold keeps every round's dots bit-identical. Scale: k x dim "
+    "centroid tables broadcast per round; only O(k*dim) partial sums "
+    "shuffle; member vectors never leave their partitions",
+    tags=("llm", "similarity", "ml"),
+)
+def q_llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.similarity import kmeans_lloyd_rounds
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_rounds(emb, n_centroids=8, rounds=3)

@@ -438,3 +438,179 @@ def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
         "doc_id", "bm25", "rnk"
     )
+
+
+@register(
+    "q_llm_search_hybrid",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, str_split(LOWER(TRIM(text)), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+), sized AS (
+    SELECT doc_id, LEN(t) AS dl FROM docs
+), stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM sized
+), terms AS (
+    SELECT doc_id, unnest(t) AS term FROM docs
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM terms
+    WHERE term IN {_BM25_IN} GROUP BY doc_id, term
+), dfx AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+    WHERE term IN {_BM25_IN} GROUP BY term
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+                        / (CAST(dfx.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + (0.3 + 0.9 * (CAST(z.dl AS DOUBLE)
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))),
+               6) AS DECIMAL(18,6)) AS s6
+    FROM tf
+    JOIN sized z USING (doc_id)
+    JOIN dfx USING (term)
+    CROSS JOIN stats s
+), summed AS (
+    SELECT doc_id, CAST(SUM(s6) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+), lex AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rnk
+    FROM summed
+    QUALIFY lex_rnk <= 20
+), probe AS (
+    SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+), dsim AS (
+    SELECT e.vec_id AS doc_id,
+           ROUND({{dot}}, 4) AS sim
+    FROM embeddings e CROSS JOIN probe p
+    WHERE e.vec_id <> 0
+), dense AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS dense_rnk
+    FROM dsim
+    QUALIFY dense_rnk <= 20
+), fused AS (
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           COALESCE(l.lex_rnk, 0) AS lex_rnk,
+           COALESCE(d.dense_rnk, 0) AS dense_rnk,
+           CAST(COALESCE(CAST(ROUND(1.0 / (60.0 + CAST(l.lex_rnk AS DOUBLE)), 9)
+                              AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))
+                + COALESCE(CAST(ROUND(1.0 / (60.0 + CAST(d.dense_rnk AS DOUBLE)), 9)
+                                AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))
+                AS DOUBLE) AS rrf
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rnk, dense_rnk, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+FROM fused
+QUALIFY rnk <= 10
+ORDER BY rnk
+""".format(dot="list_aggregate(list_transform(list_zip(e.embedding, p.pv),"
+           " q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')"),
+    note="HYBRID retrieval capstone: reciprocal-rank fusion (Cormack et "
+    "al., k=60) of the BM25 top-20 lexical list and an embedding dense "
+    "top-20 list (probe = vec 0's embedding, rounded sequential-fold "
+    "dot, unique-id tiebreaks). Each present rank contributes "
+    "ROUND(1/(60+rank), 9) in DECIMAL(18,9) — boundary-checked (closest "
+    "9-digit half-ulp distance over rank<=200 is 4.5e-3, so ROUND is "
+    "engine-stable) and summed exactly before ONE cast to double; "
+    "absent ranks surface as 0 (never NULL: the driver canonicalizer "
+    "has no dtype harmonization). Scale: both lists are top-k "
+    "TakeOrderedAndProject heads, the fusion join is 20x20 rows, and "
+    "the dense side slots the IVF/IMI front ends in at scale exactly "
+    "as the dedup family does",
+    tags=("llm", "text", "search", "similarity"),
+)
+def q_llm_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower(F.trim("text")), " ").alias("t"))
+    )
+    sized = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    terms = docs.select("doc_id", F.explode("t").alias("term")).where(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + (
+        F.lit(0.3) + F.lit(0.9) * (F.col("dl").cast("double") / avgdl)
+    )
+    s6 = F.round(idf * (F.col("tf").cast("double") * F.lit(2.2)) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    summed = (
+        tf.join(sized, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s6.alias("s6"))
+        .groupBy("doc_id")
+        .agg(F.sum("s6").cast("double").alias("bm25"))
+    )
+    lw = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = (
+        summed.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(20)
+        .withColumn("lex_rnk", F.row_number().over(lw).cast("bigint"))
+        .select("doc_id", "lex_rnk")
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    from join_example_spark.operators.similarity import DOT_SQL
+
+    sim = F.round(F.expr(DOT_SQL.format(a="embedding", b="pv")), 4)
+    dw = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    dense = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(20)
+        .withColumn("dense_rnk", F.row_number().over(dw).cast("bigint"))
+        .select("doc_id", "dense_rnk")
+    )
+
+    def contrib(rank_col: str):
+        return F.round(
+            F.lit(1.0) / (F.lit(60.0) + F.col(rank_col).cast("double")), 9
+        ).cast("decimal(18,9)")
+
+    fused = (
+        lex.join(dense, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rnk"), F.lit(0).cast("bigint")).alias("lex_rnk"),
+            F.coalesce(F.col("dense_rnk"), F.lit(0).cast("bigint")).alias(
+                "dense_rnk"
+            ),
+            (
+                F.coalesce(contrib("lex_rnk"), F.lit(0).cast("decimal(18,9)"))
+                + F.coalesce(contrib("dense_rnk"), F.lit(0).cast("decimal(18,9)"))
+            )
+            .cast("double")
+            .alias("rrf"),
+        )
+    )
+    fw = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(fw).cast("bigint"))
+        .select("doc_id", "lex_rnk", "dense_rnk", "rrf", "rnk")
+    )

@@ -63,30 +63,73 @@ def register(
 #: Driver-facing verification order. Each round's driver check consumes
 #: exactly the first ~50 registry entries, so ordering is load-bearing:
 #: queries that still need a driver CORRECTNESS row on the CURRENT fixture
-#: go FIRST, already-certified queries go LAST. Round-4 head: the 25
-#: oracle-able queries never driver-checked in rounds 1–3, then the 5
-#: events queries whose only green predates the NANOS→MICROS fixture flip,
-#: then high-value re-confirmations. Names registered but absent from this
-#: list (i.e. queries added later) are placed before everything else so
-#: new work is always checked first.
+#: go FIRST, already-certified queries go LAST. Names registered but absent
+#: from this list are placed before everything else so new work is always
+#: checked first (a gate test also requires every query be listed).
+#:
+#: Round-6 head (exactly 50): the three round-6 additions; then every query
+#: whose PLAN changed in round 6 (cosine_near_pairs now routes through the
+#: lossless metric-pruned generator — output proven identical by the local
+#: mirror at both SFs, but the driver row should re-prove it end-to-end);
+#: then the oldest surviving greens: the r2 LLM block and the r1
+#: join/agg/scalar-fn blocks, whose rows predate two fixture drifts, plus
+#: the r3 scan/setop stragglers. After this rotation no pre-r3 "ever" row
+#: survives anywhere in the registry.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-5 head. Unlisted (newly added) queries rank BEFORE all of
-    # this, so the explicit head stays at 44 to leave prefix headroom. ----
-    # The final 3 oracle-able queries without a driver row (queued at 51-53
-    # in round 4) lead; then everything whose semantics/name changed in
-    # round 5 (decimal-square fix, sorted sqrt fold, the _baseline rename,
-    # the semantic-dedup ADC pre-filter); then the oldest greens: flagship,
-    # TPC-H anchors and the 2.2/2.3/2.4/2.8 blocks last green in round 1 -
-    # after this rotation every oracle-able query has a driver row and the
-    # oldest greens are re-proven on the current fixture.
-    # round-5 additions: the inverted-multi-index family (new queries —
-    # listed explicitly so the prefix math stays auditable).
-    "q_llm_dedup_prefix",
-    "q_llm_bm25_search",
+    "q_llm_dedup_cosine_lossless",
+    "q_llm_search_hybrid",
+    "q_llm_kmeans_converged",
+    "q_llm_embed_near",
+    "q_llm_dedup_semantic_exact",
+    "q_graph_triangles",
     "q_graph_bfs",
     "q_graph_label_prop",
     "q_graph_kcore",
+    "q_graph_pagerank",
     "q_llm_cluster_dbscan",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_near",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_cluster_star",
+    "q_llm_dedup_minhash_exact",
+    "q_llm_sim_topk",
+    "q_llm_sim_ivf",
+    "q_llm_text_stats",
+    "q_llm_lang_filter",
+    "q_llm_langid",
+    "q_llm_tokens",
+    "q_llm_quality",
+    "q_llm_fingerprint",
+    "q_llm_pipeline",
+    "q_llm_tfidf",
+    "q_llm_zipf",
+    "q_multimodal_decode",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_groupingsets",
+    "q_agg_having",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_scan_count",
+    "q_scan_json_props",
+    "q_set_union_all",
+    "q_set_intersect",
+    # -------- top-50 boundary: everything below is driver-green on a
+    # current-fixture check or rows-only; relative order preserved. --------
+    "q_llm_dedup_prefix",
+    "q_llm_bm25_search",
     "q_llm_cluster_quality",
     "q_llm_sample_weighted",
     "q_llm_mine_margin",
@@ -104,13 +147,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_substring",
     "q_audience_overlap_hll",
     "q_llm_decontaminate_substring",
-    "q_graph_pagerank",
     "q_llm_sim_imipq",
     "q_ts_sim_search",
     "q_ts_rolling_corr",
     "q_dq_stats_drift",
     "q_llm_split_leakage_safe",
-    "q_llm_dedup_semantic_exact",
     "q_win_sliding_distinct_hll",
     "q_dq_volume_anomaly",
     "q_llm_sim_pq_rerank_baseline",
@@ -131,33 +172,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_project_rename",
     "q_filter_pred",
     "q_filter_branch",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_groupingsets",
-    "q_agg_having",
     "q_agg_filter_clause",
     "q_agg_any_all",
     "q_agg_stats",
     "q_agg_string_agg",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
     "q_fn_struct",
-    # -------- top-50 boundary (headroom for round-5 additions) --------
-    # everything below is driver-green on the current fixture or rows-only;
-    # relative order preserved from round 4 (positions past the prefix are
-    # never consumed).
     "q_dq_constraints",
     "q_stream_distinct_users",
     "q_win_sliding_distinct",
@@ -183,7 +202,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_pii_redact",
     "q_gaps_islands",
     "q_llm_kmeans_iter",
-    "q_graph_triangles",
     "q_incremental_agg",
     "q_profile_columns",
     "q_win_rank",
@@ -231,10 +249,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_funnel_stages",
     "q_cohort_retention",
     "q_scd2_intervals",
-    "q_scan_count",
-    "q_scan_json_props",
-    "q_set_union_all",
-    "q_set_intersect",
     "q_tpch_q1",
     "q_tpch_q2",
     "q_tpch_q6",
@@ -250,7 +264,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_llm_char_entropy",
-    "q_llm_dedup_cluster_star",
     "q_llm_dedup_minhash",
     "q_llm_dedup_simhash",
     "q_llm_sim_knn_scale",
@@ -275,23 +288,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_salted",
     "q_scalar_subquery",
     "q_join_exists_correlated",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_near",
-    "q_llm_dedup_cluster",
-    "q_llm_dedup_minhash_exact",
-    "q_llm_sim_topk",
-    "q_llm_embed_near",
-    "q_llm_sim_ivf",
-    "q_llm_text_stats",
-    "q_llm_lang_filter",
-    "q_llm_langid",
-    "q_llm_tokens",
-    "q_llm_quality",
-    "q_llm_fingerprint",
-    "q_llm_pipeline",
-    "q_llm_tfidf",
-    "q_llm_zipf",
-    "q_multimodal_decode",
     "q_explode_pos",
     "q_unpivot",
     "q_fn_nulls",
