@@ -1250,7 +1250,12 @@ WHERE rn = 1
     "(SCALE.md §3.5). Recall at the audited dial: 0.92/0.69 at "
     "sf0.01/sf0.1 (q_llm_imi_recall), vs 0.97/0.85 for nprobe=5 IVF at "
     "~2x the candidate budget — clusters under-merge only where an edge "
-    "crosses all 8 probed product cells",
+    "crosses all 8 probed product cells. NOT the family default "
+    "(round-6 decision, SCALE.md §3.7b): at the 64x/128k distinct tier "
+    "the FIXED T=8 dial's probed fraction shrinks as n^(-2/3) and pair "
+    "recall falls to 0.21 vs IVF-nprobe=5's 0.37 — matched recall at "
+    "that n needs T~36, which pays off only where assignment dots "
+    "dominate (shuffle-bound clusters), not on local CPU",
     tags=("llm", "dedup", "similarity", "graph", "approx"),
 )
 def q_llm_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -375,6 +375,143 @@ def main() -> None:
         }
         log(f"prefix-distinct probe: {out['prefix_distinct_probe']}")
 
+    if os.environ.get("SPARK_GRAFT_PROBE_COSINE") == "1":
+        # Scale posture of the lossless metric-pruned cosine pair join
+        # (operators/cosine_pairs.py), two geometries:
+        #
+        # 1. CLUSTERED organic growth — K = 32 tight clusters (noise 0.03,
+        #    d=64, tau=0.9): the COVERABLE regime (K <= sqrt(n) cells, so
+        #    per-cluster cells get small radii and the triangle bound
+        #    prunes cross-cluster cell pairs). The answer here is all
+        #    within-cluster pairs (~n²/2K — output-bound quadratic), so
+        #    the claim is about WORK per output row: the pruned join's
+        #    verify volume tracks the answer (n²/2K) while the naive
+        #    join's tracks n²/2 — a K-fold work cut, measured by timing
+        #    BOTH paths on the same corpus. (A first probe used K = n/25
+        #    clusters — MORE clusters than cells; a flat ceil(sqrt(n))-
+        #    cell index cannot cover that geometry, every radius blows up
+        #    to the inter-cluster distance and nothing prunes. That
+        #    coverage bound — flat metric pruning needs cluster count
+        #    <= cell count — is the documented limit, SCALE.md §3.7.)
+        # 2. ISOTROPIC organic growth (rotation-enlarged, as the IMI
+        #    probe) at the graph family's tau=0.25: the answer itself is
+        #    ~2.2% of n²/2 (output-bound — no lossless method can be
+        #    sub-quadratic; exact high-dim similarity search is SETH-hard
+        #    in general), so the honest claim is wall tracking OUTPUT,
+        #    not n². Skipped above 8x (the 64x answer would be ~180M
+        #    rows).
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        from join_example_spark.operators.cosine_pairs import (
+            _cells_and_admissible,
+            cosine_lossless_pairs,
+        )
+        from join_example_spark.operators.similarity import (
+            cosine_near_pairs_naive,
+        )
+
+        def _clustered(n, seed=13):
+            rng = _np.random.default_rng(seed)
+            K = 32
+            cent = rng.normal(size=(K, 64))
+            cent /= _np.linalg.norm(cent, axis=1, keepdims=True)
+            v = cent[_np.arange(n) % K] + 0.03 * rng.normal(size=(n, 64))
+            v /= _np.linalg.norm(v, axis=1, keepdims=True)
+            pdf = _pd.DataFrame(
+                {
+                    "vec_id": _np.arange(n, dtype="int64"),
+                    "embedding": [row.astype("float32").tolist() for row in v],
+                    "label": (_np.arange(n) % 10).astype("int32"),
+                }
+            )
+            return spark.createDataFrame(pdf).repartition(32).localCheckpoint(
+                eager=True
+            )
+
+        def _time_pairs(df, tau, blk):
+            t0 = time.time()
+            cosine_lossless_pairs(df, threshold=tau, block_col=blk).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return time.time() - t0
+
+        def _edges(df, tau, blk):
+            return cosine_lossless_pairs(df, threshold=tau, block_col=blk).count()
+
+        def _adm_frac(df, tau):
+            reps = df.selectExpr(
+                "CAST(0 AS INT) AS _blk", "vec_id AS _id", "embedding AS _vec"
+            )
+            thr_d = _math.sqrt(max(0.0, 2.0 - 2.0 * (tau - 1e-4))) + 1e-6
+            _a, adm = _cells_and_admissible(reps, thr_d)
+            C = _math.ceil(_math.sqrt(df.count()))
+            return round(adm.count() / (C * C), 4)
+
+        def _time_naive(df, tau):
+            t0 = time.time()
+            cosine_near_pairs_naive(
+                df.withColumn("label", F.lit(0)), threshold=tau, block_col="label"
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        n0 = 2000
+        base_c = _clustered(n0)
+        tier_c = _clustered(n0 * COPIES)
+        tau_c = 0.9
+        _time_pairs(base_c, tau_c, None)  # warm
+        b_s = _time_pairs(base_c, tau_c, None)
+        t_s = _time_pairs(tier_c, tau_c, None)
+        bn_s = _time_naive(base_c, tau_c)
+        tn_s = _time_naive(tier_c, tau_c)
+        out["cosine_clustered_probe"] = {
+            "copies": COPIES,
+            "base_sec": round(b_s, 2),
+            "tier_sec": round(t_s, 2),
+            "ratio": round(t_s / b_s, 2),
+            "naive_base_sec": round(bn_s, 2),
+            "naive_tier_sec": round(tn_s, 2),
+            "base_edges": _edges(base_c, tau_c, None),
+            "tier_edges": _edges(tier_c, tau_c, None),
+            "base_adm_frac": _adm_frac(base_c, tau_c),
+            "tier_adm_frac": _adm_frac(tier_c, tau_c),
+        }
+        log(f"cosine clustered probe: {out['cosine_clustered_probe']}")
+
+        if COPIES <= 8:
+            base_i = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            ni = base_i.count()
+            bigi = base_i
+            for k in range(1, COPIES):
+                r = k % 63 + 1
+                bigi = bigi.union(
+                    base_i.select(
+                        (F.col("vec_id") + F.lit(k * ni)).alias("vec_id"),
+                        F.expr(
+                            f"concat(slice(embedding, {r + 1}, {64 - r}),"
+                            f" slice(embedding, 1, {r}))"
+                        ).alias("embedding"),
+                        F.col("label"),
+                    )
+                )
+            bigi = bigi.repartition(32).localCheckpoint(eager=True)
+            tau_i = 0.25
+            b_s = _time_pairs(base_i, tau_i, "label")
+            t_s = _time_pairs(bigi, tau_i, "label")
+            be, te = _edges(base_i, tau_i, "label"), _edges(bigi, tau_i, "label")
+            out["cosine_isotropic_probe"] = {
+                "copies": COPIES,
+                "base_sec": round(b_s, 2),
+                "tier_sec": round(t_s, 2),
+                "ratio": round(t_s / b_s, 2),
+                "base_edges": be,
+                "tier_edges": te,
+                "edge_ratio": round(te / be, 2),
+            }
+            log(f"cosine isotropic probe: {out['cosine_isotropic_probe']}")
+
     print(json.dumps(out, indent=1))
     spark.stop()
 
