@@ -328,6 +328,57 @@ def length_bucket_pairs(
     )
 
 
+def editdist_band_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    threshold: int = 20,
+) -> DataFrame:
+    """LOSSLESS within-lang near-dup pairs by edit distance <= threshold.
+
+    Levenshtein admits the exact lower bound dist(a, b) >= |len(a) -
+    len(b)|, so length-band blocking at width = threshold (via
+    :func:`length_bucket_pairs`, keyed on (band, lang)) provably drops no
+    qualifying pair — the same per-row losslessness contract as the
+    PPJoin prefix filter, certified by a naive within-lang quadratic
+    oracle. The distance itself uses the THRESHOLDED 3-arg levenshtein
+    (banded DP, O(threshold * len) per pair instead of O(len^2), -1
+    sentinel above the cap) — the form a 100 TB near-dup verify wants.
+    Lengths are taken on the NORMALIZED text (lower(trim)), not the raw
+    n_chars column, because the bound must hold for the exact strings
+    compared. At corpus scale the band join composes with a second
+    content-derived blocking key exactly as ``length_bucket_pairs``
+    documents (``extra_key_col``); the band residual stays lossless.
+
+    Output: ``(id_a < id_b, dist)`` with dist <= threshold, BIGINT.
+    """
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.lower(F.trim(F.col(text_col))).alias("_norm"),
+        )
+        .withColumn("_nlen", F.length("_norm").cast("bigint"))
+    )
+    cand = length_bucket_pairs(
+        base,
+        "_norm",
+        id_col=id_col,
+        lang_col=lang_col,
+        len_col="_nlen",
+        width=threshold,
+        extra_key_col=lang_col,
+    )
+    dist = F.expr(f"levenshtein(_norm_a, _norm_b, {threshold})").cast("bigint")
+    return (
+        cand.withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def incremental_dedup_verdicts(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     """Per-document dedup verdict of an ARRIVING batch against an EXISTING
     corpus: ``(doc_id, status)`` with status in kept/dup_exact/dup_near

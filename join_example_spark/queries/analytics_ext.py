@@ -1976,3 +1976,68 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dyadic_weighted_series(
         per, tuple(reversed(_HOLT_WF)), 65536.0, "forecast_3m"
     )
+
+
+@register(
+    "q_ts_seasonal",
+    oracle="""
+WITH per AS (
+    SELECT event_type,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(value AS DECIMAL(25,6))) AS sum_dec
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT event_type,
+           CAST(SUM(n_events) AS BIGINT) AS tot_n,
+           CAST(SUM(sum_dec) AS DECIMAL(38,6)) AS tot_dec
+    FROM per GROUP BY 1
+)
+SELECT p.event_type, p.hour, p.n_events,
+       CAST(p.sum_dec AS DOUBLE) / CAST(p.n_events AS DOUBLE) AS hour_avg,
+       CAST(p.sum_dec AS DOUBLE) / CAST(p.n_events AS DOUBLE)
+         - CAST(t.tot_dec AS DOUBLE) / CAST(t.tot_n AS DOUBLE) AS seasonal_dev,
+       CAST(p.n_events * 24 AS DOUBLE) / CAST(t.tot_n AS DOUBLE) AS load_share
+FROM per p JOIN tot t ON p.event_type = t.event_type
+""",
+    note="hour-of-day SEASONAL PROFILE per event type (classical "
+    "decomposition's seasonal component over the diurnal period): "
+    "per-(type, hour) event count, mean value, deviation from the "
+    "type's global mean, and the hour's share of daily load (x24 so "
+    "flat = 1.0). Determinism: per-cell decimal-bridged sums (exact, "
+    "order-free), every output a single int/decimal->double cast and "
+    "one IEEE division/subtraction of identically-derived operands — "
+    "sums stay ~1e13 micro-units at sf0.1, far under the wide-decimal "
+    "double-rounding bound. Scale shape: ONE rollup shuffle to "
+    "(type, hour) — 24 x |types| cells — then a broadcast-sized "
+    "per-type total join; no window over the raw stream, trivially "
+    "streaming-maintainable as keyed running sums",
+    tags=("temporal", "analytics"),
+)
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    per = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("sum_dec"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("tot_n"),
+        F.sum("sum_dec").cast("decimal(38,6)").alias("tot_dec"),
+    )
+    hour_avg = F.col("sum_dec").cast("double") / F.col("n_events").cast("double")
+    glob_avg = F.col("tot_dec").cast("double") / F.col("tot_n").cast("double")
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        hour_avg.alias("hour_avg"),
+        (hour_avg - glob_avg).alias("seasonal_dev"),
+        (
+            (F.col("n_events") * F.lit(24)).cast("double")
+            / F.col("tot_n").cast("double")
+        ).alias("load_share"),
+    )

@@ -545,3 +545,104 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_ts").alias("purchase_ts"),
         F.col("r_ts").alias("last_view_ts"),
     )
+
+
+def _bloom_oracle() -> str:
+    from join_example_spark.operators.bloom import WORD_BITS, _pos_exprs
+
+    n_buckets = 16
+    n_bits = n_buckets * WORD_BITS
+    bp1, bp2 = _pos_exprs("k", n_bits)
+    pp1, pp2 = _pos_exprs("l_suppkey", n_bits)
+    w = WORD_BITS
+    return f"""
+WITH build AS (
+    SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey < 3
+), pos AS (
+    SELECT unnest([{bp1}, {bp2}]) AS p FROM build
+), bits AS (
+    SELECT p // {w} AS bucket,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % {w} AS INT)) AS bits
+    FROM pos GROUP BY 1
+), probe AS (
+    SELECT l_suppkey, l_quantity, {pp1} AS bp1, {pp2} AS bp2 FROM lineitem
+), passed AS (
+    SELECT pr.l_suppkey, pr.l_quantity
+    FROM probe pr
+    JOIN bits b1 ON pr.bp1 // {w} = b1.bucket
+      AND (b1.bits & (CAST(1 AS BIGINT) << CAST(pr.bp1 % {w} AS INT))) <> 0
+    JOIN bits b2 ON pr.bp2 // {w} = b2.bucket
+      AND (b2.bits & (CAST(1 AS BIGINT) << CAST(pr.bp2 % {w} AS INT))) <> 0
+), trueset AS (
+    SELECT l_suppkey, l_quantity FROM passed
+    WHERE l_suppkey IN (SELECT k FROM build)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_probe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_bloom_pass,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM trueset) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM trueset) AS n_false_pos,
+       (SELECT CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(25,6))),
+                             CAST(0 AS DECIMAL(25,6))) AS DOUBLE)
+        FROM trueset) AS sum_qty_true
+"""
+
+
+@register(
+    "q_join_bloom",
+    oracle=_bloom_oracle(),
+    note="Bloom-filter pre-filtered semi-join, CERTIFIED lossless: the "
+    "runtime-filter pattern Spark injects automatically (spark.sql."
+    "optimizer.runtime.bloomFilter.*) rebuilt from portable integer "
+    "arithmetic (multiply-mod positions, 62-bit words, bit_or — "
+    "operators/bloom.py) so the DuckDB twin replays the filter "
+    "bit-for-bit. The oracle checks BOTH the intermediate (n_bloom_pass "
+    "— the filter words are cross-engine identical) and the final "
+    "semi-join equality (n_true/sum — no false negatives by "
+    "construction, false positives removed by the exact verify). Scale "
+    "shape: the words table is n_buckets rows broadcast map-side, so "
+    "probe rows that cannot match are dropped BEFORE any join shuffle — "
+    "the value is at fact-fact scale where the build side exceeds the "
+    "broadcast threshold but its filter does not. Sum is "
+    "decimal-bridged; all counts BIGINT",
+    tags=("join", "approx"),
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.bloom import bloom_bits, bloom_prefilter
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    build = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 3)
+        .select("s_suppkey")
+        .distinct()
+    )
+    bits = bloom_bits(build, "s_suppkey", n_buckets=16)
+    passed = bloom_prefilter(li, bits, "l_suppkey", n_buckets=16)
+    true_rows = passed.join(
+        F.broadcast(build), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    a_build = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build_keys"))
+    a_probe = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    a_pass = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"))
+    a_true = true_rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.expr(
+            "CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(25,6))),"
+            " CAST(0 AS DECIMAL(25,6))) AS DOUBLE)"
+        ).alias("sum_qty_true"),
+    )
+    return (
+        a_build.crossJoin(a_probe)
+        .crossJoin(a_pass)
+        .crossJoin(a_true)
+        .select(
+            "n_build_keys",
+            "n_probe",
+            "n_bloom_pass",
+            "n_true",
+            (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
+            "sum_qty_true",
+        )
+    )

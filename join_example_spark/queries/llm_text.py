@@ -614,3 +614,84 @@ def q_llm_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(fw).cast("bigint"))
         .select("doc_id", "lex_rnk", "dense_rnk", "rrf", "rnk")
     )
+
+
+@register(
+    "q_llm_quality_auc",
+    oracle="""
+WITH toks AS (
+    SELECT lang, str_split(LOWER(TRIM(text)), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+), sc AS (
+    SELECT CAST((1000 * LEN(list_distinct(t))) // LEN(t) AS BIGINT) AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM toks WHERE LEN(t) > 0
+), per AS (
+    SELECT score,
+           CAST(SUM(pos) AS BIGINT) AS np,
+           CAST(SUM(1 - pos) AS BIGINT) AS nn
+    FROM sc GROUP BY score
+), cum AS (
+    SELECT score, np, nn,
+           CAST(COALESCE(SUM(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cneg
+    FROM per
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(np * (2 * cneg + nn)) AS BIGINT) AS u2,
+       CAST(CAST(SUM(np * (2 * cneg + nn)) AS BIGINT) AS DOUBLE)
+         / CAST(2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT)
+                AS DOUBLE) AS auc
+FROM cum
+""",
+    note="EXACT rank-based AUC (Mann-Whitney U) of an integer quality "
+    "score — type-token ratio in integer millis, (1000*distinct) DIV "
+    "total — discriminating lang='en' documents. The quadratic "
+    "definition AUC = (#[s_pos > s_neg] + 0.5*#ties) / (n1*n0) is "
+    "computed in LINEAR+sort work as doubled rank sums: group by score, "
+    "one running-negative-count window over the distinct-score spine, "
+    "u2 = sum(np*(2*cneg_below + nn_at)) — every term BIGINT-exact, one "
+    "closing int64/int64 double division (correctly rounded both "
+    "engines). The classifier-eval primitive a curation pipeline runs "
+    "on every quality-filter candidate: distributed as one groupBy plus "
+    "a window over ~1000 distinct scores, never a pos x neg join",
+    tags=("llm", "text", "quality", "ml"),
+)
+def q_llm_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    sc = docs.select(
+        F.expr(
+            "CAST((1000 * size(array_distinct(split(lower(trim(text)), ' '))))"
+            " DIV size(split(lower(trim(text)), ' ')) AS BIGINT)"
+        ).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    ).where(F.size(toks) > 0)
+    per = sc.groupBy("score").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("bigint").alias("cneg"),
+    )
+    u2 = F.sum(F.col("np") * (F.lit(2) * F.col("cneg") + F.col("nn"))).cast(
+        "bigint"
+    )
+    n_pos = F.sum("np").cast("bigint")
+    n_neg = F.sum("nn").cast("bigint")
+    return cum.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (F.lit(2).cast("bigint") * n_pos * n_neg).cast("double")
+        ).alias("auc"),
+    )

@@ -177,3 +177,166 @@ def test_lsh_knn_scale_surfaces_planted_neighbors(spark):
                 true.add(tuple(sorted((ids[i], ids[j]))))
     recall = len(got & true) / len(true)
     assert recall >= 0.85, f"recall {recall:.3f} below documented floor"
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 2: edit-distance banding, exact AUC, bloom semi-join, seasonal
+# ---------------------------------------------------------------------------
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_band_pairs_vs_bruteforce(spark):
+    """Band blocking + thresholded levenshtein == naive quadratic DP,
+    including pairs whose lengths straddle a band boundary (the case a
+    buggy non-exploded blocking silently drops)."""
+    from join_example_spark.operators.dedup import editdist_band_pairs
+
+    rng = np.random.default_rng(11)
+    alpha = "abcdef"
+    docs = []
+    base_strings = []
+    for i in range(40):
+        s = "".join(rng.choice(list(alpha), size=int(rng.integers(30, 120))))
+        base_strings.append(s)
+        docs.append((i, s, "en" if i % 2 == 0 else "de"))
+    # mutated near-dups, some with length changes crossing band boundaries
+    for k in range(12):
+        src = base_strings[k]
+        ins = "".join(rng.choice(list(alpha), size=int(rng.integers(0, 8))))
+        mut = src[: len(src) // 2] + ins + src[len(src) // 2 :]
+        docs.append((100 + k, mut, "en" if k % 2 == 0 else "de"))
+    # a pair exactly at the boundary: lengths 19 and 21 (bands 0 and 1)
+    docs.append((200, "x" * 19, "en"))
+    docs.append((201, "x" * 21, "en"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    D = 20
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in editdist_band_pairs(df, threshold=D).collect()
+    )
+    by_id = {i: (s.lower().strip(), lg) for i, s, lg in docs}
+    want = []
+    ids = sorted(by_id)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            (sa, la), (sb, lb) = by_id[ia], by_id[ib]
+            if la != lb:
+                continue
+            d = _py_levenshtein(sa, sb)
+            if d <= D:
+                want.append((ia, ib, d))
+    assert got == sorted(want)
+    assert any(p[:2] == (200, 201) for p in got), "boundary pair missing"
+
+
+def test_quality_auc_matches_quadratic_definition(spark):
+    """q_llm_quality_auc's rank-sum AUC == the quadratic definition
+    (#[s_pos > s_neg] + 0.5 #ties) / (n1 n0), exactly, on data with
+    heavy score ties."""
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(3)
+    scores = rng.integers(0, 15, size=300)
+    labels = rng.integers(0, 2, size=300)
+    if labels.sum() in (0, 300):
+        labels[0] = 1 - labels[0]
+    sc = spark.createDataFrame(
+        [(int(s), int(p)) for s, p in zip(scores, labels)], "score long, pos int"
+    )
+    per = sc.groupBy("score").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "np", "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("bigint").alias("cneg"),
+    )
+    row = cum.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.sum(F.col("np") * (F.lit(2) * F.col("cneg") + F.col("nn")))
+        .cast("bigint")
+        .alias("u2"),
+    ).collect()[0]
+    wins = ties = 0
+    for sp, lp in zip(scores, labels):
+        if lp != 1:
+            continue
+        for sn, ln in zip(scores, labels):
+            if ln != 0:
+                continue
+            if sp > sn:
+                wins += 1
+            elif sp == sn:
+                ties += 1
+    assert row.n_pos == int(labels.sum())
+    assert row.n_neg == int((1 - labels).sum())
+    assert row.u2 == 2 * wins + ties
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    """bloom pre-filter + exact verify == plain left_semi, including
+    negative keys (double-mod path) and an empty build side; false
+    positives exist at this tiny geometry and are provably removed."""
+    from join_example_spark.operators.bloom import (
+        bloom_bits,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    rng = np.random.default_rng(9)
+    probe_keys = [int(k) for k in rng.integers(-500, 500, size=400)]
+    build_keys = sorted({int(k) for k in rng.choice(probe_keys, size=25)} | {-444})
+    probe = spark.createDataFrame([(k, k * 2) for k in probe_keys], "k long, v long")
+    build = spark.createDataFrame([(k,) for k in build_keys], "bk long")
+    got = sorted(
+        (r.k, r.v)
+        for r in bloom_semi_join(probe, build, "k", "bk", n_buckets=4).collect()
+    )
+    want = sorted((k, k * 2) for k in probe_keys if k in set(build_keys))
+    assert got == want
+    # the pre-filter alone passes a superset (false positives possible,
+    # false negatives impossible)
+    bits = bloom_bits(build, "bk", n_buckets=4)
+    passed = {r.k for r in bloom_prefilter(probe, bits, "k", n_buckets=4).collect()}
+    assert set(k for k, _ in want) <= passed
+    # empty build side -> empty result
+    empty = build.where(F.lit(False))
+    assert bloom_semi_join(probe, empty, "k", "bk", n_buckets=4).count() == 0
+
+
+def test_ts_seasonal_internal_consistency(spark):
+    """Per-type invariants of q_ts_seasonal on the fixture: hours cover
+    the full day, counts roll up to the type totals, load_share averages
+    to exactly 1 (x24 normalization), and the count-weighted seasonal
+    deviation is ~0 (the defining property of a seasonal component)."""
+    from join_example_spark.registry import load_all
+
+    df = load_all()["q_ts_seasonal"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        assert sorted(r.hour for r in rs) == list(range(24)), t
+        tot = sum(r.n_events for r in rs)
+        assert math.isclose(
+            sum(r.load_share * tot / 24.0 for r in rs), tot, rel_tol=1e-9
+        )
+        wdev = sum(r.seasonal_dev * r.n_events for r in rs)
+        wavg = sum(r.hour_avg * r.n_events for r in rs) / tot
+        assert abs(wdev) / max(abs(wavg) * tot, 1.0) < 1e-9, t
