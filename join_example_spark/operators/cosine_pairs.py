@@ -82,7 +82,9 @@ def _cells_and_admissible(reps: DataFrame, thr_d: float) -> tuple[DataFrame, Dat
     # Deterministic per-block centroids: rank narrow (blk, id) rows only
     # (the ivf_cells plan lesson: never sort vector-carrying rows), then
     # fetch the vectors by id. Float sqrt sizing is safe here: the
-    # centroid count shapes COST only, never output.
+    # centroid count shapes COST only, never output. No checkpoint: the
+    # caller hands in a checkpointed reps, so the 2-3 re-executions this
+    # subplan sees are narrow re-reads, cheaper than an eager job.
     cnt = reps.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
     cw = Window.partitionBy("_blk").orderBy("_id")
     cents = (
@@ -92,7 +94,6 @@ def _cells_and_admissible(reps: DataFrame, thr_d: float) -> tuple[DataFrame, Dat
         .where(F.col("_rn") <= F.ceil(F.sqrt(F.col("_n"))))
         .join(reps, ["_blk", "_id"])
         .select("_blk", F.col("_id").alias("_cid"), F.col("_vec").alias("_cvec"))
-        .localCheckpoint(eager=True)
     )
 
     # Map-side assignment (broadcast centroids).
@@ -137,6 +138,7 @@ def cosine_lossless_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    index_min_reps: int = 4096,
 ) -> DataFrame:
     """All pairs with ``ROUND(dot, round_digits) >= threshold`` (within
     ``block_col`` blocks; ``None`` = one global block), id_a < id_b.
@@ -144,6 +146,16 @@ def cosine_lossless_pairs(
     Output is row-identical to the naive quadratic join — the certifying
     oracle of ``q_llm_dedup_cosine_lossless`` states exactly that.
     Assumes no NULL ids/vectors (fixture contract, FIXTURES.md).
+
+    ``index_min_reps``: below this many distinct vectors the metric index
+    cannot pay for itself (measured, SCALE.md §3.7: centroid ranking +
+    n·sqrt(n) assignment dots + admissibility joins cost more than the
+    <= index_min_reps² / 2-per-block verify they would prune), so the rep
+    pairs come from a BROADCAST quadratic verify instead — same exact
+    fold, same output, ~1 MB broadcast at the 4096 default. The index
+    engages automatically at scale, where it is the whole point; 0 forces
+    it on (tests/probes of the index path). Both paths share the identity
+    contraction and expansion, and the certificate is path-independent.
     """
     # Soundness margin: a pair qualifies iff ROUND(sim, r) >= tau, i.e.
     # sim >= tau - 0.5*10^-r. Budget a full 10^-r for that plus float32
@@ -160,31 +172,50 @@ def cosine_lossless_pairs(
 
     # -- identity contraction (hash aggregate on the vector bytes; never a
     # window over the array column — the interpreted-comparator lesson).
-    # members/reps each feed several joins below; eager localCheckpoint
-    # stops the contraction subplan re-executing per consumer.
-    grp = base.groupBy("_blk", "_v").agg(F.min("_id").alias("_gid"))
-    members = (
-        base.join(grp, ["_blk", "_v"])
-        .select("_gid", "_id")
+    # ONE eager localCheckpoint holds rep + member-list rows together;
+    # reps/members below are narrow re-reads of it, so no consumer
+    # re-executes the contraction scan and no second checkpoint job runs.
+    contr = (
+        base.groupBy("_blk", "_v")
+        .agg(F.min("_id").alias("_gid"), F.collect_list("_id").alias("_mids"))
         .localCheckpoint(eager=True)
     )
-    reps = (
-        grp.select(
-            F.col("_gid").alias("_id"),
-            "_blk",
-            F.col("_v").alias("_vec"),
-            F.round(F.expr(DOT_SQL.format(a="_v", b="_v")), round_digits).alias(
-                "_selfsim"
-            ),
+    members = contr.select("_gid", F.explode("_mids").alias("_id"))
+    reps = contr.select(
+        F.col("_gid").alias("_id"),
+        "_blk",
+        F.col("_v").alias("_vec"),
+        F.round(F.expr(DOT_SQL.format(a="_v", b="_v")), round_digits).alias(
+            "_selfsim"
+        ),
+    )
+
+    n_shuf = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if contr.count() < index_min_reps:
+        # Small distinct corpus: the index cannot pay for itself — run the
+        # BROADCAST quadratic verify on reps (same exact fold, identical
+        # output), spread over n_shuf partitions for parallelism.
+        ra = reps.select(
+            "_blk", F.col("_id").alias("id_a"), F.col("_vec").alias("_pva")
+        ).repartition(n_shuf)
+        rb = reps.select(
+            "_blk", F.col("_id").alias("id_b"), F.col("_vec").alias("_pvb")
         )
-        .localCheckpoint(eager=True)
-    )
+        sim_small = F.round(
+            F.expr(DOT_SQL.format(a="_pva", b="_pvb")), round_digits
+        )
+        rep_pairs_small = (
+            ra.join(F.broadcast(rb), "_blk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim_small.alias("sim"))
+            .where(F.col("sim") >= F.lit(threshold))
+        )
+        return _expand_members(rep_pairs_small, members, reps, threshold)
 
     asg, adm = _cells_and_admissible(reps.select("_blk", "_id", "_vec"), thr_d)
     # -- candidates: members of admitted cell pairs. The only exchange with
     # quadratic fan-out — pin it on the cell key on BOTH sides so AQE's
     # byte-based coalescing cannot collapse the pair generation.
-    n_shuf = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     av = asg.select("_blk", "_id", "_cell").join(
         reps.select("_blk", "_id", "_vec"), ["_blk", "_id"]
     )
@@ -206,10 +237,17 @@ def cosine_lossless_pairs(
         .where(F.col("sim") >= F.lit(threshold))
     )
 
-    # -- expansion back to member pairs: cross-group pairs inherit the rep
-    # pair's sim (bit-identical arrays => bit-identical fold); intra-group
-    # pairs take the group's self-sim, computed once from the rep vector
-    # with the SAME fold the naive join would run on the duplicate pair.
+    return _expand_members(rep_pairs, members, reps, threshold)
+
+
+def _expand_members(
+    rep_pairs: DataFrame, members: DataFrame, reps: DataFrame, threshold: float
+) -> DataFrame:
+    """Expand representative pairs back to member pairs (shared by the
+    indexed and small-corpus paths): cross-group pairs inherit the rep
+    pair's sim (bit-identical arrays => bit-identical fold); intra-group
+    pairs take the group's self-sim, computed once from the rep vector
+    with the SAME fold the naive join would run on the duplicate pair."""
     ma = members.select(F.col("_gid").alias("id_a"), F.col("_id").alias("_ia"))
     mb = members.select(F.col("_gid").alias("id_b"), F.col("_id").alias("_ib"))
     cross = (

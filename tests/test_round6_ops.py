@@ -51,7 +51,7 @@ def test_cosine_lossless_clustered_exact_and_pruning(spark):
     spaces. Measured at this geometry: admissible fraction 0.129."""
     emb = _mk_emb(spark, _clustered_rows())
     tau = 0.9
-    got = _canon(cosine_lossless_pairs(emb, threshold=tau, block_col=None))
+    got = _canon(cosine_lossless_pairs(emb, threshold=tau, block_col=None, index_min_reps=0))
     # the naive reference has no block_col=None form — neutralize blocking
     # with a constant label.
     want = _canon(
@@ -78,7 +78,7 @@ def test_cosine_lossless_blocked_matches_naive(spark):
     """Blocked (label) semantics match the naive join on clustered data."""
     emb = _mk_emb(spark, _clustered_rows(seed=11))
     for tau in (0.85, 0.95):
-        got = _canon(cosine_lossless_pairs(emb, threshold=tau, block_col="label"))
+        got = _canon(cosine_lossless_pairs(emb, threshold=tau, block_col="label", index_min_reps=0))
         want = _canon(cosine_near_pairs_naive(emb, threshold=tau, block_col="label"))
         assert got == want
 
@@ -93,7 +93,7 @@ def test_cosine_lossless_duplicate_saturation(spark):
         for (i, v, lab) in base:
             rows.append((i + 1000 * copy, v, lab))
     emb = _mk_emb(spark, rows)
-    got = _canon(cosine_lossless_pairs(emb, threshold=0.8, block_col="label"))
+    got = _canon(cosine_lossless_pairs(emb, threshold=0.8, block_col="label", index_min_reps=0))
     want = _canon(cosine_near_pairs_naive(emb, threshold=0.8, block_col="label"))
     assert got == want
     # duplicates of the same base vector share a label => every duplicate
@@ -113,7 +113,7 @@ def test_cosine_lossless_isotropic_fuzz(spark):
             v /= np.linalg.norm(v)
             rows.append((i, [float(x) for x in v.astype(np.float32)], i % 2))
         emb = _mk_emb(spark, rows)
-        got = _canon(cosine_lossless_pairs(emb, threshold=tau, block_col="label"))
+        got = _canon(cosine_lossless_pairs(emb, threshold=tau, block_col="label", index_min_reps=0))
         want = _canon(cosine_near_pairs_naive(emb, threshold=tau, block_col="label"))
         assert got == want, f"seed={seed} tau={tau}"
 
@@ -126,13 +126,13 @@ def test_cosine_lossless_degenerate_shapes(spark):
         (3, [1.0, 0.0], 0),  # exact duplicate of 1
     ]
     emb = _mk_emb(spark, rows)
-    got = _canon(cosine_lossless_pairs(emb, threshold=0.5, block_col="label"))
+    got = _canon(cosine_lossless_pairs(emb, threshold=0.5, block_col="label", index_min_reps=0))
     assert got == [(1, 3, 1.0)]
     # n=1 input
     one = _mk_emb(spark, rows[:1])
-    assert cosine_lossless_pairs(one, threshold=0.5, block_col="label").count() == 0
+    assert cosine_lossless_pairs(one, threshold=0.5, block_col="label", index_min_reps=0).count() == 0
     # threshold above any achievable sim
-    assert cosine_lossless_pairs(emb, threshold=1.5, block_col="label").count() == 0
+    assert cosine_lossless_pairs(emb, threshold=1.5, block_col="label", index_min_reps=0).count() == 0
 
 
 def test_lsh_knn_scale_surfaces_planted_neighbors(spark):
@@ -340,3 +340,20 @@ def test_ts_seasonal_internal_consistency(spark):
         wdev = sum(r.seasonal_dev * r.n_events for r in rs)
         wavg = sum(r.hour_avg * r.n_events for r in rs) / tot
         assert abs(wdev) / max(abs(wavg) * tot, 1.0) < 1e-9, t
+
+
+def test_cosine_lossless_gate_default_path_matches_index_path(spark):
+    """The adaptive small-corpus gate (index_min_reps default) routes tiny
+    inputs through the broadcast quadratic verify; its output must equal
+    both the forced-index path and the naive reference."""
+    emb = _mk_emb(spark, _clustered_rows(seed=21, K=4, n=120, d=16))
+    tau = 0.6
+    via_gate = _canon(cosine_lossless_pairs(emb, threshold=tau, block_col="label"))
+    via_index = _canon(
+        cosine_lossless_pairs(
+            emb, threshold=tau, block_col="label", index_min_reps=0
+        )
+    )
+    want = _canon(cosine_near_pairs_naive(emb, threshold=tau, block_col="label"))
+    assert via_gate == want
+    assert via_index == want

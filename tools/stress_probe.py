@@ -433,13 +433,13 @@ def main() -> None:
 
         def _time_pairs(df, tau, blk):
             t0 = time.time()
-            cosine_lossless_pairs(df, threshold=tau, block_col=blk).write.format(
+            cosine_lossless_pairs(df, threshold=tau, block_col=blk, index_min_reps=0).write.format(
                 "noop"
             ).mode("overwrite").save()
             return time.time() - t0
 
         def _edges(df, tau, blk):
-            return cosine_lossless_pairs(df, threshold=tau, block_col=blk).count()
+            return cosine_lossless_pairs(df, threshold=tau, block_col=blk, index_min_reps=0).count()
 
         def _adm_frac(df, tau):
             reps = df.selectExpr(
