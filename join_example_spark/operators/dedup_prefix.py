@@ -179,3 +179,137 @@ def prefix_filter_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def _rep_containment_pairs(reps: DataFrame, num: int = 4, den: int = 5) -> DataFrame:
+    """Prefix-filtered DIRECTED set-containment join over ``(_id, _toks)``
+    rows with pairwise-distinct token sets: emits ``(id_sub, id_sup,
+    containment)`` where ``|T_sub ∩ T_sup| / |T_sub| >= num/den`` and
+    ``id_sub != id_sup``.
+
+    Containment is ASYMMETRIC, so the prefix trick applies one-sidedly
+    (the set-containment-join adaptation of the WWW'08 prefix filter):
+    the CONTAINED side a needs overlap >= ceil(t*s_a), so it keeps its
+    ``s_a - ceil(t*s_a) + 1`` rarest tokens as the candidate key, but the
+    CONTAINER side b gets no such bound from t (b may be arbitrarily
+    large) and must index ALL its tokens — the classic inverted-index
+    posting list. Candidates therefore come from a.prefix ⋈ b.all; the
+    one-sided integer size filter ``den*s_b >= num*s_a`` (overlap can
+    never exceed s_b) prunes before the exact cross-multiplied verify
+    ``den*|inter| >= num*s_a``. Every filter is integer arithmetic; the
+    returned containment is one IEEE division of exact integers.
+    """
+    exploded = reps.select(
+        "_id", F.size("_toks").alias("_size"), F.explode("_toks").alias("_tok")
+    )
+    vocab_w = Window.orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    vocab = (
+        exploded.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_rank", F.row_number().over(vocab_w))
+        .select("_tok", "_rank")
+    )
+    pos_w = Window.partitionBy("_id").orderBy(F.col("_rank"))
+    prefix = (
+        exploded.join(vocab, "_tok")
+        .withColumn("_pos", F.row_number().over(pos_w))
+        .where(
+            F.col("_pos")
+            <= F.expr(f"_size - ({num} * _size + {den} - 1) DIV {den} + 1")
+        )
+        .select("_id", "_tok", "_size")
+    )
+    pa = prefix.select(
+        F.col("_id").alias("id_sub"), "_tok", F.col("_size").alias("_size_a")
+    )
+    pb = exploded.select(
+        F.col("_id").alias("id_sup"), "_tok", F.col("_size").alias("_size_b")
+    )
+    candidates = (
+        pa.join(pb, "_tok")
+        .where(
+            (F.col("id_sub") != F.col("id_sup"))
+            & (den * F.col("_size_b") >= num * F.col("_size_a"))
+        )
+        .select("id_sub", "id_sup")
+        .distinct()
+    )
+    ta = reps.select(F.col("_id").alias("id_sub"), F.col("_toks").alias("_toks_a"))
+    tb = reps.select(F.col("_id").alias("id_sup"), F.col("_toks").alias("_toks_b"))
+    verified = (
+        candidates.join(ta, "id_sub")
+        .join(tb, "id_sup")
+        .withColumn("_inter", F.expr("SIZE(ARRAY_INTERSECT(_toks_a, _toks_b))"))
+        .withColumn("_sa", F.expr("SIZE(_toks_a)"))
+        # containment >= num/den  <=>  den*|inter| >= num*s_a (integers).
+        .where(den * F.col("_inter") >= num * F.col("_sa"))
+    )
+    return verified.select(
+        "id_sub",
+        "id_sup",
+        (F.col("_inter").cast("double") / F.col("_sa").cast("double")).alias(
+            "containment"
+        ),
+    )
+
+
+def containment_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Directed all-pairs token containment >= num/den, prefix-filtered and
+    identity-contracted. LOSSLESS: output equals the naive quadratic
+    ordered-pairs join (the oracle certifies exactly that, per row).
+
+    Input: ``(id_col, toks_col)`` rows (token arrays need not be distinct —
+    identical sets contract to one representative).
+    Output: ``(id_sub, id_sup, containment)`` with ``id_sub != id_sup`` and
+    ``|T_sub ∩ T_sup| / |T_sub| >= num/den``. Subset/quote duplication is
+    exactly what symmetric Jaccard misses: a 50-token quote inside a
+    5000-token page has Jaccard ~0.01 but containment 1.0.
+    """
+    toks = docs.select(F.col(id_col).alias("_id"), F.col(toks_col).alias("_toks"))
+    keyed = toks.select("_id", F.array_sort("_toks").alias("_k"), "_toks")
+    groups = keyed.groupBy("_k").agg(
+        F.min("_id").alias("_gid"), F.count(F.lit(1)).alias("_m")
+    )
+    members = (
+        keyed.join(groups, "_k")
+        .select(F.col("_gid"), F.col("_id"))
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select(
+        F.col("_gid").alias("_id"), F.col("_k").alias("_toks")
+    ).localCheckpoint(eager=True)
+
+    rep_pairs = _rep_containment_pairs(reps, num=num, den=den)
+
+    ma = members.select(F.col("_gid").alias("id_sub"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_gid").alias("id_sup"), F.col("_id").alias("_mb"))
+    # Identical sets => identical containment; rep pairs are DIRECTED, so
+    # the expansion keeps orientation (no least/greatest fold).
+    cross = (
+        rep_pairs.join(ma, "id_sub")
+        .join(mb, "id_sup")
+        .select(
+            F.col("_ma").alias("id_sub"),
+            F.col("_mb").alias("id_sup"),
+            "containment",
+        )
+    )
+    # Within a group every ordered pair (x, y), x != y, has containment 1.0
+    # (identical sets), both directions.
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "_gid")
+        .where(F.col("x._id") != F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_sub"),
+            F.col("y._id").alias("id_sup"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(intra)

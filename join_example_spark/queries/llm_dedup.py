@@ -1484,3 +1484,53 @@ def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return editdist_band_pairs(docs, threshold=20)
+
+
+@register(
+    "q_llm_dedup_containment",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS t
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+)
+SELECT a.doc_id AS id_sub,
+       b.doc_id AS id_sup,
+       CAST(LEN(list_intersect(a.t, b.t)) AS DOUBLE)
+         / CAST(LEN(a.t) AS DOUBLE) AS containment
+FROM toks a
+JOIN toks b ON a.doc_id <> b.doc_id
+WHERE 5 * LEN(list_intersect(a.t, b.t)) >= 4 * LEN(a.t)
+ORDER BY id_sub, id_sup
+""",
+    note="DIRECTED set-containment join (|T_sub ∩ T_sup| / |T_sub| >= 4/5) "
+    "— the subset/quote-duplication detector symmetric Jaccard misses "
+    "(a verbatim quote inside a much larger page has Jaccard ~0 but "
+    "containment 1). Spark plan: identity contraction, then the "
+    "one-sided prefix filter (contained side keeps its s - ceil(t*s) + 1 "
+    "rarest tokens; the container side has no t-derived bound and "
+    "indexes ALL tokens — the classic inverted-index posting list), "
+    "one-sided integer size filter den*s_b >= num*s_a, exact "
+    "cross-multiplied verify. Oracle is the NAIVE QUADRATIC ordered-pair "
+    "ground truth, so the hash match is a per-row losslessness proof "
+    "(same certificate family as q_llm_dedup_prefix). containment is one "
+    "IEEE division of identical integers — bit-stable unrounded. 100 TB "
+    "shape: candidate volume rides the contained side's RAREST tokens "
+    "against container posting lists; the next rungs are PPJoin "
+    "positional filters and lang partitioning if posting lists dominate",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.dedup_prefix import (
+        containment_prefix_pairs,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select(
+            "doc_id",
+            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
+        )
+    )
+    return containment_prefix_pairs(docs, id_col="doc_id", toks_col="toks")

@@ -78,6 +78,7 @@ def register(
 #: the r3 scan/setop stragglers. After this rotation no pre-r3 "ever" row
 #: survives anywhere in the registry.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_llm_dedup_containment",
     "q_llm_dedup_editdist",
     "q_llm_quality_auc",
     "q_join_bloom",

@@ -357,3 +357,62 @@ def test_cosine_lossless_gate_default_path_matches_index_path(spark):
     want = _canon(cosine_near_pairs_naive(emb, threshold=tau, block_col="label"))
     assert via_gate == want
     assert via_index == want
+
+
+def test_containment_prefix_pairs_vs_bruteforce(spark):
+    """Per-row losslessness of the one-sided prefix filter on a corpus
+    with planted subset/quote structure (the case symmetric Jaccard
+    misses), exact duplicates (contraction + intra expansion, both
+    directions), and unrelated noise docs. Brute force is the Python
+    quadratic over ordered pairs."""
+    from join_example_spark.operators.dedup_prefix import (
+        containment_prefix_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    # 6 big "pages" of 40 tokens
+    pages = []
+    for i in range(6):
+        toks = list(rng.choice(vocab, size=40, replace=False))
+        pages.append(toks)
+        docs.append((i, toks))
+    # quotes: strict subsets of pages (containment 1.0 one way)
+    for j in range(6):
+        src = pages[j % 6]
+        docs.append((100 + j, list(src[: 8 + j])))
+    # near-quotes: 10 tokens, 8 from a page (containment 0.8 exactly)
+    for j in range(4):
+        src = pages[j]
+        toks = list(src[:8]) + [f"x{j}a", f"x{j}b"]
+        docs.append((200 + j, toks))
+    # exact duplicates of one quote (identity contraction path)
+    docs.append((300, list(pages[0][:8])))
+    docs.append((301, list(pages[0][:8])))
+    # unrelated noise
+    for j in range(8):
+        docs.append((400 + j, [f"n{j}_{k}" for k in range(12)]))
+
+    sets = {i: set(t) for i, t in docs}
+    want = sorted(
+        (a, b, len(sets[a] & sets[b]) / len(sets[a]))
+        for a in sets
+        for b in sets
+        if a != b and 5 * len(sets[a] & sets[b]) >= 4 * len(sets[a])
+    )
+    df = spark.createDataFrame(
+        [(i, sorted(set(t))) for i, t in docs], "doc_id long, toks array<string>"
+    )
+    got = sorted(
+        tuple(r)
+        for r in containment_prefix_pairs(df, id_col="doc_id", toks_col="toks")
+        .collect()
+    )
+    assert got == want
+    # sanity on the planted structure: every quote is contained in its page
+    got_pairs = {(a, b) for a, b, _ in got}
+    for j in range(6):
+        assert (100 + j, j % 6) in got_pairs
+    # exact-duplicate quotes: both directions, containment 1.0
+    assert (300, 301) in got_pairs and (301, 300) in got_pairs
