@@ -695,3 +695,57 @@ def q_llm_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2).cast("bigint") * n_pos * n_neg).cast("double")
         ).alias("auc"),
     )
+
+
+@register(
+    "q_llm_bpe_pairs",
+    oracle="""
+WITH words AS (
+    SELECT unnest(str_split(LOWER(TRIM(text)), ' ')) AS w
+    FROM documents
+), pairs AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substring(w, CAST(i AS INT), 2))) AS pair
+    FROM words
+    WHERE length(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+""",
+    note="the first round of BPE tokenizer training (Sennrich et al. "
+    "2016): count every ADJACENT character pair inside every word "
+    "occurrence corpus-wide and surface the top-20 merge candidates — "
+    "the argmax of this table IS the first BPE merge, and iterating "
+    "(re-pair, re-count) is the whole algorithm. Tokenizer training is "
+    "the one corpus-scale job a training pipeline runs besides the "
+    "model itself, so the counting step belongs in the engine. Scale "
+    "shape: pair explode is map-side (len(w)-1 narrow rows per word "
+    "instance), the count is one shuffle over a vocabulary-bounded key "
+    "space (pairs of codepoints, not corpus-sized), top-20 is "
+    "TakeOrderedAndProject with a total-order (cnt, pair) tiebreak — "
+    "Spark sequence() is guarded by the length>=2 filter (it DESCENDS "
+    "when start > stop)",
+    tags=("llm", "text"),
+)
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr("split(LOWER(TRIM(text)), ' ')")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, CAST(i AS INT), 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

@@ -772,3 +772,175 @@ def q_llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
         "doc_id", "n_chars", "priority", "rnk"
     )
+
+
+# DSIR-style importance selection (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023): score every
+# raw document by how much its hashed-feature distribution looks like a
+# small trusted target corpus, then keep the top slice. The published
+# method uses hashed n-gram counts and a log-likelihood-ratio weight;
+# this operator keeps the hashed-feature machinery but scores with the
+# RATIONAL likelihood ratio (sum of target feature counts over sum of
+# raw feature counts, each normalized by its corpus total) so the score
+# is one IEEE division of exact int64 products — bit-identical across
+# engines with no log() in sight (log is not correctly-rounded-portable).
+_DSIR_BUCKETS = 8192
+
+
+@register(
+    "q_llm_select_dsir",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest(str_split(LOWER(TRIM(text)), ' ')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, lang, {str_hash_sql("tok")} % {_DSIR_BUCKETS} AS f
+    FROM toks
+), stats AS (
+    SELECT f,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS BIGINT) AS ct,
+           CAST(COUNT(*) + 1 AS BIGINT) AS cr
+    FROM hashed GROUP BY f
+), totals AS (
+    SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+    FROM stats
+), scored AS (
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(s.ct) AS BIGINT) AS sum_target,
+           CAST(SUM(s.cr) AS BIGINT) AS sum_raw
+    FROM hashed h JOIN stats s USING (f)
+    GROUP BY h.doc_id
+)
+SELECT doc_id, n_toks, sum_target, sum_raw,
+       CAST(sum_target * nr AS DOUBLE) / CAST(sum_raw * nt AS DOUBLE) AS score
+FROM scored, totals
+ORDER BY score DESC, doc_id
+LIMIT 100
+""",
+    note="DSIR-style data selection (hashed-feature importance weights, "
+    "Xie et al. 2023): tokens hash into 8192 buckets with the portable "
+    "char fold; per-bucket add-one counts are taken over the trusted "
+    "target slice (lang='en') and the whole raw corpus; a document's "
+    "importance is the RATIONAL likelihood ratio "
+    "(sum_target/Nt)/(sum_raw/Nr), computed as one IEEE division of "
+    "exact int64 cross-products (no log(), which is not portable) — "
+    "top-100 by (score, doc_id) win. Scale shape: token explode is "
+    "map-side, the bucket histogram is one shuffle to a FIXED 8192 rows "
+    "then broadcast back, the doc rollup is one doc_id shuffle, and the "
+    "selection is TakeOrderedAndProject — no global window, no "
+    "quadratic step; at 100 TB the histogram stays 8192 rows regardless "
+    "of corpus size, which is exactly why DSIR hashes features",
+    tags=("llm", "training", "sample"),
+)
+def q_llm_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.sampling import str_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("split(LOWER(TRIM(text)), ' ')")).alias("tok"),
+    ).select("doc_id", "lang", (str_hash("tok") % _DSIR_BUCKETS).alias("f"))
+    stats = hashed.groupBy("f").agg(
+        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("ct"),
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("cr"),
+    )
+    totals = stats.agg(
+        F.sum("ct").cast("bigint").alias("nt"), F.sum("cr").cast("bigint").alias("nr")
+    )
+    scored = (
+        hashed.join(F.broadcast(stats), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("ct").cast("bigint").alias("sum_target"),
+            F.sum("cr").cast("bigint").alias("sum_raw"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_target",
+            "sum_raw",
+            (
+                (F.col("sum_target") * F.col("nr")).cast("double")
+                / (F.col("sum_raw") * F.col("nt")).cast("double")
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(100)
+
+
+@register(
+    "q_llm_shard_plan",
+    oracle=f"""
+WITH assigned AS (
+    SELECT doc_id,
+           {id_hash_sql("doc_id")} % 16 AS shard,
+           len(str_split(LOWER(TRIM(text)), ' ')) AS n_tok,
+           n_chars
+    FROM documents
+), per_shard AS (
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY shard
+), total AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per_shard
+)
+SELECT shard, n_docs, sum_tokens, sum_chars, min_doc, max_doc,
+       CAST(n_docs * 16 AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance
+FROM per_shard, total
+ORDER BY shard
+""",
+    note="deterministic training-shard plan: every document lands in "
+    "shard = portable_id_hash(doc_id) % 16 (map-side, reproducible "
+    "across runs/partitionings/engines — the property a resumable "
+    "training job needs so shard 7 is the SAME shard 7 tomorrow); the "
+    "output is the shard manifest a writer would act on — per-shard doc "
+    "count, token and char volume, id range, and a balance factor "
+    "(n_docs*16/total, one exact int64/int64 IEEE division; 1.0 = "
+    "perfectly even) that audits hash-shard skew before any bytes are "
+    "written. Scale shape: one rollup shuffle to 16 rows + a broadcast "
+    "scalar total; the real writer is then df.repartition(shard)."
+    "write — the manifest and the data path share the same hash",
+    tags=("llm", "training", "shard"),
+)
+def q_llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        (id_hash("doc_id") % 16).alias("shard"),
+        F.expr("size(split(LOWER(TRIM(text)), ' '))").alias("n_tok"),
+        "n_chars",
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+    total = per_shard.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "sum_tokens",
+            "sum_chars",
+            "min_doc",
+            "max_doc",
+            (
+                (F.col("n_docs") * F.lit(16)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("balance"),
+        )
+        .orderBy("shard")
+    )

@@ -416,3 +416,108 @@ def test_containment_prefix_pairs_vs_bruteforce(spark):
         assert (100 + j, j % 6) in got_pairs
     # exact-duplicate quotes: both directions, containment 1.0
     assert (300, 301) in got_pairs and (301, 300) in got_pairs
+
+
+# ---- wave 3: DSIR selection, shard plan, BPE pair counting ----------------
+#
+# Each has a DuckDB oracle (mirror-certified); these are INDEPENDENT
+# pure-Python witnesses over the sf0.001 fixture, so a bug shared by both
+# SQL engines' plans (or by the shared SQL text) cannot hide.
+
+_SF_SMOKE = "/root/testdata/sf0.001"
+_HASH_P = 1_000_003
+
+
+def _py_str_hash(s: str, p: int = _HASH_P) -> int:
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % p
+    return ((acc * acc) % p * 31 + acc) % p
+
+
+def _py_id_hash(x: int, p: int = _HASH_P) -> int:
+    a_mod = 2_654_435_761 % p
+    return (((x % p) + p) % p * a_mod + 17) % p
+
+
+def _smoke_docs():
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, lang, n_chars, text"
+        f" FROM read_parquet('{_SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+
+
+def test_select_dsir_matches_python_witness(spark):
+    from join_example_spark.queries.llm_training import q_llm_select_dsir
+
+    rows = _smoke_docs()
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    doc_feats = {}
+    for doc_id, lang, _nc, text in rows:
+        fs = [_py_str_hash(t) % 8192 for t in text.strip().lower().split(" ")]
+        doc_feats[doc_id] = fs
+        for f in fs:
+            cr[f] = cr.get(f, 0) + 1
+            if lang == "en":
+                ct[f] = ct.get(f, 0) + 1
+    nt = sum(ct.get(f, 0) + 1 for f in cr)
+    nr = sum(c + 1 for c in cr.values())
+    want = []
+    for doc_id, fs in doc_feats.items():
+        st = sum(ct.get(f, 0) + 1 for f in fs)
+        sr = sum(cr[f] + 1 for f in fs)
+        want.append((doc_id, len(fs), st, sr, (st * nr) / (sr * nt)))
+    want.sort(key=lambda r: (-r[4], r[0]))
+    want = want[:100]
+    got = [tuple(r) for r in q_llm_select_dsir(spark, _SF_SMOKE).collect()]
+    assert got == want
+
+
+def test_shard_plan_matches_python_witness(spark):
+    from join_example_spark.queries.llm_training import q_llm_shard_plan
+
+    rows = _smoke_docs()
+    shards: dict[int, list] = {}
+    for doc_id, _lang, n_chars, text in rows:
+        s = _py_id_hash(doc_id) % 16
+        shards.setdefault(s, []).append(
+            (doc_id, len(text.strip().lower().split(" ")), n_chars)
+        )
+    total = len(rows)
+    want = []
+    for s in sorted(shards):
+        g = shards[s]
+        want.append(
+            (
+                s,
+                len(g),
+                sum(t for _, t, _ in g),
+                sum(c for _, _, c in g),
+                min(d for d, _, _ in g),
+                max(d for d, _, _ in g),
+                (len(g) * 16) / total,
+            )
+        )
+    got = [tuple(r) for r in q_llm_shard_plan(spark, _SF_SMOKE).collect()]
+    assert got == want
+    # every shard must be populated at 500 docs (hash-uniformity smoke)
+    assert len(got) == 16
+
+
+def test_bpe_pairs_matches_python_witness(spark):
+    from collections import Counter
+
+    from join_example_spark.queries.llm_text import q_llm_bpe_pairs
+
+    rows = _smoke_docs()
+    cnt: Counter = Counter()
+    for _doc_id, _lang, _nc, text in rows:
+        for w in text.strip().lower().split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i : i + 2]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [tuple(r) for r in q_llm_bpe_pairs(spark, _SF_SMOKE).collect()]
+    assert got == want

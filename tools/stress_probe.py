@@ -327,7 +327,10 @@ def main() -> None:
         log(f"imi-probe imi: {imi_block['imi']}")
         out["imi_probe"] = imi_block
 
-    if os.environ.get("SPARK_GRAFT_PROBE_PREFIX") == "1":
+    if (
+        os.environ.get("SPARK_GRAFT_PROBE_PREFIX") == "1"
+        or os.environ.get("SPARK_GRAFT_PROBE_CONTAIN") == "1"
+    ):
         # Prefix-filter join on a DISTINCT-text enlargement. The saturated
         # probe tables contract to the same 453 rep sets (the identity-
         # contraction rewrite makes that tier output-bound), so the
@@ -361,19 +364,29 @@ def main() -> None:
         bigd.repartition(32).write.mode("overwrite").parquet(
             f"{pdir}/documents.parquet"
         )
-        t0 = time.time()
-        run("q_llm_dedup_prefix", SF_DIR)
-        base_s = time.time() - t0
-        t0 = time.time()
-        run("q_llm_dedup_prefix", pdir)
-        dist_s = time.time() - t0
-        out["prefix_distinct_probe"] = {
-            "copies": COPIES,
-            "sf0.1_sec": round(base_s, 2),
-            "distinct_sec": round(dist_s, 2),
-            "ratio": round(dist_s / base_s, 2),
-        }
-        log(f"prefix-distinct probe: {out['prefix_distinct_probe']}")
+        probes = []
+        if os.environ.get("SPARK_GRAFT_PROBE_PREFIX") == "1":
+            probes.append(("q_llm_dedup_prefix", "prefix_distinct_probe"))
+        if os.environ.get("SPARK_GRAFT_PROBE_CONTAIN") == "1":
+            # Same organic enlargement works for the DIRECTED containment
+            # join: cross-copy token sets are disjoint, so every copy
+            # carries the base corpus's subset/quote structure and nothing
+            # else — candidate volume should grow linearly with N.
+            probes.append(("q_llm_dedup_containment", "contain_distinct_probe"))
+        for qname, key in probes:
+            t0 = time.time()
+            run(qname, SF_DIR)
+            base_s = time.time() - t0
+            t0 = time.time()
+            run(qname, pdir)
+            dist_s = time.time() - t0
+            out[key] = {
+                "copies": COPIES,
+                "sf0.1_sec": round(base_s, 2),
+                "distinct_sec": round(dist_s, 2),
+                "ratio": round(dist_s / base_s, 2),
+            }
+            log(f"{key}: {out[key]}")
 
     if os.environ.get("SPARK_GRAFT_PROBE_COSINE") == "1":
         # Scale posture of the lossless metric-pruned cosine pair join
