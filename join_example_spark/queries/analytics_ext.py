@@ -2041,3 +2041,93 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tot_n").cast("double")
         ).alias("load_share"),
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch,
+           CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts
+    FROM events
+), lasts AS (
+    SELECT event_type, ts,
+           LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch,
+           LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+    FROM marked
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+    SELECT CASE WHEN last_touch_ts IS NOT NULL
+                 AND last_touch_ts >= ts - INTERVAL 30 MINUTE
+                THEN last_touch ELSE '(none)' END AS touch_type
+    FROM lasts
+    WHERE event_type = 'purchase'
+), per AS (
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attributed GROUP BY touch_type
+), total AS (
+    SELECT CAST(SUM(n_purchases) AS BIGINT) AS n_total FROM per
+)
+SELECT touch_type, n_purchases,
+       CAST(n_purchases AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM per, total
+""",
+    note="LAST-TOUCH attribution: each purchase is credited to the same "
+    "user's most recent preceding click/view, but only when that touch "
+    "happened within the 30-minute lookback — otherwise '(none)'. The "
+    "windowed-join-free formulation: one IGNORE-NULLS last_value window "
+    "per user over a (ts, event_id) total order carries the latest touch "
+    "type AND its timestamp forward, the lookback is a row-local "
+    "interval comparison, and the rollup is a 3-row hash-agg + broadcast "
+    "total (share = one exact int64/int64 IEEE division). Scale shape: "
+    "exactly one shuffle (the user_id window); no self-join of the "
+    "events table against itself, which is how attribution is usually "
+    "(quadratically) written",
+    tags=("window", "behavioral"),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(is_touch, F.col("event_type")).alias("touch"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lasts = marked.select(
+        "event_type",
+        "ts",
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    attributed = lasts.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_touch_ts").isNotNull()
+            & (F.col("last_touch_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTE")),
+            F.col("last_touch"),
+        )
+        .otherwise(F.lit("(none)"))
+        .alias("touch_type")
+    )
+    per = attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    total = per.agg(F.sum("n_purchases").cast("bigint").alias("n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "touch_type",
+        "n_purchases",
+        (F.col("n_purchases").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+    )

@@ -749,3 +749,85 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "q_llm_quality_calibration",
+    oracle="""
+WITH toks AS (
+    SELECT lang, str_split(LOWER(TRIM(text)), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+), sc AS (
+    SELECT CAST((1000 * LEN(list_distinct(t))) // LEN(t) AS BIGINT) AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM toks WHERE LEN(t) > 0
+), binned AS (
+    SELECT LEAST(score // 100, 9) AS bin, pos FROM sc
+), per AS (
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM binned GROUP BY bin
+), total AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS nd, CAST(SUM(n_pos) AS BIGINT) AS np
+    FROM per
+)
+SELECT bin, n_docs, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate,
+       CAST(np AS DOUBLE) / CAST(nd AS DOUBLE) AS base_rate
+FROM per, total
+ORDER BY bin
+""",
+    note="calibration / reliability table for the same integer quality "
+    "score q_llm_quality_auc ranks (type-token ratio in millis, "
+    "outcome = lang='en'): ten fixed-width score bins, per-bin document "
+    "count, positives, exact positive rate, and the global base rate "
+    "for lift — AUC says the score RANKS well, this says whether a "
+    "given score band can be trusted as a probability (the other half "
+    "of classifier eval a curation gate needs before picking a "
+    "threshold). All counts BIGINT; both rates are single int64/int64 "
+    "IEEE divisions. Scale shape: map-side score + bin, one hash-agg "
+    "to <= 10 rows, broadcast totals — corpus-sized work is the token "
+    "split only",
+    tags=("llm", "text", "quality", "ml"),
+)
+def q_llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    sc = docs.select(
+        F.expr(
+            "CAST((1000 * size(array_distinct(split(lower(trim(text)), ' '))))"
+            " DIV size(split(lower(trim(text)), ' ')) AS BIGINT)"
+        ).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    ).where(F.size(toks) > 0)
+    per = (
+        sc.select(
+            F.least(F.expr("score DIV 100"), F.lit(9)).cast("bigint").alias("bin"),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    total = per.agg(
+        F.sum("n_docs").cast("bigint").alias("nd"),
+        F.sum("n_pos").cast("bigint").alias("np"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n_docs").cast("double")).alias(
+                "pos_rate"
+            ),
+            (F.col("np").cast("double") / F.col("nd").cast("double")).alias(
+                "base_rate"
+            ),
+        )
+        .orderBy("bin")
+    )

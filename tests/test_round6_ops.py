@@ -521,3 +521,40 @@ def test_bpe_pairs_matches_python_witness(spark):
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [tuple(r) for r in q_llm_bpe_pairs(spark, _SF_SMOKE).collect()]
     assert got == want
+
+
+def test_events_attribution_matches_python_witness(spark):
+    """Independent witness: replay last-touch attribution with a plain
+    per-user sorted scan over the sf0.001 events fixture (read via the
+    same normalized reader the query uses, so the witness tests the
+    attribution logic, not the ts-encoding recipe)."""
+    import datetime
+
+    from join_example_spark.queries.analytics_ext import q_events_attribution
+    from join_example_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    rows = [(r.user_id, r.ts, r.event_id, r.event_type) for r in ev.collect()]
+    by_user: dict[int, list] = {}
+    for u, ts, eid, et in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    counts: dict[str, int] = {}
+    lookback = datetime.timedelta(minutes=30)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        last_touch = None  # (ts, type)
+        for ts, _eid, et in evs:
+            if et == "purchase":
+                if last_touch is not None and last_touch[0] >= ts - lookback:
+                    k = last_touch[1]
+                else:
+                    k = "(none)"
+                counts[k] = counts.get(k, 0) + 1
+            if et in ("click", "view"):
+                last_touch = (ts, et)
+    total = sum(counts.values())
+    want = sorted((k, n, n / total) for k, n in counts.items())
+    got = sorted(tuple(r) for r in q_events_attribution(spark, "/root/testdata/sf0.001").collect())
+    assert got == want
