@@ -2131,3 +2131,195 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY 1, 2
+), spine AS (
+    SELECT event_type, day, c,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS i,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM daily
+), stat AS (
+    SELECT event_type, day, m, total,
+           ABS(m * cum - i * total) AS s_abs,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ABS(m * cum - i * total) DESC, day)
+               AS rn
+    FROM spine
+)
+SELECT event_type, day AS cp_day, m AS n_days, total AS total_events,
+       CAST(s_abs AS BIGINT) AS s_abs,
+       CAST(s_abs AS DOUBLE) / CAST(m * total AS DOUBLE) AS stat
+FROM stat WHERE rn = 1
+""",
+    note="CUSUM changepoint detection (Page 1954) on the per-type daily "
+    "event-count series, kept INTEGER-EXACT: the classic statistic "
+    "max_i |cum_i - i*mean| needs the rational mean total/m, so both "
+    "sides are scaled by m — S_i = m*cum_i - i*total is a pure int64 "
+    "(|S| <= m*total, safe to ~3e15 at 10 years x 1e12 events) and the "
+    "argmax is a (|S| DESC, day) row_number with a total-order tiebreak; "
+    "the normalized statistic in [0, 1) is one closing int64/int64 IEEE "
+    "division. Flags the day the level of a series most likely shifted "
+    "— the monitoring primitive behind 'did the producer change on the "
+    "14th?'. Scale shape: the daily rollup is the only corpus-sized "
+    "work; every window runs over the tiny (type x day) spine",
+    tags=("temporal", "window", "quality"),
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    spine = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("m"),
+        F.sum("c").over(wt).cast("bigint").alias("total"),
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    s_abs = F.abs(F.col("m") * F.col("cum") - F.col("i") * F.col("total"))
+    stat = spine.select(
+        "event_type",
+        "day",
+        "m",
+        "total",
+        s_abs.alias("s_abs"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                s_abs.desc(), F.col("day")
+            )
+        )
+        .alias("rn"),
+    )
+    return stat.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        F.col("m").alias("n_days"),
+        F.col("total").alias("total_events"),
+        F.col("s_abs").cast("bigint").alias("s_abs"),
+        (
+            F.col("s_abs").cast("double")
+            / (F.col("m") * F.col("total")).cast("double")
+        ).alias("stat"),
+    )
+
+
+@register(
+    "q_orders_rfm",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS BIGINT) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000
+                         AS BIGINT)) AS BIGINT) AS monetary_micros
+    FROM orders
+    GROUP BY o_custkey
+), scored AS (
+    SELECT o_custkey, recency_days, frequency, monetary_micros,
+           NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary_micros DESC, o_custkey) AS m_score
+    FROM per_cust
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_micros) AS DOUBLE)
+           / CAST(1000000 * COUNT(*) AS DOUBLE) AS avg_monetary
+FROM scored
+GROUP BY 1, 2, 3
+""",
+    note="RFM customer segmentation (the classic CRM cube): per customer "
+    "recency in whole days vs the corpus max order date, order count, "
+    "and monetary integerized LOSSLESSLY to micro-units (pure-BIGINT "
+    "accumulation — the wide-DECIMAL→DOUBLE bridge is 1-ulp unstable "
+    "across engines; at cluster scale drop to cents for 4 more orders "
+    "of headroom); each dimension is cut into "
+    "quintiles with NTILE(5) under a TOTAL order (metric, custkey — "
+    "NTILE ties are partition-order-dependent without one), then the "
+    "125-cell segment rollup with one exact int64/int64 closing "
+    "division. Scale shape: "
+    "one custkey shuffle for the profile, three window sorts over the "
+    "CUSTOMER dimension (1e9 rows at 100 TB — sortable; the scale rung "
+    "is approx_percentile cut points broadcast as a 4-value map-side "
+    "bucketizer, same output contract), 125-row final agg",
+    tags=("window", "agg", "behavioral"),
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    max_day = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("max_day")
+    )
+    micros = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(micros).cast("bigint").alias("monetary_micros"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("max_day"), F.col("last_day"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_micros",
+        )
+    )
+    scored = per_cust.select(
+        "monetary_micros",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("monetary_micros").desc(), F.col("o_custkey"))
+        )
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (
+            F.sum("monetary_micros").cast("double")
+            / (F.lit(1000000).cast("bigint") * F.count(F.lit(1))).cast("double")
+        ).alias("avg_monetary"),
+    )

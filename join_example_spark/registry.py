@@ -67,9 +67,9 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-6 head (59 — the ~9 tail rows may spill past the driver's ~50-row
+#: Round-6 head (61 — the ~11 tail rows may spill past the driver's ~50-row
 #: prefix; all are already-green r1/r3 rows whose re-proof can wait a
-#: round): the round-6 additions (wave-3 block first); then every query
+#: round): the round-6 additions (newest wave first); then every query
 #: whose PLAN changed in round 6 (cosine_near_pairs now routes through the
 #: lossless metric-pruned generator — output proven identical by the local
 #: mirror at both SFs, but the driver row should re-prove it end-to-end);
@@ -83,6 +83,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_bpe_pairs",
     "q_events_attribution",
     "q_llm_quality_calibration",
+    "q_ts_changepoint",
+    "q_orders_rfm",
     "q_llm_dedup_containment",
     "q_llm_dedup_editdist",
     "q_llm_quality_auc",

@@ -558,3 +558,91 @@ def test_events_attribution_matches_python_witness(spark):
     want = sorted((k, n, n / total) for k, n in counts.items())
     got = sorted(tuple(r) for r in q_events_attribution(spark, "/root/testdata/sf0.001").collect())
     assert got == want
+
+
+def test_ts_changepoint_matches_python_witness(spark):
+    """Witness: per-type daily counts via the normalized reader, then the
+    integer CUSUM argmax replayed in plain Python."""
+    from join_example_spark.queries.analytics_ext import q_ts_changepoint
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001").select("event_type", "ts")
+    rows = [(r.event_type, r.ts.date()) for r in ev.collect()]
+    daily: dict[tuple, int] = {}
+    for et, d in rows:
+        daily[(et, d)] = daily.get((et, d), 0) + 1
+    by_type: dict[str, list] = {}
+    for (et, d), c in daily.items():
+        by_type.setdefault(et, []).append((d, c))
+    want = []
+    for et, series in by_type.items():
+        series.sort()
+        m = len(series)
+        total = sum(c for _, c in series)
+        cum = 0
+        best = None  # (s_abs, day) with max s_abs, min day
+        for i, (d, c) in enumerate(series, start=1):
+            cum += c
+            s_abs = abs(m * cum - i * total)
+            if best is None or s_abs > best[0] or (s_abs == best[0] and d < best[1]):
+                best = (s_abs, d)
+        want.append((et, best[1], m, total, best[0], best[0] / (m * total)))
+    want.sort()
+    got = sorted(
+        tuple(r) for r in q_ts_changepoint(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == want
+
+
+def test_orders_rfm_matches_python_witness(spark):
+    """Witness: replay recency/frequency/monetary and the three quintile
+    cuts (NTILE semantics: first n % 5 tiles get the extra row) in plain
+    Python over the sf0.001 orders fixture."""
+    import duckdb
+
+    from join_example_spark.queries.analytics_ext import q_orders_rfm
+
+    rows = duckdb.sql(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,"
+        " CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS mi"
+        " FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchall()
+    per: dict[int, list] = {}
+    for ck, d, mi in rows:
+        per.setdefault(ck, []).append((d, mi))
+    gmax = max(d for _, d, _ in rows)
+    profile = {
+        ck: (
+            (gmax - max(d for d, _ in v)).days,
+            len(v),
+            sum(mi for _, mi in v),
+        )
+        for ck, v in per.items()
+    }
+
+    def ntile5(keys):  # keys pre-sorted; NTILE(5) bucket per position
+        n = len(keys)
+        base, extra = divmod(n, 5)
+        out, pos = {}, 0
+        for tile in range(1, 6):
+            size = base + (1 if tile <= extra else 0)
+            for k in keys[pos : pos + size]:
+                out[k] = tile
+            pos += size
+        return out
+
+    custs = list(profile)
+    r = ntile5(sorted(custs, key=lambda c: (profile[c][0], c)))
+    f = ntile5(sorted(custs, key=lambda c: (-profile[c][1], c)))
+    m = ntile5(sorted(custs, key=lambda c: (-profile[c][2], c)))
+    seg: dict[tuple, list] = {}
+    for c in custs:
+        seg.setdefault((r[c], f[c], m[c]), []).append(profile[c][2])
+    want = sorted(
+        (rs, fs, ms, len(v), sum(v) / (1_000_000 * len(v)))
+        for (rs, fs, ms), v in seg.items()
+    )
+    got = sorted(
+        tuple(x) for x in q_orders_rfm(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == want
