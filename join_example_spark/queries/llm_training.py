@@ -944,3 +944,143 @@ def q_llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q_llm_mix_epochs",
+    oracle="""
+WITH avail AS (
+    SELECT source,
+           CAST(SUM(len(str_split(LOWER(TRIM(text)), ' '))) AS BIGINT) AS avail_tokens
+    FROM documents
+    GROUP BY source
+), budgeted AS (
+    SELECT source, avail_tokens,
+           4 * avail_tokens AS cap_tokens,
+           CAST(2 * SUM(avail_tokens) OVER () AS BIGINT) AS budget,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY 4 * avail_tokens, source)
+                AS BIGINT) AS i,
+           CAST(COALESCE(SUM(4 * avail_tokens) OVER (
+                ORDER BY 4 * avail_tokens, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS p_before
+    FROM avail
+), flagged AS (
+    SELECT *,
+           CASE WHEN cap_tokens * (n - i + 1) <= budget - p_before
+                THEN 1 ELSE 0 END AS saturated
+    FROM budgeted
+), k AS (
+    SELECT CAST(SUM(saturated) AS BIGINT) AS k,
+           CAST(SUM(saturated * cap_tokens) AS BIGINT) AS p_k,
+           MAX(budget) AS budget, MAX(n) AS n
+    FROM flagged
+), alloc AS (
+    SELECT f.source, f.avail_tokens, f.cap_tokens, f.saturated,
+           CASE
+             WHEN f.saturated = 1 THEN f.cap_tokens
+             ELSE (k.budget - k.p_k) // (k.n - k.k)
+                  + CASE WHEN f.i - k.k <= (k.budget - k.p_k) % (k.n - k.k)
+                         THEN 1 ELSE 0 END
+           END AS alloc_tokens
+    FROM flagged f, k
+)
+SELECT source, avail_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       CAST(saturated AS BIGINT) AS saturated,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(alloc_tokens AS DOUBLE) / CAST(avail_tokens AS DOUBLE) AS epochs
+FROM alloc
+""",
+    note="data-constrained mixture allocation (the repeat-epochs question "
+    "of Muennighoff et al. 2023): split a training token budget (2x the "
+    "corpus here) EQUALLY across sources by water-filling under a "
+    "4-epoch repeat cap — sources too small to absorb their equal share "
+    "saturate at 4 epochs and the leftover redistributes to the rest. "
+    "Kept INTEGER-EXACT end-to-end: sort sources by cap, the saturated "
+    "set is the prefix where cap_i*(n-i+1) <= budget - prefix_sum (a "
+    "monotone all-integer test, so one window pass finds it), the free "
+    "sources get DIV/MOD shares with the remainder assigned by the same "
+    "total order, and epochs = one closing int64/int64 division. Scale "
+    "shape: one source rollup is the only corpus-sized work; the "
+    "water-filling runs on the |sources| spine (20 rows here, maybe 1e4 "
+    "on a real crawl — always a broadcastable dimension)",
+    tags=("llm", "training", "sample"),
+)
+def q_llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.expr("size(split(LOWER(TRIM(text)), ' '))"))
+        .cast("bigint")
+        .alias("avail_tokens")
+    )
+    cap = (F.lit(4).cast("bigint") * F.col("avail_tokens")).alias("cap_tokens")
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy(F.col("cap_tokens"), F.col("source"))
+    budgeted = avail.select("source", "avail_tokens", cap).select(
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        (F.lit(2).cast("bigint") * F.sum("avail_tokens").over(w_all))
+        .cast("bigint")
+        .alias("budget"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("p_before"),
+    )
+    flagged = budgeted.withColumn(
+        "saturated",
+        F.when(
+            F.col("cap_tokens") * (F.col("n") - F.col("i") + 1)
+            <= F.col("budget") - F.col("p_before"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    k = flagged.agg(
+        F.sum("saturated").cast("bigint").alias("k"),
+        F.sum(F.col("saturated") * F.col("cap_tokens"))
+        .cast("bigint")
+        .alias("p_k"),
+        F.max("budget").alias("budget_t"),
+        F.max("n").alias("n_t"),
+    )
+    leftover = F.col("budget_t") - F.col("p_k")
+    n_free = F.col("n_t") - F.col("k")
+    alloc = (
+        flagged.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            "avail_tokens",
+            "cap_tokens",
+            F.col("saturated").cast("bigint").alias("saturated"),
+            F.when(F.col("saturated") == 1, F.col("cap_tokens"))
+            .otherwise(
+                F.expr("(budget_t - p_k) DIV (n_t - k)")
+                + F.when(
+                    F.col("i") - F.col("k") <= leftover % n_free, F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+    )
+    return alloc.select(
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        "saturated",
+        "alloc_tokens",
+        (
+            F.col("alloc_tokens").cast("double")
+            / F.col("avail_tokens").cast("double")
+        ).alias("epochs"),
+    )

@@ -646,3 +646,52 @@ def test_orders_rfm_matches_python_witness(spark):
         tuple(x) for x in q_orders_rfm(spark, "/root/testdata/sf0.001").collect()
     )
     assert got == want
+
+
+def test_mix_epochs_matches_python_witness(spark):
+    """Witness: integer water-filling under the 4-epoch cap replayed in
+    plain Python; also asserts the allocation exhausts the budget exactly
+    and never exceeds any source's cap."""
+    from join_example_spark.queries.llm_training import q_llm_mix_epochs
+
+    rows = _smoke_docs()
+    avail: dict[str, int] = {}
+    import duckdb
+
+    for src, n in duckdb.sql(
+        f"SELECT source, SUM(len(str_split(LOWER(TRIM(text)), ' ')))"
+        f" FROM read_parquet('{_SF_SMOKE}/documents.parquet') GROUP BY source"
+    ).fetchall():
+        avail[src] = int(n)
+    budget = 2 * sum(avail.values())
+    order = sorted(avail, key=lambda s: (4 * avail[s], s))
+    n = len(order)
+    alloc, p = {}, 0
+    k = 0
+    for i, s in enumerate(order, start=1):
+        cap = 4 * avail[s]
+        if cap * (n - i + 1) <= budget - p:
+            alloc[s] = cap
+            p += cap
+            k = i
+        else:
+            break
+    leftover, n_free = budget - p, n - k
+    base, rem = divmod(leftover, n_free)
+    for j, s in enumerate(order[k:], start=1):
+        alloc[s] = base + (1 if j <= rem else 0)
+    assert sum(alloc.values()) == budget
+    assert all(alloc[s] <= 4 * avail[s] for s in avail)
+    want = sorted(
+        (
+            s,
+            avail[s],
+            4 * avail[s],
+            1 if alloc[s] == 4 * avail[s] and s in dict.fromkeys(order[:k]) else 0,
+            alloc[s],
+            alloc[s] / avail[s],
+        )
+        for s in avail
+    )
+    got = sorted(tuple(r) for r in q_llm_mix_epochs(spark, _SF_SMOKE).collect())
+    assert got == want
