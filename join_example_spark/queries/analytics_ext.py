@@ -2323,3 +2323,90 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000).cast("bigint") * F.count(F.lit(1))).cast("double")
         ).alias("avg_monetary"),
     )
+
+
+@register(
+    "q_orders_basket",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+    SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets
+), brand_n AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_brand FROM baskets GROUP BY brand
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.n_both, na.n_brand AS n_a, nb.n_brand AS n_b,
+       CAST(p.n_both * n.n_orders AS DOUBLE)
+           / CAST(na.n_brand * nb.n_brand AS DOUBLE) AS lift
+FROM pairs p
+JOIN brand_n na ON na.brand = p.brand_a
+JOIN brand_n nb ON nb.brand = p.brand_b
+CROSS JOIN n
+ORDER BY p.n_both DESC, p.brand_a, p.brand_b
+LIMIT 20
+""",
+    note="market-basket association mining (the support/lift half of "
+    "Apriori): top-20 co-purchased BRAND pairs across orders, with lift "
+    "= (n_both*N)/(n_a*n_b) — numerator and denominator are exact int64 "
+    "products (int64→double conversion is correctly rounded on both "
+    "engines even past 2^53, so the one closing division is "
+    "bit-stable), total-order (support, brand_a, brand_b) tiebreak. "
+    "Scale shape: the basket self-join fans out by ITEMSET SIZE, not "
+    "corpus size (TPC-H orders hold ≤ 13 distinct brands → ≤ 78 pairs "
+    "per order — the boundedness that makes market-basket joins safe "
+    "where document all-pairs joins are not); brand stats and the "
+    "order count broadcast; top-20 is TakeOrderedAndProject. The part "
+    "dimension join is a broadcast-hash join (25-brand dim)",
+    tags=("join", "agg", "behavioral"),
+)
+def q_orders_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    brand_n = baskets.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brand")
+    )
+    a = baskets.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("ok"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    na = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("n_both").desc(), "brand_a", "brand_b"
+    ).limit(20)
