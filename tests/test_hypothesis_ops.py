@@ -463,3 +463,36 @@ def test_bfs_distances_fuzz_vs_python(spark, g):
         r.v: r.d for r in bfs_distances(seeds_df, pairs_df, iters=3).collect()
     }
     assert got == dist
+
+
+@given(docs=_token_corpora(), thresh=st.sampled_from([(1, 2), (4, 5)]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_pairs_lossless_vs_bruteforce(spark, docs, thresh):
+    """The DIRECTED containment join must equal brute-force ordered-pair
+    containment at any rational threshold — asymmetry means both (a,b)
+    and (b,a) must be judged independently, and identical token sets
+    (the contraction + intra-expansion path) must produce BOTH ordered
+    pairs at containment 1.0."""
+    from join_example_spark.operators.dedup_prefix import containment_prefix_pairs
+
+    num, den = thresh
+
+    def ref(rows):
+        out = set()
+        for ia, ta in rows:
+            sa = set(ta)
+            for ib, tb in rows:
+                if ia == ib:
+                    continue
+                inter = len(sa & set(tb))
+                if den * inter >= num * len(sa):
+                    out.add((ia, ib))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id BIGINT, toks ARRAY<STRING>")
+    got = {
+        (r.id_sub, r.id_sup)
+        for r in containment_prefix_pairs(df, num=num, den=den).collect()
+    }
+    assert got == ref(docs)
