@@ -2410,3 +2410,95 @@ def q_orders_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("n_both").desc(), "brand_a", "brand_b"
     ).limit(20)
+
+
+@register(
+    "q_supplier_pareto",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey AS suppkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000
+                         AS BIGINT)) AS BIGINT) AS rev_micros
+    FROM lineitem
+    GROUP BY l_suppkey
+), ranked AS (
+    SELECT suppkey, rev_micros,
+           CAST(ROW_NUMBER() OVER (ORDER BY rev_micros DESC, suppkey)
+                AS BIGINT) AS rnk,
+           CAST(SUM(rev_micros) OVER (ORDER BY rev_micros DESC, suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_micros,
+           CAST(SUM(rev_micros) OVER () AS BIGINT) AS total_micros,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_suppliers
+    FROM rev
+), classed AS (
+    SELECT *,
+           CASE WHEN 5 * (cum_micros - rev_micros) < 4 * total_micros
+                THEN 'A'
+                WHEN 20 * (cum_micros - rev_micros) < 19 * total_micros
+                THEN 'B' ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MIN(rnk) AS BIGINT) AS first_rank,
+       CAST(MAX(rnk) AS BIGINT) AS last_rank,
+       CAST(SUM(rev_micros) AS BIGINT) AS class_rev_micros,
+       CAST(SUM(rev_micros) AS DOUBLE) / CAST(MAX(total_micros) AS DOUBLE)
+           AS rev_share
+FROM classed
+GROUP BY abc_class
+""",
+    note="Pareto / ABC supplier analysis (the 80/20 cut): suppliers "
+    "ranked by revenue (integerized losslessly to micro-units — "
+    "pure-BIGINT cumulative sums, no decimal-bridge divergence), class "
+    "A = every supplier whose PRECEDING cumulative share is < 80% "
+    "(integer cross-multiply 5*(cum-rev) < 4*total, no division in the "
+    "classifier), B to 95%, C the tail; output is the 3-row class "
+    "summary with exact revenue shares. The inventory-policy primitive "
+    "behind 'which 20% of suppliers carry 80% of spend'. Scale shape: "
+    "one suppkey rollup is the corpus-sized work; the ranking windows "
+    "run over the SUPPLIER dimension (broadcastable; same "
+    "approx-percentile rung as RFM if the dimension sort is unwanted)",
+    tags=("window", "agg", "behavioral"),
+)
+def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    micros = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(micros).cast("bigint").alias("rev_micros")
+    )
+    w_ord = Window.orderBy(F.col("rev_micros").desc(), F.col("suppkey"))
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "suppkey",
+        "rev_micros",
+        F.row_number().over(w_ord).cast("bigint").alias("rnk"),
+        F.sum("rev_micros")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_micros"),
+        F.sum("rev_micros").over(w_all).cast("bigint").alias("total_micros"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_suppliers"),
+    )
+    before = F.col("cum_micros") - F.col("rev_micros")
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(5 * before < 4 * F.col("total_micros"), F.lit("A"))
+        .when(20 * before < 19 * F.col("total_micros"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.min("rnk").cast("bigint").alias("first_rank"),
+        F.max("rnk").cast("bigint").alias("last_rank"),
+        F.sum("rev_micros").cast("bigint").alias("class_rev_micros"),
+        (
+            F.sum("rev_micros").cast("double")
+            / F.max("total_micros").cast("double")
+        ).alias("rev_share"),
+    )
