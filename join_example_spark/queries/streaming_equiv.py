@@ -426,3 +426,113 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_tol"),
         )
     )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click, MAX(v.t_view) AS t_view
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase, MAX(c.t_click) AS t_click
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
+    GROUP BY e.user_id
+), delays AS (
+    SELECT 'view_to_click' AS stage,
+           (epoch_us(t_click) - epoch_us(t_view)) // 1000000 AS delay_s
+    FROM c
+    UNION ALL
+    SELECT 'click_to_purchase' AS stage,
+           (epoch_us(t_purchase) - epoch_us(t_click)) // 1000000 AS delay_s
+    FROM p
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(delay_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(delay_s, 0.9) AS BIGINT) AS p90_s,
+       CAST(SUM(delay_s) AS BIGINT) AS sum_s,
+       CAST(SUM(delay_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_s
+FROM delays
+GROUP BY stage
+""",
+    note="funnel stage-latency distribution: whole-second delays between "
+    "each user's first view -> first qualifying click -> first "
+    "qualifying purchase (same stage semantics as q_funnel_stages), "
+    "summarized per stage as exact count, DISCRETE p50/p90 (the "
+    "certified exact-regime approx_percentile: accuracy 1e7 >> N makes "
+    "the GK sketch return the true discrete quantile == DuckDB "
+    "quantile_disc — q_agg_approx_percentile's certification reused), "
+    "exact BIGINT delay sum, and a mean that is one int64/int64 IEEE "
+    "division. The latency half of funnel analytics ('how long does "
+    "conversion take') next to the count half ('how many convert'). "
+    "Scale shape: two keyed stage aggregates + a 2-row rollup; the "
+    "sketch degrades gracefully to its epsilon guarantee at production "
+    "accuracy",
+    tags=("temporal", "agg", "funnel", "percentile"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.expr("t_view + INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.max("t_view").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.expr("t_click + INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.max("t_click").alias("t_click"))
+    )
+    d1 = c.select(
+        F.lit("view_to_click").alias("stage"),
+        F.expr("(unix_micros(t_click) - unix_micros(t_view)) DIV 1000000").alias(
+            "delay_s"
+        ),
+    )
+    d2 = p.select(
+        F.lit("click_to_purchase").alias("stage"),
+        F.expr(
+            "(unix_micros(t_purchase) - unix_micros(t_click)) DIV 1000000"
+        ).alias("delay_s"),
+    )
+    delays = d1.unionByName(d2)
+    sketched = delays.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("approx_percentile(delay_s, array(0.5, 0.9), 10000000)").alias(
+            "qs"
+        ),
+        F.sum("delay_s").cast("bigint").alias("sum_s"),
+    )
+    return sketched.select(
+        "stage",
+        "n_users",
+        F.element_at("qs", 1).cast("bigint").alias("p50_s"),
+        F.element_at("qs", 2).cast("bigint").alias("p90_s"),
+        "sum_s",
+        (F.col("sum_s").cast("double") / F.col("n_users").cast("double")).alias(
+            "mean_s"
+        ),
+    )
