@@ -2502,3 +2502,93 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("total_micros").cast("double")
         ).alias("rev_share"),
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY 1, 2
+), spine AS (
+    SELECT event_type, day, c,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+    FROM daily
+), dev AS (
+    SELECT event_type, day, m,
+           m * c - t AS d,
+           LAG(m * c - t, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+           LAG(m * c - t, 7) OVER (PARTITION BY event_type ORDER BY day) AS d7
+    FROM spine
+)
+SELECT event_type,
+       CAST(MAX(m) AS BIGINT) AS n_days,
+       CAST(SUM(d * d) AS BIGINT) AS den,
+       CAST(SUM(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0 END) AS BIGINT)
+           AS num_lag1,
+       CAST(SUM(CASE WHEN d7 IS NOT NULL THEN d * d7 ELSE 0 END) AS BIGINT)
+           AS num_lag7,
+       CAST(SUM(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(d * d) AS DOUBLE) AS acf1,
+       CAST(SUM(CASE WHEN d7 IS NOT NULL THEN d * d7 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(d * d) AS DOUBLE) AS acf7
+FROM dev
+GROUP BY event_type
+""",
+    note="INTEGER-EXACT sample autocorrelation (lag 1 and lag 7) of the "
+    "per-type daily count series — the seasonality detector next to "
+    "q_ts_seasonal's profile and q_ts_changepoint's level shift. The "
+    "mean is rational (T/m), so deviations are scaled by m: d_i = "
+    "m*c_i - T is pure int64, the lag products and the variance sum "
+    "stay int64 (|d| <= m*max_c — at day-spine sizes these are ~1e8; "
+    "the 100 TB rung is the same sums in DECIMAL(38,0), exact in both "
+    "engines), and each ACF value is one closing int64/int64 IEEE "
+    "division of bit-identical operands. LAG over the (type, day) "
+    "total order is engine-identical. Scale shape: the daily rollup is "
+    "the only corpus-sized work; windows run on the tiny day spine",
+    tags=("temporal", "window"),
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    spine = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("m"),
+        F.sum("c").over(wt).cast("bigint").alias("t"),
+    )
+    d = F.col("m") * F.col("c") - F.col("t")
+    dev = spine.select(
+        "event_type",
+        "m",
+        d.alias("d"),
+        F.lag(d, 1).over(wo).alias("d1"),
+        F.lag(d, 7).over(wo).alias("d7"),
+    )
+    num1 = F.sum(
+        F.when(F.col("d1").isNotNull(), F.col("d") * F.col("d1")).otherwise(0)
+    ).cast("bigint")
+    num7 = F.sum(
+        F.when(F.col("d7").isNotNull(), F.col("d") * F.col("d7")).otherwise(0)
+    ).cast("bigint")
+    den = F.sum(F.col("d") * F.col("d")).cast("bigint")
+    return dev.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_days"),
+        den.alias("den"),
+        num1.alias("num_lag1"),
+        num7.alias("num_lag7"),
+        (num1.cast("double") / den.cast("double")).alias("acf1"),
+        (num7.cast("double") / den.cast("double")).alias("acf7"),
+    )

@@ -67,7 +67,7 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-6 head (65 — the ~15 tail rows may spill past the driver's ~50-row
+#: Round-6 head (66 — the ~16 tail rows may spill past the driver's ~50-row
 #: prefix; all are already-green r1/r3 rows whose re-proof can wait a
 #: round): the round-6 additions (newest wave first); then every query
 #: whose PLAN changed in round 6 (cosine_near_pairs now routes through the
@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_orders_basket",
     "q_supplier_pareto",
     "q_funnel_latency",
+    "q_ts_autocorr",
     "q_llm_dedup_containment",
     "q_llm_dedup_editdist",
     "q_llm_quality_auc",
