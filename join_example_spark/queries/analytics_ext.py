@@ -2123,11 +2123,14 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = attributed.groupBy("touch_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
     )
-    total = per.agg(F.sum("n_purchases").cast("bigint").alias("n_total"))
-    return per.crossJoin(F.broadcast(total)).select(
+    # Total as an unpartitioned window over the ALREADY-AGGREGATED 3-row
+    # relation — an agg+crossJoin here would reference `per` twice and
+    # re-execute the whole events window pipeline (SCALE.md §3.4 rule).
+    n_total = F.sum("n_purchases").over(Window.partitionBy()).cast("bigint")
+    return per.select(
         "touch_type",
         "n_purchases",
-        (F.col("n_purchases").cast("double") / F.col("n_total").cast("double")).alias(
+        (F.col("n_purchases").cast("double") / n_total.cast("double")).alias(
             "share"
         ),
     )
@@ -2276,12 +2279,12 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = read_table(spark, sf_dir, "orders")
-    max_day = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("max_day")
-    )
     micros = F.expr(
         "CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
     )
+    # The corpus max order date is MAX over the per-customer maxes — an
+    # unpartitioned window over the CUSTOMER spine, so `orders` is read
+    # once (a separate agg+crossJoin would scan it twice, SCALE.md §3.4).
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(
@@ -2289,10 +2292,11 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             F.sum(micros).cast("bigint").alias("monetary_micros"),
         )
-        .crossJoin(F.broadcast(max_day))
         .select(
             "o_custkey",
-            F.datediff(F.col("max_day"), F.col("last_day"))
+            F.datediff(
+                F.max("last_day").over(Window.partitionBy()), F.col("last_day")
+            )
             .cast("bigint")
             .alias("recency_days"),
             "frequency",
@@ -2368,10 +2372,15 @@ LIMIT 20
 def q_orders_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # `baskets` is referenced four times (order count, brand counts, both
+    # self-join sides) — eager localCheckpoint executes the scan+distinct
+    # once instead of four times (the sanctioned SCALE.md §3.4 pattern,
+    # executor-side, no driver data).
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = baskets.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     brand_n = baskets.groupBy("brand").agg(

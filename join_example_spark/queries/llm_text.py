@@ -812,22 +812,23 @@ def q_llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("bigint").alias("n_pos"),
         )
     )
-    total = per.agg(
-        F.sum("n_docs").cast("bigint").alias("nd"),
-        F.sum("n_pos").cast("bigint").alias("np"),
-    )
+    from pyspark.sql import Window
+
+    # Base-rate totals via unpartitioned windows over the <=10-row bin
+    # table — an agg+crossJoin would reference `per` twice and re-run the
+    # corpus score projection (SCALE.md §3.4 rule).
+    w_all = Window.partitionBy()
+    nd = F.sum("n_docs").over(w_all).cast("bigint")
+    np_ = F.sum("n_pos").over(w_all).cast("bigint")
     return (
-        per.crossJoin(F.broadcast(total))
-        .select(
+        per.select(
             "bin",
             "n_docs",
             "n_pos",
             (F.col("n_pos").cast("double") / F.col("n_docs").cast("double")).alias(
                 "pos_rate"
             ),
-            (F.col("np").cast("double") / F.col("nd").cast("double")).alias(
-                "base_rate"
-            ),
+            (np_.cast("double") / nd.cast("double")).alias("base_rate"),
         )
         .orderBy("bin")
     )

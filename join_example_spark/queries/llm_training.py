@@ -848,18 +848,30 @@ def q_llm_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ct"),
         (F.count(F.lit(1)) + 1).cast("bigint").alias("cr"),
     )
-    totals = stats.agg(
-        F.sum("ct").cast("bigint").alias("nt"), F.sum("cr").cast("bigint").alias("nr")
+    from pyspark.sql import Window
+
+    # Corpus totals ride the stats relation as unpartitioned windows over
+    # the FIXED 8192-row histogram (and survive the doc rollup as MAX) —
+    # a separate agg+crossJoin would reference `stats` twice and re-run
+    # the token-histogram shuffle (SCALE.md §3.4 rule).
+    w_all = Window.partitionBy()
+    stats_t = stats.select(
+        "f",
+        "ct",
+        "cr",
+        F.sum("ct").over(w_all).cast("bigint").alias("nt"),
+        F.sum("cr").over(w_all).cast("bigint").alias("nr"),
     )
     scored = (
-        hashed.join(F.broadcast(stats), "f")
+        hashed.join(F.broadcast(stats_t), "f")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_toks"),
             F.sum("ct").cast("bigint").alias("sum_target"),
             F.sum("cr").cast("bigint").alias("sum_raw"),
+            F.max("nt").alias("nt"),
+            F.max("nr").alias("nr"),
         )
-        .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
             "n_toks",
@@ -927,10 +939,14 @@ def q_llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
-    total = per_shard.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    from pyspark.sql import Window
+
+    # Total via an unpartitioned window over the 16-row manifest — an
+    # agg+crossJoin would reference `per_shard` twice and re-execute the
+    # corpus rollup (SCALE.md §3.4 rule).
+    n_total = F.sum("n_docs").over(Window.partitionBy()).cast("bigint")
     return (
-        per_shard.crossJoin(F.broadcast(total))
-        .select(
+        per_shard.select(
             F.col("shard").cast("bigint").alias("shard"),
             "n_docs",
             "sum_tokens",
@@ -939,7 +955,7 @@ def q_llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_doc",
             (
                 (F.col("n_docs") * F.lit(16)).cast("double")
-                / F.col("n_total").cast("double")
+                / n_total.cast("double")
             ).alias("balance"),
         )
         .orderBy("shard")
@@ -1045,33 +1061,40 @@ def q_llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    k = flagged.agg(
-        F.sum("saturated").cast("bigint").alias("k"),
+    # Saturated-set totals as unpartitioned windows over the |sources|
+    # spine — an agg+crossJoin would reference `flagged` twice and
+    # re-execute the corpus rollup (SCALE.md §3.4 rule).
+    w_tot = Window.partitionBy()
+    sat = flagged.select(
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        "i",
+        "saturated",
+        F.sum("saturated").over(w_tot).cast("bigint").alias("k"),
         F.sum(F.col("saturated") * F.col("cap_tokens"))
+        .over(w_tot)
         .cast("bigint")
         .alias("p_k"),
-        F.max("budget").alias("budget_t"),
-        F.max("n").alias("n_t"),
+        "budget",
+        "n",
     )
-    leftover = F.col("budget_t") - F.col("p_k")
-    n_free = F.col("n_t") - F.col("k")
-    alloc = (
-        flagged.crossJoin(F.broadcast(k))
-        .select(
-            "source",
-            "avail_tokens",
-            "cap_tokens",
-            F.col("saturated").cast("bigint").alias("saturated"),
-            F.when(F.col("saturated") == 1, F.col("cap_tokens"))
-            .otherwise(
-                F.expr("(budget_t - p_k) DIV (n_t - k)")
-                + F.when(
-                    F.col("i") - F.col("k") <= leftover % n_free, F.lit(1)
-                ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("alloc_tokens"),
+    leftover = F.col("budget") - F.col("p_k")
+    n_free = F.col("n") - F.col("k")
+    alloc = sat.select(
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        F.col("saturated").cast("bigint").alias("saturated"),
+        F.when(F.col("saturated") == 1, F.col("cap_tokens"))
+        .otherwise(
+            F.expr("(budget - p_k) DIV (n - k)")
+            + F.when(
+                F.col("i") - F.col("k") <= leftover % n_free, F.lit(1)
+            ).otherwise(F.lit(0))
         )
+        .cast("bigint")
+        .alias("alloc_tokens"),
     )
     return alloc.select(
         "source",

@@ -486,6 +486,9 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
+    # `c` feeds both the purchase stage and the view->click delay — eager
+    # localCheckpoint executes the click stage once (SCALE.md §3.4 rule;
+    # the per-user stage table is tiny).
     c = (
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -495,6 +498,7 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"), F.max("t_view").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

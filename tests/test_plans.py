@@ -425,3 +425,39 @@ def test_trend_and_holt_have_no_window_operator(spark):
     for name in ("q_ts_trend", "q_ts_holt_forecast"):
         plan = executed_plan(_REG[name].fn(spark, SF_SMOKE))
         assert "Window" not in plan, name
+
+
+def test_dsir_histogram_broadcasts_and_takes_ordered(spark):
+    # The 8192-bucket feature histogram must BROADCAST back to the token
+    # stream (not shuffle the corpus a second time), and the top-100
+    # selection must be TakeOrderedAndProject, never a global sort.
+    df = _REG["q_llm_select_dsir"].fn(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1000]
+
+
+def test_basket_dim_join_is_broadcast_and_bounded(spark):
+    # The part->brand dim join must be a broadcast-hash join, and the
+    # only pairwise step is the per-order itemset self-join — never a
+    # cartesian product.
+    df = _REG["q_orders_basket"].fn(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:1000]
+
+
+def test_attribution_single_user_shuffle(spark):
+    # Attribution must be the one-window formulation: exactly one
+    # corpus-sized hashpartitioning exchange (the user_id window) and no
+    # events-by-events self-join (the tiny 3-row rollup reuses the
+    # window's partitioning only via SinglePartition/broadcast steps).
+    plan = executed_plan(_REG["q_events_attribution"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:1500]
+
+
+def test_bpe_pairs_takes_ordered(spark):
+    plan = executed_plan(_REG["q_llm_bpe_pairs"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:1000]
