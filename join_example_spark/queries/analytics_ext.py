@@ -2080,8 +2080,9 @@ FROM per, total
     "windowed-join-free formulation: one IGNORE-NULLS last_value window "
     "per user over a (ts, event_id) total order carries the latest touch "
     "type AND its timestamp forward, the lookback is a row-local "
-    "interval comparison, and the rollup is a 3-row hash-agg + broadcast "
-    "total (share = one exact int64/int64 IEEE division). Scale shape: "
+    "interval comparison, and the rollup is a 3-row hash-agg whose total "
+    "is a window over it — one subplan reference, no re-execution "
+    "(share = one exact int64/int64 IEEE division). Scale shape: "
     "exactly one shuffle (the user_id window); no self-join of the "
     "events table against itself, which is how attribution is usually "
     "(quadratically) written",

@@ -787,7 +787,8 @@ ORDER BY bin
     "of classifier eval a curation gate needs before picking a "
     "threshold). All counts BIGINT; both rates are single int64/int64 "
     "IEEE divisions. Scale shape: map-side score + bin, one hash-agg "
-    "to <= 10 rows, broadcast totals — corpus-sized work is the token "
+    "to <= 10 rows, totals as windows over that bin table (no second "
+    "subplan reference) — corpus-sized work is the token "
     "split only",
     tags=("llm", "text", "quality", "ml"),
 )

@@ -919,8 +919,9 @@ ORDER BY shard
     "count, token and char volume, id range, and a balance factor "
     "(n_docs*16/total, one exact int64/int64 IEEE division; 1.0 = "
     "perfectly even) that audits hash-shard skew before any bytes are "
-    "written. Scale shape: one rollup shuffle to 16 rows + a broadcast "
-    "scalar total; the real writer is then df.repartition(shard)."
+    "written. Scale shape: one rollup shuffle to 16 rows; the total is "
+    "a window over that 16-row manifest (one subplan reference — no "
+    "re-execution); the real writer is then df.repartition(shard)."
     "write — the manifest and the data path share the same hash",
     tags=("llm", "training", "shard"),
 )
