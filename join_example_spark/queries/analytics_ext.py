@@ -526,13 +526,23 @@ LIMIT 10
     note="shuffle-key skew profiler: per-key cardinality + share of total "
     "for the 10 heaviest keys — the diagnostic you run BEFORE picking a "
     "salting factor or enabling AQE skew-join on a 100 TB shuffle. One "
-    "hash-agg (map-side partials), the total via a broadcast single-row "
+    "hash-agg (map-side partials) materialized once (the key histogram "
+    "feeds both the total and the top-10 — localCheckpoint stops the "
+    "corpus pass executing twice), total via a broadcast single-row "
     "cross join, deterministic top-10 under a (count, key) total order",
     tags=("agg", "profile"),
 )
 def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # Materialize the compact key histogram once (the llm_cleaning gcounts
+    # pattern): `per_key` feeds both the total and the top-10, and without
+    # the checkpoint the corpus scan+shuffle would execute twice
+    # (SCALE.md §3.4 rule).
+    per_key = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     tot = per_key.agg(F.sum("n").cast("double").alias("total"))
     return (
         per_key.crossJoin(F.broadcast(tot))
