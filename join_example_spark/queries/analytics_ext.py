@@ -2019,9 +2019,11 @@ FROM per p JOIN tot t ON p.event_type = t.event_type
     "one IEEE division/subtraction of identically-derived operands — "
     "sums stay ~1e13 micro-units at sf0.1, far under the wide-decimal "
     "double-rounding bound. Scale shape: ONE rollup shuffle to "
-    "(type, hour) — 24 x |types| cells — then a broadcast-sized "
-    "per-type total join; no window over the raw stream, trivially "
-    "streaming-maintainable as keyed running sums",
+    "(type, hour) — 24 x |types| cells — with per-type totals as "
+    "windows over that tiny cell table (one subplan reference; the "
+    "groupBy+join form re-executed the corpus rollup); no window over "
+    "the raw stream, trivially streaming-maintainable as keyed running "
+    "sums",
     tags=("temporal", "analytics"),
 )
 def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2034,13 +2036,23 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("sum_dec"),
     )
-    tot = per.groupBy("event_type").agg(
-        F.sum("n_events").cast("bigint").alias("tot_n"),
-        F.sum("sum_dec").cast("decimal(38,6)").alias("tot_dec"),
+    # Per-type totals as windows over the tiny 24x|types| cell table — a
+    # groupBy+join here would reference `per` twice and re-execute the
+    # corpus rollup (SCALE.md §3.4 rule).
+    from pyspark.sql import Window
+
+    w_type = Window.partitionBy("event_type")
+    tot = per.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "sum_dec",
+        F.sum("n_events").over(w_type).cast("bigint").alias("tot_n"),
+        F.sum("sum_dec").over(w_type).cast("decimal(38,6)").alias("tot_dec"),
     )
     hour_avg = F.col("sum_dec").cast("double") / F.col("n_events").cast("double")
     glob_avg = F.col("tot_dec").cast("double") / F.col("tot_n").cast("double")
-    return per.join(F.broadcast(tot), "event_type").select(
+    return tot.select(
         "event_type",
         "hour",
         "n_events",
