@@ -223,6 +223,9 @@ def ts_subseq_topk(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # `per` feeds both the per-type bounds and the spine join —
+    # materialize the tiny rollup once (SCALE.md §3.4 rule).
+    per = per.localCheckpoint(eager=True)
     bounds = per.groupBy("event_type").agg(
         F.min("m").alias("mn"), F.max("m").alias("mx")
     )
@@ -282,6 +285,10 @@ def dyadic_weighted_series(
     """
     L = len(weights_by_offset)
     arr = "ARRAY(" + ", ".join(f"{w}L" for w in weights_by_offset) + ")"
+    # `per` feeds bounds, types, AND the spine join — materialize the tiny
+    # (type, minute) rollup once or its corpus upstream executes three
+    # times (SCALE.md §3.4 rule).
+    per = per.localCheckpoint(eager=True)
     bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
     types = per.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(

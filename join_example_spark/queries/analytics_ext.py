@@ -1315,6 +1315,9 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    # `per` feeds bounds AND the spine join — materialize the tiny minute
+    # rollup once (SCALE.md §3.4 rule).
+    per = per.localCheckpoint(eager=True)
     bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
     spine = bounds.select(F.explode(F.expr("sequence(mn, mx)")).alias("m"))
     series = spine.join(per, "m", "left").select(
@@ -1800,11 +1803,19 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.sources.readers import read_events
 
     ev = read_events(spark, sf_dir)
-    per = ev.groupBy(
-        "event_type", F.expr("unix_micros(ts) DIV 60000000").alias("m")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    # `per` feeds bounds, types, and the spine join — materialize the
+    # tiny minute rollup once; the type set equals per's (any type with
+    # an event has a minute cell), so the raw stream is read ONCE
+    # (SCALE.md §3.4 rule).
+    per = (
+        ev.groupBy(
+            "event_type", F.expr("unix_micros(ts) DIV 60000000").alias("m")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=True)
+    )
     bounds = per.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
-    types = ev.select("event_type").distinct()
+    types = per.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m"), "mn"
     )
@@ -1898,13 +1909,18 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpick = Window.partitionBy("event_type", "m").orderBy(
         F.col("t").desc(), F.col("event_id").desc()
     )
+    # The last-in-minute table feeds bounds, types, AND the spine join;
+    # its minute/type span equals the raw stream's (every event's minute
+    # has a winner), so materializing it once makes the raw stream read
+    # ONCE instead of three times (SCALE.md §3.4 rule).
     lastin = (
         ev.withColumn("rn", F.row_number().over(wpick))
         .where(F.col("rn") == 1)
         .select("event_type", "m", F.col("value").alias("v"))
+        .localCheckpoint(eager=True)
     )
-    bounds = ev.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
-    types = ev.select("event_type").distinct()
+    bounds = lastin.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    types = lastin.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("m")
     )
