@@ -260,10 +260,15 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
 )
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
+    # Each stage table feeds BOTH the next stage's join and its own count
+    # — eager localCheckpoint of the tiny per-user tables keeps each
+    # stage's corpus pass from executing twice (SCALE.md §3.4 rule; plan
+    # went from 6 events scans to the 3-filtered-scan floor).
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -274,6 +279,7 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
