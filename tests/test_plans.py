@@ -461,3 +461,39 @@ def test_attribution_single_user_shuffle(spark):
 def test_bpe_pairs_takes_ordered(spark):
     plan = executed_plan(_REG["q_llm_bpe_pairs"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan[:1000]
+
+
+def test_one_pass_families_scan_their_fact_table_once(spark):
+    # Round-6 fix class: totals/bounds/type-sets must not re-execute the
+    # corpus pass (windows over tiny aggregates, or localCheckpoint for
+    # true self-joins). The executed plan of each fixed query may contain
+    # at most ONE scan of its fact table (checkpointed subplans hide the
+    # scan entirely); regressing to the agg+crossJoin double-reference
+    # form re-introduces 2-6 scans and fails this pin.
+    import re
+    from collections import Counter
+
+    fixed = {
+        "q_events_attribution": "events",
+        "q_ts_seasonal": "events",
+        "q_ts_changepoint": "events",
+        "q_ts_autocorr": "events",
+        "q_ts_ewma": "events",
+        "q_ts_holt_forecast": "events",
+        "q_ts_trend": "events",
+        "q_ts_rolling_corr": "events",
+        "q_resample_locf": "events",
+        "q_ts_sim_search": "events",
+        "q_funnel_stages": "events",
+        "q_funnel_latency": "events",
+        "q_profile_skew": "events",
+        "q_llm_shard_plan": "documents",
+        "q_llm_quality_calibration": "documents",
+        "q_llm_mix_epochs": "documents",
+        "q_orders_rfm": "orders",
+        "q_supplier_pareto": "lineitem",
+    }
+    for name, table in fixed.items():
+        plan = executed_plan(_REG[name].fn(spark, SF_SMOKE))
+        scans = Counter(re.findall(r"Scan parquet[^\n]*?(\w+)\.parquet", plan))
+        assert scans.get(table, 0) <= 1, (name, dict(scans))
