@@ -695,3 +695,146 @@ def test_mix_epochs_matches_python_witness(spark):
     )
     got = sorted(tuple(r) for r in q_llm_mix_epochs(spark, _SF_SMOKE).collect())
     assert got == want
+
+
+def test_supplier_pareto_matches_python_witness(spark):
+    """Witness: replay the micro-unit revenue ranking and the integer
+    cross-multiplied ABC class boundaries in plain Python."""
+    import duckdb
+
+    from join_example_spark.queries.analytics_ext import q_supplier_pareto
+
+    rows = duckdb.sql(
+        "SELECT l_suppkey,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+        " FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()
+    rev: dict[int, int] = {}
+    for sk, mi in rows:
+        rev[sk] = rev.get(sk, 0) + mi
+    order = sorted(rev, key=lambda s: (-rev[s], s))
+    total = sum(rev.values())
+    cum = 0
+    classes: dict[str, list] = {}
+    for rnk, s in enumerate(order, start=1):
+        before = cum
+        cum += rev[s]
+        if 5 * before < 4 * total:
+            c = "A"
+        elif 20 * before < 19 * total:
+            c = "B"
+        else:
+            c = "C"
+        classes.setdefault(c, []).append((rnk, rev[s]))
+    want = sorted(
+        (
+            c,
+            len(v),
+            min(r for r, _ in v),
+            max(r for r, _ in v),
+            sum(m for _, m in v),
+            sum(m for _, m in v) / total,
+        )
+        for c, v in classes.items()
+    )
+    got = sorted(
+        tuple(r) for r in q_supplier_pareto(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == want
+
+
+def test_orders_basket_matches_python_witness(spark):
+    """Witness: brute-force brand co-occurrence counts and lift over the
+    sf0.001 fixture, including the (support, brand_a, brand_b) top-20
+    tiebreak."""
+    import itertools
+
+    import duckdb
+
+    from join_example_spark.queries.analytics_ext import q_orders_basket
+
+    rows = duckdb.sql(
+        "SELECT DISTINCT l.l_orderkey, p.p_brand"
+        " FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') l"
+        " JOIN read_parquet('/root/testdata/sf0.001/part.parquet') p"
+        "   ON p.p_partkey = l.l_partkey"
+    ).fetchall()
+    baskets: dict[int, set] = {}
+    for ok, b in rows:
+        baskets.setdefault(ok, set()).add(b)
+    n_orders = len(baskets)
+    brand_n: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for bs in baskets.values():
+        for b in bs:
+            brand_n[b] = brand_n.get(b, 0) + 1
+        for a, b in itertools.combinations(sorted(bs), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    ranked = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = sorted(
+        (
+            a,
+            b,
+            n,
+            brand_n[a],
+            brand_n[b],
+            (n * n_orders) / (brand_n[a] * brand_n[b]),
+        )
+        for (a, b), n in ranked
+    )
+    got = sorted(
+        tuple(r) for r in q_orders_basket(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == want
+
+
+def test_funnel_latency_matches_python_witness(spark):
+    """Witness: replay the stage semantics and the DISCRETE p50/p90
+    (quantile_disc convention: element at ceil(p*n)-1 of the sorted
+    delays) in plain Python."""
+    from join_example_spark.queries.streaming_equiv import q_funnel_latency
+    from join_example_spark.sources.readers import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001").select(
+        "user_id", "ts", "event_type"
+    )
+    rows = [(r.user_id, r.ts, r.event_type) for r in ev.collect()]
+    import datetime
+    import math
+
+    day = datetime.timedelta(hours=24)
+    v: dict[int, object] = {}
+    for u, ts, et in rows:
+        if et == "view" and (u not in v or ts < v[u]):
+            v[u] = ts
+    c: dict[int, object] = {}
+    for u, ts, et in rows:
+        if et == "click" and u in v and v[u] < ts <= v[u] + day:
+            if u not in c or ts < c[u]:
+                c[u] = ts
+    p: dict[int, object] = {}
+    for u, ts, et in rows:
+        if et == "purchase" and u in c and c[u] < ts <= c[u] + day:
+            if u not in p or ts < p[u]:
+                p[u] = ts
+
+    def micros(td):
+        return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+    def summarize(stage, delays):
+        ds = sorted(delays)
+        n = len(ds)
+
+        def qdisc(q):
+            return ds[max(math.ceil(q * n), 1) - 1]
+
+        s = sum(ds)
+        return (stage, n, qdisc(0.5), qdisc(0.9), s, s / n)
+
+    d1 = [micros(c[u] - v[u]) // 1_000_000 for u in c]
+    d2 = [micros(p[u] - c[u]) // 1_000_000 for u in p]
+    want = sorted([summarize("view_to_click", d1), summarize("click_to_purchase", d2)])
+    got = sorted(
+        tuple(r) for r in q_funnel_latency(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == want
