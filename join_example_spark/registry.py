@@ -67,17 +67,65 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-6 head (66 — the ~16 tail rows may spill past the driver's ~50-row
-#: prefix; all are already-green r1/r3 rows whose re-proof can wait a
-#: round): the round-6 additions (newest wave first); then every query
-#: whose PLAN changed in round 6 (cosine_near_pairs now routes through the
-#: lossless metric-pruned generator — output proven identical by the local
-#: mirror at both SFs, but the driver row should re-prove it end-to-end);
-#: then the oldest surviving greens: the r2 LLM block and the r1
-#: join/agg/scalar-fn blocks, whose rows predate two fixture drifts, plus
-#: the r3 scan/setop stragglers. After this rotation no pre-r3 "ever" row
-#: survives anywhere in the registry.
+#: Round-7 head (46): the full driver-proof staleness backlog — every query
+#: whose latest driver row is r1/r2 (predating both fixture drifts): the 13
+#: join/agg/scalar-fn rows queued last round plus the 30 stranded at
+#: positions 111+/206-230 (q_pivot, q_fn_bitwise/regex/struct/nulls/codec,
+#: q_tpch_q4/q14/q19/q22, agg extensions, subquery family, etc.). Tail of
+#: the head: the 3 rows-only queries (xxhash64 MinHash/SimHash, MLlib LSH)
+#: that have never had ANY driver row — spending 3 slots once for their
+#: rows_match evidence. After THIS rotation lands in CORRECTNESS_r07,
+#: every registry entry has a driver row from r3 or later (zero pre-drift
+#: proofs); until then 43 rows still carry r1/r2 evidence.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_groupingsets",
+    "q_agg_having",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_agg_filter_clause",
+    "q_agg_any_all",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_fn_struct",
+    "q_pivot",
+    "q_fn_bitwise",
+    "q_fn_regex",
+    "q_tpch_q4",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_llm_dedup_keep_best",
+    "q_agg_mode",
+    "q_win_share",
+    "q_multimodal_prune",
+    "q_llm_ann_recall",
+    "q_scalar_correlated",
+    "q_llm_dedup_fuzzy",
+    "q_recursive_chain",
+    "q_zorder_layout",
+    "q_snapshot_diff",
+    "q_outlier_iqr",
+    "q_join_salted",
+    "q_scalar_subquery",
+    "q_join_exists_correlated",
+    "q_explode_pos",
+    "q_unpivot",
+    "q_fn_nulls",
+    "q_fn_codec",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_simhash",
+    "q_llm_sim_knn_scale",
+    # -------- top-50 boundary: everything below is driver-green on an
+    # r3+ current-fixture check; relative order preserved. --------
     "q_llm_select_dsir",
     "q_llm_shard_plan",
     "q_llm_bpe_pairs",
@@ -128,25 +176,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_right",
     "q_join_full",
     "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_groupingsets",
-    "q_agg_having",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
     "q_scan_count",
     "q_scan_json_props",
     "q_set_union_all",
     "q_set_intersect",
-    # -------- top-50 boundary: everything below is driver-green on a
-    # current-fixture check or rows-only; relative order preserved. --------
     "q_llm_dedup_prefix",
     "q_llm_bm25_search",
     "q_llm_cluster_quality",
@@ -191,11 +224,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_project_rename",
     "q_filter_pred",
     "q_filter_branch",
-    "q_agg_filter_clause",
-    "q_agg_any_all",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_fn_struct",
     "q_dq_constraints",
     "q_stream_distinct_users",
     "q_win_sliding_distinct",
@@ -283,34 +311,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_llm_char_entropy",
-    "q_llm_dedup_minhash",
-    "q_llm_dedup_simhash",
-    "q_llm_sim_knn_scale",
-    "q_pivot",
-    "q_fn_bitwise",
-    "q_fn_regex",
-    "q_tpch_q4",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_llm_dedup_keep_best",
-    "q_agg_mode",
-    "q_win_share",
-    "q_multimodal_prune",
-    "q_llm_ann_recall",
-    "q_scalar_correlated",
-    "q_llm_dedup_fuzzy",
-    "q_recursive_chain",
-    "q_zorder_layout",
-    "q_snapshot_diff",
-    "q_outlier_iqr",
-    "q_join_salted",
-    "q_scalar_subquery",
-    "q_join_exists_correlated",
-    "q_explode_pos",
-    "q_unpivot",
-    "q_fn_nulls",
-    "q_fn_codec",
 )
 
 

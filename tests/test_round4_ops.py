@@ -299,12 +299,22 @@ def test_driver_priority_head_is_oracle_able():
     per round, and a rows-only query inside that prefix burns a slot on a
     structurally-ungreenable `no_oracle` row. Keep the head oracle-able —
     if a new rows-only query is deliberately prioritized, it must be
-    re-ordered below the top 50 or this pin updated consciously."""
+    re-ordered below the top 50 or this pin updated consciously.
+
+    Round-7 conscious exception (VERDICT r6 task #7): the three structurally
+    rows-only queries (xxhash64 MinHash/SimHash, MLlib LSH) have never had
+    ANY driver row; we spend 3 prefix slots ONCE to put their rows_match
+    evidence on record. Remove them from the head (and this allowance)
+    once CORRECTNESS_r07 lands."""
     from join_example_spark.registry import load_all
 
     reg = load_all()
     head = list(reg.items())[:50]
-    rows_only = [name for name, spec in head if spec.oracle is None]
+    allowed_once = {"q_llm_dedup_minhash", "q_llm_dedup_simhash", "q_llm_sim_knn_scale"}
+    rows_only = [
+        name for name, spec in head
+        if spec.oracle is None and name not in allowed_once
+    ]
     assert not rows_only, (
         f"rows-only queries inside the driver's top-50 prefix: {rows_only}"
     )
