@@ -138,7 +138,7 @@ def prefix_filter_pairs(
     # group (Jaccard is a set function, so same set => every downstream
     # number identical). groupBy on the array column is the proven cheap
     # form (a window PARTITION BY array sorts with an interpreted
-    # comparator — ~7x slower, CLAUDE.md round-5).
+    # comparator — ~7x slower, SCALE.md §3.4).
     keyed = toks.select("_id", F.array_sort("_toks").alias("_k"), "_toks")
     groups = keyed.groupBy("_k").agg(
         F.min("_id").alias("_gid"), F.count(F.lit(1)).alias("_m")

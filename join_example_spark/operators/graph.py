@@ -375,7 +375,7 @@ def bfs_distances(
     cyclic near-dup graphs; the min-relaxation form stays node-sized
     every round). ``dist`` is referenced twice per round (relax + union),
     so each round eager-localCheckpoints the node-sized frontier —
-    the sanctioned pattern (CLAUDE.md round-5: a twice-referenced
+    the sanctioned pattern (SCALE.md §3.4: a twice-referenced
     subplan re-executes its whole upstream otherwise). At 100 TB each
     round is one edge-key join plus one narrow (node, dist) shuffle.
     """

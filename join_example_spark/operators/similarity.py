@@ -253,6 +253,35 @@ def ivf_cells(
     )
 
 
+#: Calibration of the adaptive IVF dial: the audited operating point is
+#: nprobe=5 at C=45 (sf0.1 reps n=2000 — pair recall 0.85, SCALE.md §3.3),
+#: i.e. a probed fraction of 5/45 of the coarse cells. A FIXED nprobe
+#: probes a C⁻¹-shrinking fraction as the corpus grows, which is exactly
+#: the measured recall collapse (0.85 at n=2k → 0.37 at n=128k, §3.7b).
+NPROBE_FRAC = 5.0 / 45.0
+
+
+def adaptive_nprobe(n_reps: int, floor: int = 5, frac: float = NPROBE_FRAC) -> int:
+    """Derive the multi-probe dial from the observed rep count.
+
+    Holds the PROBED FRACTION of coarse cells constant at the audited
+    operating point: with C = ⌈√n⌉ centroids, ``nprobe = max(floor,
+    ⌈frac·C⌉)`` — 5 at every fixture SF (n ≤ 2000, bit-identical plans
+    and costs to the previously shipped constant), growing like √·√n
+    beyond it (40 at n=128k, where the fixed dial's recall fell to 0.37;
+    measured with the derived dial in SCALE.md §3.10). Candidate work
+    stays at the same order, n²·p²/(2C) = n^1.5·frac²/2 · √n → the
+    n^1.5-scaling generator the family already budgets for, now with
+    n-independent recall instead of n-independent probe count. The
+    ``floor`` keeps small corpora at the audited minimum rather than
+    letting ⌈frac·C⌉ drop below the calibrated point.
+    """
+    import math as _math
+
+    c = int(_math.ceil(_math.sqrt(max(n_reps, 1))))
+    return max(floor, int(_math.ceil(frac * c)))
+
+
 def ivf_candidate_pairs(
     emb: DataFrame,
     n_centroids: int,
@@ -443,7 +472,7 @@ def identity_reps(
 
 def identity_contracted_semantic_edges(
     emb: DataFrame,
-    nprobe: int = 5,
+    nprobe: int | None = None,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -491,6 +520,13 @@ def identity_contracted_semantic_edges(
     # the other √n operators.
     n_reps = reps.count()
     n_centroids = int(_math.ceil(_math.sqrt(max(n_reps, 1))))
+    # nprobe=None (the production default) derives the dial from the rep
+    # count — constant probed fraction, so recall no longer decays with n
+    # (SCALE.md §3.10). Identical to the old nprobe=5 constant at every
+    # fixture SF (n_reps ≤ 2000), so plans, oracles and bench costs are
+    # unchanged there.
+    if nprobe is None:
+        nprobe = adaptive_nprobe(n_reps)
     dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
     rep_edges = (
         ivf_candidate_pairs(
@@ -1210,7 +1246,7 @@ def semantic_ingest_verdicts(
     batch: DataFrame,
     corpus: DataFrame,
     threshold: float = 0.35,
-    nprobe: int = 5,
+    nprobe: int | None = None,
     n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1247,8 +1283,15 @@ def semantic_ingest_verdicts(
     import math
 
     corpus = identity_reps(corpus, id_col, vec_col)
-    if n_centroids is None:
-        n_centroids = int(math.ceil(math.sqrt(max(corpus.count(), 1))))
+    if n_centroids is None or nprobe is None:
+        # Scalar plan-build action sizing the index; the derived dial
+        # (nprobe=None default) is 5 at every fixture SF and holds the
+        # probed fraction constant past it (SCALE.md §3.10).
+        n_corpus = max(corpus.count(), 1)
+        if n_centroids is None:
+            n_centroids = int(math.ceil(math.sqrt(n_corpus)))
+        if nprobe is None:
+            nprobe = adaptive_nprobe(n_corpus)
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)

@@ -703,7 +703,9 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = identity_contracted_semantic_edges(emb, nprobe=5, threshold=0.35)
+    # nprobe=None -> adaptive_nprobe(n_reps): 5 at every fixture SF (same
+    # plan/cost/oracle), growing with the rep count past it (SCALE.md 3.10).
+    pairs = identity_contracted_semantic_edges(emb, threshold=0.35)
     return _semantic_cluster_reps(emb, pairs)
 
 
@@ -743,7 +745,9 @@ def q_llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = identity_contracted_semantic_edges(emb, nprobe=5, threshold=0.35)
+    # nprobe=None -> adaptive_nprobe(n_reps): 5 at every fixture SF (same
+    # plan/cost/oracle), growing with the rep count past it (SCALE.md 3.10).
+    pairs = identity_contracted_semantic_edges(emb, threshold=0.35)
     labels = connected_components_star(
         emb.select("vec_id"),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

@@ -231,13 +231,21 @@ FROM j
 def q_llm_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from join_example_spark.operators.similarity import ivf_candidate_pairs
+    from join_example_spark.operators.similarity import (
+        adaptive_nprobe,
+        ivf_candidate_pairs,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
     # Scalar plan-build action, same class as the CC convergence witness.
-    n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    n = emb.count()
+    n_centroids = int(math.ceil(math.sqrt(n)))
+    # The derived dial == 5 at every fixture SF (so the arn <= 5 oracle
+    # pins exactly this operating point); past n ~ 2025 it grows with
+    # ceil(sqrt(n)) to hold the probed fraction — the audit instrument
+    # now measures the SAME schedule production semantic dedup runs.
     cand = (
-        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=5)
+        ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=adaptive_nprobe(n))
         .where(F.col("id_a") % 10 == 0)
         .select("id_a", "id_b", F.lit(1).alias("hit"))
     )
@@ -951,7 +959,11 @@ def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from join_example_spark.operators.similarity import _by_cell, identity_reps
+    from join_example_spark.operators.similarity import (
+        _by_cell,
+        adaptive_nprobe,
+        identity_reps,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
     train = emb.where(F.col("vec_id") % 7 != 0)
@@ -963,7 +975,12 @@ def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_g = train.select("vec_id", "embedding").join(tgrp, "embedding")
     ereps = identity_reps(emb.where(F.col("vec_id") % 7 == 0))
     # Scalar plan-build action, same class as the CC convergence witness.
-    n_centroids = int(math.ceil(math.sqrt(max(treps.count(), 1))))
+    n_treps = max(treps.count(), 1)
+    n_centroids = int(math.ceil(math.sqrt(n_treps)))
+    # Derived dial == 5 at every fixture SF (oracle pins arn <= 5 at the
+    # fixture operating point); grows with ceil(sqrt(n)) past it so the
+    # probed fraction — and the measured contamination recall — holds.
+    nprobe = adaptive_nprobe(n_treps)
     cents = (
         treps.orderBy("vec_id")
         .limit(n_centroids)
@@ -979,7 +996,7 @@ def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.crossJoin(F.broadcast(cents))
             .withColumn("csim", F.round(cdot, 4))
             .withColumn("arn", F.row_number().over(w))
-            .where(F.col("arn") <= 5)
+            .where(F.col("arn") <= nprobe)
             .select(
                 F.col("vec_id").alias(out_id),
                 F.col("embedding").alias(out_vec),

@@ -67,6 +67,33 @@ def test_unrolled_templates_bit_identical_to_fold(spark, tmpl_new, tmpl_old):
     assert out.count() == 0
 
 
+def test_adaptive_nprobe_schedule():
+    """The derived dial must (a) equal the previously shipped constant 5 at
+    every fixture rep count — plans, costs and oracles unchanged there —
+    (b) be monotone in n, and (c) hold the probed fraction at the audited
+    operating point past the calibration size (40 at the 128k tier where
+    the fixed dial's recall fell to 0.37, SCALE.md §3.7b/§3.10)."""
+    import math
+
+    from join_example_spark.operators.similarity import NPROBE_FRAC, adaptive_nprobe
+
+    # fixture rep counts: embeddings are 500/500/2000 at the three SFs
+    assert adaptive_nprobe(500) == 5
+    assert adaptive_nprobe(2000) == 5
+    assert adaptive_nprobe(1) == 5
+    # 64x tier from SCALE.md §3.7b: n=128000, C=358 -> ceil(358/9)=40
+    assert adaptive_nprobe(128_000) == 40
+    # monotone + constant probed fraction above the floor
+    prev = 0
+    for n in (10, 100, 1000, 2025, 10_000, 128_000, 1_000_000, 10_000_000):
+        p = adaptive_nprobe(n)
+        assert p >= prev
+        prev = p
+        c = math.ceil(math.sqrt(n))
+        assert p >= NPROBE_FRAC * c - 1e-9
+        assert p <= max(5, NPROBE_FRAC * c + 1)
+
+
 def test_unrolled_dot_handles_null_arrays(spark):
     df = spark.createDataFrame(
         [(1, None, [1.0, 2.0]), (2, [1.0, 2.0], None), (3, None, None)],
