@@ -57,7 +57,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from join_example_spark.operators.similarity import D2_SQL, DOT_SQL
+from join_example_spark.operators.similarity import D2_SQL, DOT_SQL, dot_sql_for
 
 
 def _cells_and_admissible(reps: DataFrame, thr_d: float) -> tuple[DataFrame, DataFrame]:
@@ -201,8 +201,10 @@ def cosine_lossless_pairs(
         rb = reps.select(
             "_blk", F.col("_id").alias("id_b"), F.col("_vec").alias("_pvb")
         )
+        # Unrolled-codegen verify (guarded, fold fallback for non-64
+        # dims) -- the quadratic verify is fold-bound (SCALE.md 3.10).
         sim_small = F.round(
-            F.expr(DOT_SQL.format(a="_pva", b="_pvb")), round_digits
+            F.expr(dot_sql_for(64).format(a="_pva", b="_pvb")), round_digits
         )
         rep_pairs_small = (
             ra.join(F.broadcast(rb), "_blk")
@@ -227,7 +229,8 @@ def cosine_lossless_pairs(
         "_blk", F.col("_cell").alias("_cb"), F.col("_id").alias("id_b"),
         F.col("_vec").alias("_pvb"),
     )
-    sim = F.round(F.expr(DOT_SQL.format(a="_pva", b="_pvb")), round_digits)
+    # Same unrolled-codegen verify as the broadcast path above.
+    sim = F.round(F.expr(dot_sql_for(64).format(a="_pva", b="_pvb")), round_digits)
     rep_pairs = (
         pa.join(F.broadcast(adm), ["_blk", "_ca"])
         .repartition(n_shuf, "_blk", "_cb")

@@ -33,14 +33,14 @@ D2_FOLD_SQL = (
 )
 
 
-def _static_unroll(kind: str, dims: tuple[int, ...] = (64, 32, 16)) -> str:
-    """Size-dispatched statically-unrolled fold template.
+def _static_unroll(kind: str, dim: int) -> str:
+    """Single-dim statically-unrolled fold template (two branches: the
+    unrolled chain when both arrays have exactly ``dim`` elements, else
+    the original fold).
 
     Spark evaluates higher-order ``AGGREGATE``/``ZIP_WITH`` folds in the
     interpreter, OUTSIDE whole-stage codegen (measured ~0.65–1.2 µs per
-    64-dim pair, SCALE.md §3.4) — on local[32] the fold IS the hot loop of
-    every assignment/scoring subplan. For the statically-known fixture
-    dims (64 full vectors, 32 IMI halves, 16 PQ subvectors) the same sum
+    64-dim pair, SCALE.md §3.4). For a statically-known dim the same sum
     written as an explicit left-associated chain
     ``0.0 + t0 + t1 + … + t{d-1}`` compiles into whole-stage codegen and
     runs ~3× faster (measured round 7: 2.26 s → 0.78 s for 400 k 64-dim
@@ -51,11 +51,18 @@ def _static_unroll(kind: str, dims: tuple[int, ...] = (64, 32, 16)) -> str:
     with the same ``CAST(0.0 AS DOUBLE)`` seed (kept so a leading ``-0.0``
     term cannot flip the sign of a zero result), so every partial sum is
     the identical IEEE operation sequence. Arrays whose runtime size is
-    not one of ``dims`` (or NULL) take the ELSE branch — the original
-    fold — so semantics are unchanged for every input. IMPORTANT for
-    callers: ``{a}``/``{b}`` are interpolated ~2·dim times, so pass plain
-    column references, never computed expressions (pre-project slices —
-    see ``imi_cells``).
+    not ``dim`` (or NULL) take the ELSE branch — the original fold — so
+    semantics are unchanged for every input.
+
+    USE SPARINGLY — this is NOT the default template, on measurement (the
+    round-7 full-suite experiment, SCALE.md §3.10): the big tree costs
+    ~0.5–1.5 s of Catalyst/Janino work PER STAGE that contains it, paid on
+    every single-shot query run. It wins only where the runtime fold count
+    in one stage is large (≳10⁶ pairs: PQ code assignment, candidate-pair
+    verify); in low-volume multi-stage plans (IVF probes, decontamination
+    assigns) it measured a net 3–5× REGRESSION. Callers must pass plain
+    column operands (``{a}``/``{b}`` are interpolated ~2·dim times) —
+    pre-project slices first, see ``imi_cells``.
     """
     if kind == "dot":
         def term(i: int) -> str:
@@ -68,19 +75,37 @@ def _static_unroll(kind: str, dims: tuple[int, ...] = (64, 32, 16)) -> str:
                 f" * (CAST({{a}}[{i}] AS DOUBLE) - CAST({{b}}[{i}] AS DOUBLE))"
             )
         fold = D2_FOLD_SQL
-    branches = " ".join(
-        f"WHEN size({{a}}) = {d} AND size({{b}}) = {d}"
-        " THEN CAST(0.0 AS DOUBLE) + " + " + ".join(term(i) for i in range(d))
-        for d in dims
+    chain = "CAST(0.0 AS DOUBLE) + " + " + ".join(term(i) for i in range(dim))
+    return (
+        f"CASE WHEN size({{a}}) = {dim} AND size({{b}}) = {dim}"
+        f" THEN {chain} ELSE {fold} END"
     )
-    return f"CASE {branches} ELSE {fold} END"
 
 
-#: Drop-in templates used by every similarity/dedup/ANN call site. Same
-#: results bit-for-bit as the folds above (pinned by tests), but inside
-#: whole-stage codegen for the fixture dims.
-DOT_SQL = _static_unroll("dot")
-D2_SQL = _static_unroll("d2")
+_UNROLL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def dot_sql_for(dim: int) -> str:
+    """Unrolled-dot template for a known dim — hot-site opt-in (see
+    :func:`_static_unroll` for when this pays and when it does not)."""
+    key = ("dot", dim)
+    if key not in _UNROLL_CACHE:
+        _UNROLL_CACHE[key] = _static_unroll("dot", dim)
+    return _UNROLL_CACHE[key]
+
+
+def d2_sql_for(dim: int) -> str:
+    """Unrolled-squared-L2 template for a known dim (same contract)."""
+    key = ("d2", dim)
+    if key not in _UNROLL_CACHE:
+        _UNROLL_CACHE[key] = _static_unroll("d2", dim)
+    return _UNROLL_CACHE[key]
+
+
+#: Default templates — the interpreted folds. Cheap to plan/compile;
+#: the unrolled variants above are opt-in for measured fold-bound stages.
+DOT_SQL = DOT_FOLD_SQL
+D2_SQL = D2_FOLD_SQL
 
 
 def cosine_topk(
@@ -527,7 +552,10 @@ def identity_contracted_semantic_edges(
     # unchanged there.
     if nprobe is None:
         nprobe = adaptive_nprobe(n_reps)
-    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    # Unrolled-codegen verify dot: candidate volume is ~n^1.5·p²/2 pairs
+    # (≥1M at sf0.1) — fold-bound, the other measured unroll-win site.
+    # Guarded: a non-64-dim corpus falls back to the fold, same bits.
+    dot = F.expr(dot_sql_for(64).format(a="vec_a", b="vec_b"))
     rep_edges = (
         ivf_candidate_pairs(
             reps, n_centroids=n_centroids, nprobe=nprobe,
@@ -907,7 +935,11 @@ def pq_assignments(
         "sub",
         F.expr(f"slice({vec_col}, sub * {sub_dim} + 1, {sub_dim})").alias("v_sub"),
     )
-    d2 = F.expr(D2_SQL.format(a="v_sub", b="cb_sub"))
+    # Unrolled-codegen distance: n·n_sub·n_codes folds is THE dominant cost
+    # of every PQ consumer (~2M+ per query at sf0.1) — the measured case
+    # where the unroll's per-stage compile cost pays for itself 3-5x over
+    # (SCALE.md §3.10). Bit-identical to D2_SQL (guarded, fold fallback).
+    d2 = F.expr(d2_sql_for(sub_dim).format(a="v_sub", b="cb_sub"))
     return (
         vs.join(F.broadcast(cbs), "sub")
         .withColumn("d2r", F.round(d2, round_digits))

@@ -17,9 +17,9 @@ import pytest
 
 from join_example_spark.operators.similarity import (
     D2_FOLD_SQL,
-    D2_SQL,
     DOT_FOLD_SQL,
-    DOT_SQL,
+    d2_sql_for,
+    dot_sql_for,
 )
 
 
@@ -52,7 +52,15 @@ def _vec_rows(dims, per_dim=40, seed=11):
     return rows
 
 
-@pytest.mark.parametrize("tmpl_new,tmpl_old", [(DOT_SQL, DOT_FOLD_SQL), (D2_SQL, D2_FOLD_SQL)])
+@pytest.mark.parametrize(
+    "tmpl_new,tmpl_old",
+    [
+        (dot_sql_for(64), DOT_FOLD_SQL),
+        (dot_sql_for(16), DOT_FOLD_SQL),
+        (d2_sql_for(64), D2_FOLD_SQL),
+        (d2_sql_for(16), D2_FOLD_SQL),
+    ],
+)
 def test_unrolled_templates_bit_identical_to_fold(spark, tmpl_new, tmpl_old):
     rows = _vec_rows(dims=(7, 16, 32, 64))
     df = spark.createDataFrame(rows, "rid long, va array<float>, vb array<float>")
@@ -100,7 +108,7 @@ def test_unrolled_dot_handles_null_arrays(spark):
         "rid long, va array<float>, vb array<float>",
     )
     out = df.select(
-        F.expr(DOT_SQL.format(a="va", b="vb")).alias("new"),
+        F.expr(dot_sql_for(64).format(a="va", b="vb")).alias("new"),
         F.expr(DOT_FOLD_SQL.format(a="va", b="vb")).alias("old"),
     )
     rows = out.collect()
