@@ -626,6 +626,40 @@ def ivf_topk(
 _IMI_BASE = 1024
 
 
+#: IMI dial calibration: the shipped audited operating point is
+#: (nprobe_half=4, nprobe_cells=8) at c_per_half(2000)=13 — 8 of the 169
+#: product cells probed (4.7%). §3.7b measured the FIXED (4, 8) dial's
+#: probed fraction shrinking as C⁻² ∝ n^(-2/3), with recall falling
+#: faster than flat IVF's (0.21 at n=128k).
+IMI_T_FRAC = 8.0 / 169.0
+
+
+def adaptive_imi_dials(
+    n_reps: int,
+    t_floor: int = 8,
+    p_floor: int = 4,
+    frac: float = IMI_T_FRAC,
+) -> tuple[int, int]:
+    """Derive the IMI dials ``(nprobe_half, nprobe_cells)`` from the
+    observed rep count — the product-index twin of :func:`adaptive_nprobe`.
+
+    Holds the probed fraction of PRODUCT cells at the audited operating
+    point: ``T = max(t_floor, ⌈frac·C²⌉)`` with C = ``imi_c_per_half(n)``,
+    and ``p = max(p_floor, ⌈√T⌉)`` (the per-half beam must satisfy
+    p² ≥ T for the top-T product selection to have T candidates).
+    Equal to the shipped constants (4, 8) at every fixture SF (n ≤ 2000:
+    identical plans, costs, oracles); at n=128k → (12, 124), where the
+    fixed dial's pair recall fell to 0.21 (§3.7b). Measured with the
+    derived dials in SCALE.md §3.10b.
+    """
+    import math as _math
+
+    c = imi_c_per_half(n_reps)
+    t = max(t_floor, int(_math.ceil(frac * c * c)))
+    p = max(p_floor, int(_math.ceil(_math.sqrt(t))))
+    return p, t
+
+
 def imi_c_per_half(n: int) -> int:
     """The IMI codebook sizing rule: the smallest integer C with C³ ≥ n
     (floored at 4) — i.e. ⌈∛n⌉ computed in EXACT integer arithmetic.
@@ -821,8 +855,8 @@ def imi_topk(
 
 def identity_contracted_imi_edges(
     emb: DataFrame,
-    nprobe_half: int = 4,
-    nprobe_cells: int = 8,
+    nprobe_half: int | None = None,
+    nprobe_cells: int | None = None,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -846,6 +880,14 @@ def identity_contracted_imi_edges(
     reps = g.where(F.col(id_col) == F.col("gid")).select(id_col, vec_col)
     n_reps = reps.count()
     c_per_half = imi_c_per_half(n_reps)
+    # None (the production default) derives the dials from the rep count —
+    # constant probed fraction of product cells, (4, 8) at every fixture
+    # SF (SCALE.md §3.10b). Explicit values stay explicit (audit variants).
+    d_p, d_t = adaptive_imi_dials(n_reps)
+    if nprobe_half is None:
+        nprobe_half = d_p
+    if nprobe_cells is None:
+        nprobe_cells = d_t
     dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
     rep_edges = (
         imi_candidate_pairs(

@@ -679,7 +679,7 @@ WHERE rn = 1
     "vectors first collapse to their lowest-id representative (exact "
     "dedup ALWAYS precedes near-dedup in production — one hash shuffle), "
     "then edge candidates come from multi-probe IVF over the DISTINCT "
-    "reps (ceil(sqrt(n_reps)) centroids, nprobe=5 multi-assignment "
+    "reps (ceil(sqrt(n_reps)) centroids, ADAPTIVE nprobe multi-assignment "
     "blocking — pair work n_reps^1.5*p^2, never all-pairs) with the exact "
     "rounded dot >= 0.35 as verify; identity edges (gid -> member) "
     "reconnect duplicates, then O(log n) star-contraction connected "
@@ -689,7 +689,11 @@ WHERE rn = 1
     "preserves the component structure while making the adversarial "
     "duplicate-saturated regime (the 8x probe: 8 exact copies of "
     "everything) collapse to the distinct-corpus cost instead of paying "
-    "8^1.5 in candidates. nprobe=5 is the AUDITED operating point (pair "
+    "8^1.5 in candidates. The dial derives from the rep count "
+    "(adaptive_nprobe: ==5 at every fixture SF, probed-fraction-constant "
+    "past it -- recall held 0.995/1.0 at the 16k/128k tiers where the "
+    "fixed dial fell to 0.58/0.37, SCALE.md 3.10). nprobe=5 is the "
+    "AUDITED fixture operating point (pair "
     "recall 0.97/0.85 vs 0.34-0.37 at nprobe=2 — material: 726 vs 71 "
     "clusters at sf0.1; the 0.35 threshold sits in the near-orthogonal "
     "hard regime with NO high-sim easy band). Cheaper dials remain "
@@ -1266,8 +1270,10 @@ def q_llm_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.similarity import identity_contracted_imi_edges
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # Dials derive from the rep count (== (4, 8) at every fixture SF,
+    # growing to hold the probed product-cell fraction — SCALE.md 3.10b).
     pairs = identity_contracted_imi_edges(
-        emb, nprobe_half=4, nprobe_cells=8, threshold=0.35
+        emb, threshold=0.35
     )
     return _semantic_cluster_reps(emb, pairs)
 

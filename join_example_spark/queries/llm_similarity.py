@@ -424,16 +424,22 @@ FROM j
 )
 def q_llm_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.similarity import (
+        adaptive_imi_dials,
         imi_c_per_half,
         imi_candidate_pairs,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
     # Scalar plan-build action (sizes the codebooks), same class as the
-    # other √n/∛n operators.
-    c_per_half = imi_c_per_half(emb.count())
+    # other √n/∛n operators. The derived dials == (4, 8) at every fixture
+    # SF (the oracle pins exactly that operating point); past it they grow
+    # to hold the probed product-cell fraction, so this audit measures the
+    # SAME schedule the production IMI variant runs (SCALE.md §3.10b).
+    n = emb.count()
+    c_per_half = imi_c_per_half(n)
+    d_p, d_t = adaptive_imi_dials(n)
     cand = (
-        imi_candidate_pairs(emb, c_per_half, nprobe_half=4, nprobe_cells=8)
+        imi_candidate_pairs(emb, c_per_half, nprobe_half=d_p, nprobe_cells=d_t)
         .where(F.col("id_a") % 10 == 0)
         .select("id_a", "id_b", F.lit(1).alias("hit"))
     )

@@ -102,6 +102,34 @@ def test_adaptive_nprobe_schedule():
         assert p <= max(5, NPROBE_FRAC * c + 1)
 
 
+def test_adaptive_imi_dials_schedule():
+    """IMI twin of the nprobe schedule: equal to the shipped (4, 8) at
+    every fixture rep count, monotone, probed product-cell fraction held
+    at the audited 8/169 point past the calibration size, and p² ≥ T
+    always (the top-T product selection needs p² candidates)."""
+    import math
+
+    from join_example_spark.operators.similarity import (
+        IMI_T_FRAC,
+        adaptive_imi_dials,
+        imi_c_per_half,
+    )
+
+    assert adaptive_imi_dials(500) == (4, 8)
+    assert adaptive_imi_dials(2000) == (4, 8)
+    assert adaptive_imi_dials(1) == (4, 8)
+    # 64x tier: C=51 (51^3 >= 128000), cells=2601 -> T=ceil(8/169*2601)=124
+    assert adaptive_imi_dials(128_000) == (12, 124)
+    prev_t = 0
+    for n in (10, 1000, 2197, 16_000, 128_000, 1_000_000):
+        p, t = adaptive_imi_dials(n)
+        assert t >= prev_t
+        prev_t = t
+        assert p * p >= t
+        c = imi_c_per_half(n)
+        assert t >= IMI_T_FRAC * c * c - 1e-9
+
+
 def test_unrolled_dot_handles_null_arrays(spark):
     df = spark.createDataFrame(
         [(1, None, [1.0, 2.0]), (2, [1.0, 2.0], None), (3, None, None)],

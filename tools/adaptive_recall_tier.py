@@ -5,6 +5,10 @@ n=128k for nprobe=5).
 
 Usage:  python tools/adaptive_recall_tier.py            # 8x and 64x tiers
 Env:    SPARK_GRAFT_PROBE_COPIES=N[,M...]               # tier multipliers
+        SPARK_GRAFT_PROBE_IMI=1                         # also measure the
+                                                        # IMI fixed (4,8) vs
+                                                        # adaptive_imi_dials
+                                                        # schedules
 
 Protocol (same ground truth as tools/imi_recall_tier.py: exact rounded dots
 of a deterministic 1% probe sample against the whole corpus, sim >= 0.35).
@@ -41,9 +45,14 @@ def main() -> None:
     from join_example_spark.conf import ensure_session_confs
     from join_example_spark.operators.similarity import (
         DOT_SQL,
+        adaptive_imi_dials,
         adaptive_nprobe,
+        imi_c_per_half,
+        imi_cells,
         ivf_cells,
     )
+
+    do_imi = os.environ.get("SPARK_GRAFT_PROBE_IMI", "") == "1"
 
     spark = (
         SparkSession.builder.master(
@@ -95,10 +104,33 @@ def main() -> None:
         n_true = truth.count()
         print(f"tier {copies}x: n={n} C={c} true_pairs={n_true}", file=sys.stderr)
 
-        for dial_name, p in (("fixed", 5), ("adaptive", adaptive_nprobe(n))):
+        configs = [
+            ("ivf_fixed", lambda b: ivf_cells(b, n_centroids=c, nprobe=5), {"nprobe": 5}),
+            (
+                "ivf_adaptive",
+                lambda b: ivf_cells(b, n_centroids=c, nprobe=adaptive_nprobe(n)),
+                {"nprobe": adaptive_nprobe(n)},
+            ),
+        ]
+        if do_imi:
+            ch = imi_c_per_half(n)
+            dp, dt = adaptive_imi_dials(n)
+            configs += [
+                (
+                    "imi_fixed",
+                    lambda b: imi_cells(b, c_per_half=ch, nprobe_half=4, nprobe_cells=8),
+                    {"c_per_half": ch, "p": 4, "T": 8},
+                ),
+                (
+                    "imi_adaptive",
+                    lambda b: imi_cells(b, c_per_half=ch, nprobe_half=dp, nprobe_cells=dt),
+                    {"c_per_half": ch, "p": dp, "T": dt},
+                ),
+            ]
+        for dial_name, mk_cells, dial_info in configs:
             t0 = time.perf_counter()
             cell_sets = (
-                ivf_cells(big, n_centroids=c, nprobe=p)
+                mk_cells(big)
                 .groupBy("vec_id")
                 .agg(F.collect_set("cell").alias("cells"))
                 .localCheckpoint(eager=True)
@@ -128,18 +160,19 @@ def main() -> None:
                 .agg(F.sum(F.expr("o * o")).alias("w"))
                 .collect()[0]["w"]
             )
-            dt = round(time.perf_counter() - t0, 1)
+            secs = round(time.perf_counter() - t0, 1)
             rec = round(hits / max(n_true, 1), 4)
             results[f"{copies}x_{dial_name}"] = {
                 "n": n,
                 "C": c,
-                "nprobe": p,
+                **dial_info,
                 "recall_pairs": rec,
                 "work_pairs": int(occ // 2),
-                "assign_plus_audit_sec": dt,
+                "assign_plus_audit_sec": secs,
             }
             print(
-                f"  {dial_name} p={p}: recall={rec} work_pairs={occ // 2:,} ({dt}s)",
+                f"  {dial_name} {dial_info}: recall={rec}"
+                f" work_pairs={occ // 2:,} ({secs}s)",
                 file=sys.stderr,
             )
 
