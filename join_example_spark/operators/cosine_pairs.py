@@ -131,6 +131,140 @@ def _cells_and_admissible(reps: DataFrame, thr_d: float) -> tuple[DataFrame, Dat
     return asg, adm
 
 
+#: Product-cell packing base: half-cell indexes are dense ROW_NUMBER ranks
+#: (1..C_half, C_half ≤ 1024 at any plausible block size), so
+#: ``c1 * 2^20 + c2`` is collision-free in a BIGINT.
+_PROD_BASE = 1 << 20
+
+
+def _cells_and_admissible_imi(
+    reps: DataFrame, thr_d: float, half_dim: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level (product-cell) replacement for
+    :func:`_cells_and_admissible` — the remedy SCALE.md §3.7 names for the
+    COVERAGE-BOUND regime of the flat index: with K natural clusters and
+    only C = ⌈√n⌉ flat cells, K > C forces every cell to mix clusters, its
+    covering radius blows up to inter-cluster scale, and the triangle
+    bound admits everything.
+
+    Design (two separable ideas, both load-bearing):
+
+    1. **Product-cell PARTITIONING** (Babenko–Lempitsky inverted
+       multi-index): each rep is assigned per half (dims [1..half_dim] /
+       the rest) to its nearest of the block's ⌈∛n⌉ lowest-id half-
+       codebook entries — C_h² = n^{2/3} effective cells for 2·n·C_h =
+       O(n^{4/3}) assignment dots, so up to ~n^{2/3} clusters get their
+       own cell (vs √n for flat at the same assignment budget).
+    2. **Full-space MEMBER ANCHORS for the bound.** Naive per-half radii
+       are themselves coverage-bound (the half-codebook has only C_h
+       entries, fewer than the clusters' half-projections — measured: the
+       per-half bound admitted 100% on the K=48/n=512 geometry). Instead
+       each OCCUPIED product cell anchors at its lowest-id member's
+       actual vector; r_A = max over members of d(x, anchor_A) (full
+       space). When clusters are tight, cell ≈ cluster and r_A ≈ cluster
+       diameter regardless of how far the half-codebook entries sit. The
+       admissibility test is then the plain triangle bound between
+       anchors: ``d(anchor_A, anchor_B) − r_A − r_B ≤ thr_d``.
+
+    Losslessness: members of A lie within r_A of anchor_A by
+    construction, so for x∈A, y∈B the triangle inequality gives
+    ``d(x,y) ≥ D(A,B) − r_A − r_B`` — any cell pair failing the test can
+    contain no qualifying pair; every filter over-approximates and the
+    verify is the same exact fold, hence output == naive join (the same
+    per-row oracle proves it). Cost: anchor distances are |occ|² ≤ C_h⁴ =
+    O(n^{4/3}) tiny rows per block — same order as assignment.
+
+    Returns the SAME shapes as the flat variant — ``asg``:
+    ``(_blk, _id, _cell)`` (each rep in exactly ONE product cell: no pair
+    dedup downstream), ``adm``: ``(_blk, _ca, _cb)`` ordered admissible
+    cell pairs — so the caller's member join is front-end-agnostic.
+    """
+    lo = F.expr(f"slice(_vec, 1, {half_dim})")
+    hi = F.expr(f"slice(_vec, {half_dim + 1}, {half_dim})")
+
+    # Per-block half-codebooks: the ⌈∛n_block⌉ lowest-id reps (float pow
+    # sizing is safe here for the same reason as the flat ceil(sqrt):
+    # codebook size shapes COST only, never output). Dense _cidx ranks
+    # make the product key packable.
+    cnt = reps.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    cw = Window.partitionBy("_blk").orderBy("_id")
+    cents = (
+        reps.select("_blk", "_id")
+        .withColumn("_rn", F.row_number().over(cw))
+        .join(F.broadcast(cnt), "_blk")
+        .where(F.col("_rn") <= F.ceil(F.pow(F.col("_n").cast("double"), F.lit(1.0 / 3.0))))
+        .join(reps, ["_blk", "_id"])
+        .select(
+            "_blk",
+            F.col("_rn").alias("_cidx"),
+            lo.alias("_cv1"),
+            hi.alias("_cv2"),
+        )
+    )
+
+    # ONE broadcast pass assigns BOTH halves: per (rep, codebook entry)
+    # compute both half-distances, then two MIN(STRUCT) argmins in one
+    # aggregate; the packed product key is the cell.
+    d2_1 = F.expr(D2_SQL.format(a="_v1", b="_cv1"))
+    d2_2 = F.expr(D2_SQL.format(a="_v2", b="_cv2"))
+    halves = reps.select("_blk", "_id", lo.alias("_v1"), hi.alias("_v2"))
+    asg = (
+        halves.join(F.broadcast(cents), "_blk")
+        .select("_blk", "_id", "_cidx", d2_1.alias("_e1"), d2_2.alias("_e2"))
+        .groupBy("_blk", "_id")
+        .agg(
+            F.min(F.struct(F.col("_e1"), F.col("_cidx"))).alias("_s1"),
+            F.min(F.struct(F.col("_e2"), F.col("_cidx"))).alias("_s2"),
+        )
+        .select(
+            "_blk",
+            "_id",
+            (F.col("_s1._cidx") * _PROD_BASE + F.col("_s2._cidx")).alias("_cell"),
+        )
+    )
+
+    # Full-space member anchors: lowest-id member's vector per occupied
+    # cell (narrow MIN agg + one join-back by id — never a window over
+    # the array column), then covering radii around the anchor.
+    av = asg.join(reps, ["_blk", "_id"])
+    anchors = (
+        asg.groupBy("_blk", "_cell")
+        .agg(F.min("_id").alias("_aid"))
+        .join(
+            reps.select("_blk", F.col("_id").alias("_aid"), F.col("_vec").alias("_avec")),
+            ["_blk", "_aid"],
+        )
+        .select("_blk", "_cell", "_avec")
+    )
+    d2_anchor = F.expr(D2_SQL.format(a="_vec", b="_avec"))
+    rad = (
+        av.join(F.broadcast(anchors), ["_blk", "_cell"])
+        .select("_blk", "_cell", d2_anchor.alias("_d2"))
+        .groupBy("_blk", "_cell")
+        .agg(F.max(F.sqrt(F.greatest(F.col("_d2"), F.lit(0.0)))).alias("_r"))
+    )
+
+    # Triangle-bound admissibility between anchors of occupied cells
+    # (|occ|² ≤ C_h⁴ tiny rows; both orders kept — symmetric bound,
+    # matching the flat contract).
+    aa = anchors.join(rad, ["_blk", "_cell"]).select(
+        "_blk", F.col("_cell").alias("_ca"), F.col("_avec").alias("_va"),
+        F.col("_r").alias("_ra"),
+    )
+    bb = anchors.join(rad, ["_blk", "_cell"]).select(
+        "_blk", F.col("_cell").alias("_cb"), F.col("_avec").alias("_vb"),
+        F.col("_r").alias("_rb"),
+    )
+    cdist = F.sqrt(F.greatest(F.expr(D2_SQL.format(a="_va", b="_vb")), F.lit(0.0)))
+    adm = (
+        aa.join(bb, "_blk")
+        .select("_blk", "_ca", "_cb", "_ra", "_rb", cdist.alias("_D"))
+        .where(F.col("_D") - F.col("_ra") - F.col("_rb") <= F.lit(thr_d))
+        .select("_blk", "_ca", "_cb")
+    )
+    return asg, adm
+
+
 def cosine_lossless_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -139,6 +273,7 @@ def cosine_lossless_pairs(
     vec_col: str = "embedding",
     round_digits: int = 4,
     index_min_reps: int = 4096,
+    index_kind: str = "flat",
 ) -> DataFrame:
     """All pairs with ``ROUND(dot, round_digits) >= threshold`` (within
     ``block_col`` blocks; ``None`` = one global block), id_a < id_b.
@@ -156,7 +291,17 @@ def cosine_lossless_pairs(
     engages automatically at scale, where it is the whole point; 0 forces
     it on (tests/probes of the index path). Both paths share the identity
     contraction and expansion, and the certificate is path-independent.
+
+    ``index_kind``: ``"flat"`` (default — ⌈√n⌉ flat cells) or ``"imi"``
+    (⌈∛n⌉-per-half product cells, :func:`_cells_and_admissible_imi`) —
+    the lossless front end for the COVERAGE-BOUND regime where the
+    cluster count exceeds the flat cell count and the flat triangle bound
+    admits everything (SCALE.md §3.7 / §3.10c). Output is identical
+    either way (both bounds over-approximate; the verify is the same
+    exact fold) — only the pruning power and index cost differ.
     """
+    if index_kind not in ("flat", "imi"):
+        raise ValueError(f"index_kind must be 'flat' or 'imi', got {index_kind!r}")
     # Soundness margin: a pair qualifies iff ROUND(sim, r) >= tau, i.e.
     # sim >= tau - 0.5*10^-r. Budget a full 10^-r for that plus float32
     # norm deviation (||v||^2 within ~2.4e-7 of 1) and the ~1e-14 fold
@@ -214,7 +359,8 @@ def cosine_lossless_pairs(
         )
         return _expand_members(rep_pairs_small, members, reps, threshold)
 
-    asg, adm = _cells_and_admissible(reps.select("_blk", "_id", "_vec"), thr_d)
+    front = _cells_and_admissible if index_kind == "flat" else _cells_and_admissible_imi
+    asg, adm = front(reps.select("_blk", "_id", "_vec"), thr_d)
     # -- candidates: members of admitted cell pairs. The only exchange with
     # quadratic fan-out — pin it on the cell key on BOTH sides so AQE's
     # byte-based coalescing cannot collapse the pair generation.

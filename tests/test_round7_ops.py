@@ -130,6 +130,111 @@ def test_adaptive_imi_dials_schedule():
         assert t >= IMI_T_FRAC * c * c - 1e-9
 
 
+def _grid_rows(seed, G=8, n=512, half=32, noise=0.02):
+    """G×G = 64 clusters with PRODUCT structure: centers are (u_i, w_j)
+    prototype combinations — the geometry where a product index genuinely
+    beats a flat one (real multi-factor embedding spaces: topic × style,
+    source × language). The first G rows sit on the diagonal (u_i, w_i)
+    so the lowest-id half-codebooks span all G prototypes per half."""
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=(G, half))
+    u /= np.linalg.norm(u, axis=1, keepdims=True) * np.sqrt(2.0)
+    w = rng.normal(size=(G, half))
+    w /= np.linalg.norm(w, axis=1, keepdims=True) * np.sqrt(2.0)
+    rows = []
+    for i in range(n):
+        # diagonal first (codebook spans all prototypes), then a full
+        # row-major sweep over all G*G combos
+        gi, gj = (i, i) if i < G else (i % G, (i // G) % G)
+        v = np.concatenate([u[gi], w[gj]]) + noise * rng.normal(size=2 * half)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v.astype(np.float32)], 0))
+    return rows
+
+
+def _mk_emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_imi_front_end_lossless_and_prunes_coverage_bound_regime(spark):
+    """The coverage-bound regime (SCALE.md §3.7): K = 64 product-structured
+    clusters with only ⌈√512⌉ = 23 flat cells — every flat cell mixes
+    clusters, its radius blows up to inter-cluster scale, and the flat
+    triangle bound admits ~every cell pair. The product front end's
+    ⌈∛512⌉² = 64 cells align with the grid structure, so it must (a)
+    produce EXACTLY the naive join's rows (losslessness is front-end-
+    independent) and (b) admit a far smaller cell-pair fraction."""
+    from join_example_spark.operators.cosine_pairs import (
+        _cells_and_admissible,
+        _cells_and_admissible_imi,
+        cosine_lossless_pairs,
+    )
+    from join_example_spark.operators.similarity import cosine_near_pairs_naive
+
+    import math
+
+    rows = _grid_rows(seed=19, G=8, n=512, half=32, noise=0.02)
+    emb = _mk_emb(spark, rows)
+    thr = 0.8
+
+    got = cosine_lossless_pairs(
+        emb, threshold=thr, block_col=None, index_min_reps=0, index_kind="imi"
+    ).select("id_a", "id_b", "sim")
+    # naive twin needs a real column; a constant == the global block
+    want = cosine_near_pairs_naive(
+        emb.withColumn("_one", F.lit(0)), threshold=thr, block_col="_one"
+    )
+    assert _canon(got) == _canon(want)
+    assert len(_canon(got)) > 0  # intra-cluster pairs exist at tau=0.5
+
+    # pruning-rate comparison on the same reps
+    reps = emb.select(
+        F.col("vec_id").alias("_id"), F.lit(0).alias("_blk"),
+        F.col("embedding").alias("_vec"),
+    )
+    tau_eff = thr - 1e-4
+    thr_d = math.sqrt(max(0.0, 2.0 - 2.0 * tau_eff)) + 1e-6
+    _, adm_flat = _cells_and_admissible(reps, thr_d)
+    asg_imi, adm_imi = _cells_and_admissible_imi(reps, thr_d)
+    n_flat_cells = 23
+    flat_frac = adm_flat.count() / (n_flat_cells * n_flat_cells)
+    n_occ = asg_imi.select("_cell").distinct().count()
+    imi_frac = adm_imi.count() / (n_occ * n_occ)
+    # flat is coverage-bound (admits nearly everything); imi prunes hard
+    assert flat_frac > 0.9, flat_frac
+    assert imi_frac < 0.4, (imi_frac, n_occ)
+
+
+def test_imi_front_end_lossless_on_isotropic_and_duplicates(spark):
+    """Isotropic corpus (no structure to exploit) + exact duplicates:
+    the imi front end must still be row-identical to the naive join —
+    pruning may be useless there, losslessness may not degrade."""
+    from join_example_spark.operators.cosine_pairs import cosine_lossless_pairs
+    from join_example_spark.operators.similarity import cosine_near_pairs_naive
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for i in range(150):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v.astype(np.float32)], i % 2))
+    # exact duplicates exercising contraction + expansion + self-sim
+    rows += [(1000 + i, rows[i][1], rows[i][2]) for i in range(10)]
+    emb = _mk_emb(spark, rows)
+    for blk, naive_blk in ((None, "_one"), ("label", "label")):
+        got = cosine_lossless_pairs(
+            emb, threshold=0.25, block_col=blk, index_min_reps=0, index_kind="imi"
+        ).select("id_a", "id_b", "sim")
+        want = cosine_near_pairs_naive(
+            emb.withColumn("_one", F.lit(0)), threshold=0.25, block_col=naive_blk
+        )
+        assert _canon(got) == _canon(want), blk
+
+
 def test_unrolled_dot_handles_null_arrays(spark):
     df = spark.createDataFrame(
         [(1, None, [1.0, 2.0]), (2, [1.0, 2.0], None), (3, None, None)],
