@@ -57,7 +57,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from join_example_spark.operators.similarity import D2_SQL, DOT_SQL, dot_sql_for
+from join_example_spark.operators.similarity import D2_SQL, DOT_SQL
 
 
 def _cells_and_admissible(reps: DataFrame, thr_d: float) -> tuple[DataFrame, DataFrame]:
@@ -346,10 +346,11 @@ def cosine_lossless_pairs(
         rb = reps.select(
             "_blk", F.col("_id").alias("id_b"), F.col("_vec").alias("_pvb")
         )
-        # Unrolled-codegen verify (guarded, fold fallback for non-64
-        # dims) -- the quadratic verify is fold-bound (SCALE.md 3.10).
+        # FOLD verify on measurement (round-7 A/B: the unrolled 64-dim
+        # dot lost ~1.2s here -- plan/codegen cost exceeds the fold
+        # savings at this volume; see SCALE.md 3.10).
         sim_small = F.round(
-            F.expr(dot_sql_for(64).format(a="_pva", b="_pvb")), round_digits
+            F.expr(DOT_SQL.format(a="_pva", b="_pvb")), round_digits
         )
         rep_pairs_small = (
             ra.join(F.broadcast(rb), "_blk")
@@ -375,8 +376,8 @@ def cosine_lossless_pairs(
         "_blk", F.col("_cell").alias("_cb"), F.col("_id").alias("id_b"),
         F.col("_vec").alias("_pvb"),
     )
-    # Same unrolled-codegen verify as the broadcast path above.
-    sim = F.round(F.expr(dot_sql_for(64).format(a="_pva", b="_pvb")), round_digits)
+    # Same fold-verify decision as the broadcast path above.
+    sim = F.round(F.expr(DOT_SQL.format(a="_pva", b="_pvb")), round_digits)
     rep_pairs = (
         pa.join(F.broadcast(adm), ["_blk", "_ca"])
         .repartition(n_shuf, "_blk", "_cb")

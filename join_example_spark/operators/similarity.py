@@ -552,10 +552,12 @@ def identity_contracted_semantic_edges(
     # unchanged there.
     if nprobe is None:
         nprobe = adaptive_nprobe(n_reps)
-    # Unrolled-codegen verify dot: candidate volume is ~n^1.5·p²/2 pairs
-    # (≥1M at sf0.1) — fold-bound, the other measured unroll-win site.
-    # Guarded: a non-64-dim corpus falls back to the fold, same bits.
-    dot = F.expr(dot_sql_for(64).format(a="vec_a", b="vec_b"))
+    # FOLD verify, on measurement (round-7 controlled A/B, 3 alternating
+    # process pairs): the unrolled 64-dim dot LOST 0.8-1.1 s here — its
+    # ~4× bigger tree inflates plan/codegen cost across the join-filter
+    # stages faster than 1-2M folds recoup, unlike the PQ assignment's
+    # 16-dim project→agg shape where the unroll wins 2.5-3.5 s.
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
     rep_edges = (
         ivf_candidate_pairs(
             reps, n_centroids=n_centroids, nprobe=nprobe,
