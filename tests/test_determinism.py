@@ -1,5 +1,5 @@
 """Partition-independence regression: results must not depend on the
-physical parallelism. The full sweep (round 5: all 188 oracle queries
+physical parallelism. The full sweep (round 7: all 228 oracle queries
 under local[5]/7-shuffle-partitions, 0 mismatches in 191 s — reproducible
 via tools/sweep_partition_independence.py) was run out-of-band; this fast
 version re-checks the most partition-sensitive query classes — float
