@@ -67,16 +67,22 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-7 head (46): the full driver-proof staleness backlog — every query
+#: Round-7 head (50): the full driver-proof staleness backlog — every query
 #: whose latest driver row is r1/r2 (predating both fixture drifts): the 13
 #: join/agg/scalar-fn rows queued last round plus the 30 stranded at
 #: positions 111+/206-230 (q_pivot, q_fn_bitwise/regex/struct/nulls/codec,
-#: q_tpch_q4/q14/q19/q22, agg extensions, subquery family, etc.). Tail of
-#: the head: the 3 rows-only queries (xxhash64 MinHash/SimHash, MLlib LSH)
-#: that have never had ANY driver row — spending 3 slots once for their
-#: rows_match evidence. After THIS rotation lands in CORRECTNESS_r07,
-#: every registry entry has a driver row from r3 or later (zero pre-drift
-#: proofs); until then 43 rows still carry r1/r2 evidence.
+#: q_tpch_q4/q14/q19/q22, agg extensions, subquery family, etc.). Then 4
+#: representatives of the round-7 PLAN-changed helpers (pq_assignments'
+#: unrolled-codegen d2; imi_cells' half pre-projection) — bit-identical by
+#: unit test + mirror + sweep, but the driver row should re-prove them
+#: end-to-end: q_llm_pq_quantize / q_llm_sim_pq_adc / q_llm_sim_ivfpq /
+#: q_llm_sim_imi. Tail of the head (may spill past an exactly-50 prefix —
+#: acceptable, the task is optional): the 3 rows-only queries (xxhash64
+#: MinHash/SimHash, MLlib LSH) that have never had ANY driver row —
+#: spending 3 slots once for their rows_match evidence. After THIS
+#: rotation lands in CORRECTNESS_r07, every registry entry has a driver
+#: row from r3 or later (zero pre-drift proofs); until then 43 rows still
+#: carry r1/r2 evidence.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_anti",
     "q_join_broadcast",
@@ -121,6 +127,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_fn_nulls",
     "q_fn_codec",
+    "q_llm_pq_quantize",
+    "q_llm_sim_pq_adc",
+    "q_llm_sim_ivfpq",
+    "q_llm_sim_imi",
     "q_llm_dedup_minhash",
     "q_llm_dedup_simhash",
     "q_llm_sim_knn_scale",
@@ -194,7 +204,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_holt_forecast",
     "q_resample_locf",
     "q_llm_dedup_semantic_imi",
-    "q_llm_sim_imi",
     "q_llm_imi_recall",
     "q_llm_dedup_substring",
     "q_audience_overlap_hll",
@@ -227,11 +236,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dq_constraints",
     "q_stream_distinct_users",
     "q_win_sliding_distinct",
-    "q_llm_sim_ivfpq",
     "q_llm_dedup_semantic_incr",
     "q_llm_source_token_cap",
-    "q_llm_pq_quantize",
-    "q_llm_sim_pq_adc",
     "q_llm_decontaminate_semantic",
     "q_llm_ann_recall_nprobe",
     "q_llm_sim_ivf_probe",
