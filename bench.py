@@ -49,11 +49,20 @@ def main() -> None:
     # measure the plan, not first-call JIT/classloading. Round-2 lesson: one
     # broken query in warmup zeroed the whole round's bench (rc=1, no JSON)
     # — every stage below is fenced so a partial bench always beats silence.
-    # Two warmups at the SMALLEST SF (codegen/JIT only — different data than
-    # the bench SF): the flagship covers the events/join/window paths, the
-    # embedding query covers the cosine-fold/window paths so whichever
-    # similarity query runs first isn't charged one-time classloading.
-    for wname in ("q_flagship_daily_enrich", "q_llm_sim_topk"):
+    # Three warmups at the SMALLEST SF (codegen/JIT only — different data
+    # than the bench SF): the flagship covers the events/join/window paths,
+    # the embedding query covers the cosine-fold/window paths, and the
+    # star-contraction CC query covers the iterative-loop stage shapes —
+    # measured round 7: the CC loop's per-iteration plan variants cost ~5 s
+    # of first-execution Janino compile that recurs at sf0.1 unless the
+    # same stage code was compiled once at sf0.001 (cluster_star single-
+    # shot 10.4 s cold vs 5.5 s warmed; the non-star propagation loop and
+    # the semantic family measured no benefit, so only this one is warmed).
+    for wname in (
+        "q_flagship_daily_enrich",
+        "q_llm_sim_topk",
+        "q_llm_dedup_cluster_star",
+    ):
         try:
             warm = registry[wname].fn(spark, "/root/testdata/sf0.001")
             warm.write.format("noop").mode("overwrite").save()
