@@ -178,6 +178,15 @@ def _cells_and_admissible_imi(
     ``(_blk, _id, _cell)`` (each rep in exactly ONE product cell: no pair
     dedup downstream), ``adm``: ``(_blk, _ca, _cb)`` ordered admissible
     cell pairs — so the caller's member join is front-end-agnostic.
+
+    Scale caveat: the caller broadcasts ``adm``, whose worst case is
+    |occ|² = n^{4/3} rows (vs the flat front end's C² = n). That worst
+    case is exactly the geometry where product cells buy nothing
+    (isotropic — measured in tests: arbitrary half-projections
+    birthday-collide the cells); in the prunable product-structured
+    regime this front end exists for, adm tracks the admitted
+    neighborhoods and stays broadcastable. Pick the front end by
+    geometry — flat is the shipped default.
     """
     lo = F.expr(f"slice(_vec, 1, {half_dim})")
     hi = F.expr(f"slice(_vec, {half_dim + 1}, {half_dim})")
