@@ -11,11 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from join_example_spark.operators.dedup import (
-    length_bucket_pairs,
-    minhash_lsh_candidates,
-    token_jaccard_pairs,
-)
+from join_example_spark.operators.dedup import length_bucket_pairs
 from join_example_spark.operators.sampling import id_hash_sql
 from join_example_spark.registry import register
 from join_example_spark.sources.readers import read_table
@@ -151,40 +147,6 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_llm_dedup_minhash",
-    oracle=None,  # xxhash64-based; no DuckDB twin — rows-only.
-    note="MinHash(16 perms) + LSH banding (4 bands) candidates, verified by "
-    "token Jaccard >= 0.9; unit-tested against brute-force on micro-fixtures. "
-    "Scoped to one source partition: the fixture corpus has a 31-word "
-    "vocabulary (median pairwise Jaccard 0.65, measured), so banding cannot "
-    "prune it — the bound keeps the demo honest instead of quadratic.",
-    tags=("llm", "dedup"),
-)
-def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").where(F.col("source") == "src0")
-    cands = minhash_lsh_candidates(docs, num_perm=16, band_size=4)
-    return token_jaccard_pairs(docs, cands, threshold=0.9)
-
-
-@register(
-    "q_llm_dedup_simhash",
-    oracle=None,  # xxhash64-based; rows-only.
-    note="64-bit SimHash near-dups (hamming <= 3) via exact multi-index "
-    "banding: 4x16-bit bands, pigeonhole guarantees 100% recall at radius "
-    "3, candidate generation is an equi-join on band values instead of "
-    "block-quadratic all-pairs. Radius 3 chosen because the 31-word-vocab "
-    "fixture corpus is SimHash-degenerate (12% of ALL pairs fall within "
-    "hamming 8 — measured); real corpora tolerate wider radii",
-    tags=("llm", "dedup"),
-)
-def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from join_example_spark.operators.dedup import simhash_band_pairs
-
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_band_pairs(docs, max_hamming=3)
-
-
-@register(
     "q_llm_dedup_cluster",
     oracle="""
 WITH RECURSIVE
@@ -310,6 +272,10 @@ def q_llm_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_P = 1_000_003
 _MH_A = (7, 11, 13, 17, 19, 23, 29, 31)
 _MH_B = (3, 5, 9, 15, 21, 27, 33, 39)
+# 16-permutation extension for the 4x4-banded default query (any a != 0 mod p
+# makes (a*h + b) mod p a bijection, so each row is a valid min-hash draw).
+_MH_A16 = _MH_A + (37, 41, 43, 47, 53, 59, 61, 67)
+_MH_B16 = _MH_B + (45, 51, 57, 63, 69, 75, 81, 87)
 
 
 @register(
@@ -384,6 +350,101 @@ def q_llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unioned then de-duplicated — never an OR-of-bands nested loop.
     cands = None
     for band in (band0, band1):
+        j = a.join(
+            b, [F.col(f"{c}_a") == F.col(f"{c}_b") for c in band]
+        ).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "toks_a", "toks_b")
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    jac = F.expr(
+        "CAST(SIZE(ARRAY_INTERSECT(toks_a, toks_b)) AS DOUBLE)"
+        " / CAST(SIZE(ARRAY_UNION(toks_a, toks_b)) AS DOUBLE)"
+    )
+    return (
+        cands.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "q_llm_dedup_minhash",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source = 'src0' AND LEN(TRIM(text)) > 0
+), hashed AS (
+    SELECT doc_id, toks,
+           list_transform(toks,
+             t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(str_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, b) -> (acc * 31 + b) % {_MH_P})) AS th
+    FROM toks
+), sigs AS (
+    SELECT doc_id, toks,
+           {', '.join(f"list_aggregate(list_transform(th, h -> ({a} * h + {b}) % {_MH_P}), 'min') AS m{i}" for i, (a, b) in enumerate(zip(_MH_A16, _MH_B16)))}
+    FROM hashed
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS toks_a, b.toks AS toks_b
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND ((a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3)
+       OR (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7)
+       OR (a.m8 = b.m8 AND a.m9 = b.m9 AND a.m10 = b.m10 AND a.m11 = b.m11)
+       OR (a.m12 = b.m12 AND a.m13 = b.m13 AND a.m14 = b.m14 AND a.m15 = b.m15))
+)
+SELECT id_a, id_b,
+       CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+         / CAST(LEN(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) AS jaccard
+FROM cand
+WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+        / CAST(LEN(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.9
+""",
+    note="MinHash(16 perms, 4x4 LSH bands) + token-Jaccard >= 0.9 verify — "
+    "re-declared in round 8 on the PORTABLE polynomial token hash (the "
+    "driver has no rows-only mode, proven round 7), keeping the original "
+    "16-perm/4-band geometry; the xxhash64 fast path stays a library "
+    "operator (operators/dedup.py minhash_lsh_candidates, unit-tested "
+    "against brute force). Band joins are per-band equi-joins unioned "
+    "then deduplicated — never an OR-of-bands nested loop. Scoped to one "
+    "source partition: the fixture corpus has a 31-word vocabulary "
+    "(median pairwise Jaccard 0.65, measured), so banding cannot prune "
+    "it — the bound keeps the demo honest instead of quadratic",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where((F.col("source") == "src0") & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
+        )
+    )
+    th = (
+        "transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P}))"
+    )
+    sig_cols = [
+        F.expr(f"array_min(transform({th}, h -> ({a} * h + {b}) % {_MH_P}))").alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_MH_A16, _MH_B16))
+    ]
+    sigs = docs.select("doc_id", "toks", *sig_cols)
+    bands = [[f"m{i}" for i in range(j * 4, j * 4 + 4)] for j in range(4)]
+
+    def side(prefix: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(f"id_{prefix}"),
+            F.col("toks").alias(f"toks_{prefix}"),
+            *[F.col(c).alias(f"{c}_{prefix}") for band in bands for c in band],
+        )
+
+    a, b = side("a"), side("b")
+    # Scale shape: one equi-join per band (hash shuffle on the band tuple),
+    # unioned then de-duplicated — never an OR-of-bands nested loop.
+    cands = None
+    for band in bands:
         j = a.join(
             b, [F.col(f"{c}_a") == F.col(f"{c}_b") for c in band]
         ).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "toks_a", "toks_b")
@@ -1037,6 +1098,120 @@ def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "transform(sequence(0, 3), j -> STRUCT(j AS band_idx,"
                 " (sig div shiftleft(CAST(1 AS BIGINT), j * 4)) % 16 AS band_val))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+#: Token-hash modulus for the 32-bit SimHash: the Miller-Rabin-verified
+#: 1e15-class prime (same as _SUBSTR_P below) — the shared 1e6+3 MinHash
+#: prime has only ~20 uniform low bits, not the 32 the signature votes on.
+#: Fold intermediates stay < 31p + 127 ~ 3.1e16 << 2^63 on both engines.
+_SH32_P = 1_000_000_000_000_037
+
+
+@register(
+    "q_llm_dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(str_split(LOWER(TRIM(text)), ' ')) AS toks
+    FROM documents
+    WHERE source = 'src0' AND LEN(TRIM(text)) > 0
+), hashed AS (
+    SELECT doc_id,
+           list_transform(toks,
+             t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(str_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, b) -> (acc * 31 + b) % {_SH32_P})) AS th
+    FROM toks
+), sigs AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(0, 31),
+               i -> CASE WHEN list_aggregate(list_transform(th,
+                        h -> CASE WHEN (h // CAST(pow(2, i) AS BIGINT)) % 2 = 1
+                             THEN 1 ELSE -1 END), 'sum') > 0
+                    THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)),
+             (a, b) -> a + b) AS sig
+    FROM hashed
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND ((a.sig // 1) % 256 = (b.sig // 1) % 256
+       OR (a.sig // 256) % 256 = (b.sig // 256) % 256
+       OR (a.sig // 65536) % 256 = (b.sig // 65536) % 256
+       OR (a.sig // 16777216) % 256 = (b.sig // 16777216) % 256)
+)
+SELECT id_a, id_b,
+       CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIT)) <= 3
+""",
+    note="32-bit SimHash near-dups (hamming <= 3) via exact multi-index "
+    "banding (4x8-bit bands; pigeonhole guarantees 100% recall at radius "
+    "3) — re-declared in round 8 on the PORTABLE polynomial token hash "
+    "mod the verified 1e15-class prime (32 uniform signature bits; the "
+    "driver has no rows-only mode, proven round 7). Distinct dials from "
+    "the 16-bit q_llm_dedup_simhash_exact; the xxhash64 64-bit fast path "
+    "stays a library operator (operators/dedup.py simhash_band_pairs, "
+    "unit-tested against brute force). Candidate generation is an "
+    "equi-join on exploded band values, never block-quadratic all-pairs. "
+    "Scoped to src0: the 31-word-vocab fixture corpus is "
+    "SimHash-degenerate (12% of ALL pairs fall within hamming 8 on 64 "
+    "bits — measured), so the bound keeps band buckets honest",
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    poly = (
+        "aggregate(split(t, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_SH32_P})"
+    )
+    sig = (
+        "aggregate(transform(sequence(0, 31),"
+        " i -> CASE WHEN aggregate(transform(th,"
+        "          h -> CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), i)) % 2 = 1"
+        "               THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v) > 0"
+        "      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    sigs = (
+        read_table(spark, sf_dir, "documents")
+        .where((F.col("source") == "src0") & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(array_distinct(split(LOWER(TRIM(text)), ' ')), t -> {poly})"
+            ).alias("th"),
+        )
+        .select("doc_id", F.expr(sig).alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), j -> STRUCT(j AS band_idx,"
+                " (sig div shiftleft(CAST(1 AS BIGINT), j * 8)) % 256 AS band_val))"
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_val")

@@ -483,14 +483,68 @@ def q_llm_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_sim_knn_scale",
-    oracle=None,  # MLlib random projections — no SQL twin; rows-only.
-    note="BucketedRandomProjectionLSH approximate neighbor pairs "
-    "(the 100 TB ANN path; euclidean on unit vectors ~ cosine)",
+    oracle=f"""
+WITH truth AS (
+    SELECT p.vec_id AS id_a, c.vec_id AS id_b
+    FROM embeddings p
+    JOIN embeddings c
+      ON p.vec_id % 10 = 0 AND p.vec_id < c.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) >= 0.28
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_true_sampled,
+       TRUE AS recall_ok
+FROM truth
+""",
+    note="BucketedRandomProjectionLSH approximate neighbor pairs (the 100 TB "
+    "ANN path; euclidean on unit vectors ~ cosine: d^2 = 2 - 2*cos, so "
+    "dist <= 1.2 <=> cos >= 0.28) — re-declared in round 8 as an "
+    "exact-regime-certified recall audit (HLL/approx_percentile pattern; "
+    "the driver has no rows-only mode, proven round 7): output = exact "
+    "anchors both engines compute identically (corpus size, sampled-probe "
+    "true-pair count at ROUND(dot,4) >= 0.28) plus a recall boolean the "
+    "oracle asserts literally (gate 0.8; measured 0.964/0.948/0.942 at "
+    "sf0.001/0.01/0.1 — approxSimilarityJoin at bucketLength 0.5 x 3 "
+    "tables, fixed seed). The raw pair list stays a library "
+    "operator (operators/similarity.py lsh_ann_pairs, planted-neighbor "
+    "recall test in tests/test_round6_ops.py)",
     tags=("llm", "similarity", "approx"),
 )
 def q_llm_sim_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_ann_pairs(emb, threshold_distance=1.2)
+    found = (
+        lsh_ann_pairs(emb, threshold_distance=1.2)
+        .where(F.col("id_a") % 10 == 0)
+        .select("id_a", "id_b", F.lit(1).alias("hit"))
+    )
+    a0 = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    truth = (
+        b.crossJoin(F.broadcast(a0))
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(dot, 4) >= 0.28)
+        .select("id_a", "id_b")
+    )
+    j = truth.join(found, ["id_a", "id_b"], "left")
+    stats = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_sampled"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_found"),
+    )
+    nvec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return nvec.crossJoin(stats).select(
+        "n_vectors",
+        "n_true_sampled",
+        (
+            (F.col("n_true_sampled") == 0)
+            | (
+                F.col("n_found").cast("double")
+                >= F.lit(0.8) * F.col("n_true_sampled").cast("double")
+            )
+        ).alias("recall_ok"),
+    )
 
 
 @register(

@@ -67,256 +67,248 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-7 head (50): the full driver-proof staleness backlog — every query
-#: whose latest driver row is r1/r2 (predating both fixture drifts): the 13
-#: join/agg/scalar-fn rows queued last round plus the 30 stranded at
-#: positions 111+/206-230 (q_pivot, q_fn_bitwise/regex/struct/nulls/codec,
-#: q_tpch_q4/q14/q19/q22, agg extensions, subquery family, etc.). Then 4
-#: representatives of the round-7 PLAN-changed helpers (pq_assignments'
-#: unrolled-codegen d2; imi_cells' half pre-projection) — bit-identical by
-#: unit test + mirror + sweep, but the driver row should re-prove them
-#: end-to-end: q_llm_pq_quantize / q_llm_sim_pq_adc / q_llm_sim_ivfpq /
-#: q_llm_sim_imi. Tail of the head (may spill past an exactly-50 prefix —
-#: acceptable, the task is optional): the 3 rows-only queries (xxhash64
-#: MinHash/SimHash, MLlib LSH) that have never had ANY driver row —
-#: spending 3 slots once for their rows_match evidence. After THIS
-#: rotation lands in CORRECTNESS_r07, every registry entry has a driver
-#: row from r3 or later (zero pre-drift proofs); until then 43 rows still
-#: carry r1/r2 evidence.
+#: Round-8 head (50): first the 3 queries RE-DECLARED this round with
+#: oracles (q_llm_dedup_minhash/_simhash on the portable polynomial hash,
+#: q_llm_sim_knn_scale as an exact-regime-certified recall audit — round 7
+#: proved the driver has no rows-only mode, so their old rows-only forms
+#: could never earn a driver row), then oldest-proof-first rotation: the 46
+#: queries whose latest driver green is r3 (the oldest still-current
+#: evidence) + 1 r4 row to fill 50. The entire tail is likewise sorted by
+#: ascending latest-green round (r4, r5, r6, r7; name-ordered within a
+#: round), so any prefix spill always lands on the stalest proofs. Derived
+#: from CORRECTNESS_r0{3..7}.json; re-derive and re-sort each round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_groupingsets",
-    "q_agg_having",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
-    "q_agg_filter_clause",
-    "q_agg_any_all",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_fn_struct",
-    "q_pivot",
-    "q_fn_bitwise",
-    "q_fn_regex",
-    "q_tpch_q4",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_llm_dedup_keep_best",
-    "q_agg_mode",
-    "q_win_share",
-    "q_multimodal_prune",
-    "q_llm_ann_recall",
-    "q_scalar_correlated",
-    "q_llm_dedup_fuzzy",
-    "q_recursive_chain",
-    "q_zorder_layout",
-    "q_snapshot_diff",
-    "q_outlier_iqr",
-    "q_join_salted",
-    "q_scalar_subquery",
-    "q_join_exists_correlated",
-    "q_explode_pos",
-    "q_unpivot",
-    "q_fn_nulls",
-    "q_fn_codec",
-    "q_llm_pq_quantize",
-    "q_llm_sim_pq_adc",
-    "q_llm_sim_ivfpq",
-    "q_llm_sim_imi",
     "q_llm_dedup_minhash",
     "q_llm_dedup_simhash",
     "q_llm_sim_knn_scale",
-    # -------- top-50 boundary: everything below is driver-green on an
-    # r3+ current-fixture check; relative order preserved. --------
-    "q_llm_select_dsir",
-    "q_llm_shard_plan",
-    "q_llm_bpe_pairs",
-    "q_events_attribution",
-    "q_llm_quality_calibration",
-    "q_ts_changepoint",
-    "q_orders_rfm",
-    "q_llm_mix_epochs",
-    "q_orders_basket",
-    "q_supplier_pareto",
-    "q_funnel_latency",
-    "q_ts_autocorr",
-    "q_llm_dedup_containment",
-    "q_llm_dedup_editdist",
-    "q_llm_quality_auc",
-    "q_join_bloom",
-    "q_ts_seasonal",
-    "q_llm_dedup_cosine_lossless",
-    "q_llm_search_hybrid",
-    "q_llm_kmeans_converged",
-    "q_llm_embed_near",
-    "q_llm_dedup_semantic_exact",
-    "q_graph_triangles",
-    "q_graph_bfs",
-    "q_graph_label_prop",
-    "q_graph_kcore",
-    "q_graph_pagerank",
-    "q_llm_cluster_dbscan",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_near",
-    "q_llm_dedup_cluster",
-    "q_llm_dedup_cluster_star",
-    "q_llm_dedup_minhash_exact",
-    "q_llm_sim_topk",
-    "q_llm_sim_ivf",
-    "q_llm_text_stats",
-    "q_llm_lang_filter",
-    "q_llm_langid",
-    "q_llm_tokens",
-    "q_llm_quality",
-    "q_llm_fingerprint",
-    "q_llm_pipeline",
-    "q_llm_tfidf",
-    "q_llm_zipf",
-    "q_multimodal_decode",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_scan_count",
-    "q_scan_json_props",
-    "q_set_union_all",
-    "q_set_intersect",
-    "q_llm_dedup_prefix",
-    "q_llm_bm25_search",
-    "q_llm_cluster_quality",
-    "q_llm_sample_weighted",
-    "q_llm_mine_margin",
-    "q_llm_curate_pipeline",
-    "q_dq_robust_mad",
-    "q_ts_ewma",
-    "q_ts_twap",
-    "q_ts_concurrency",
-    "q_ts_trend",
-    "q_ts_holt_forecast",
-    "q_resample_locf",
-    "q_llm_dedup_semantic_imi",
-    "q_llm_imi_recall",
-    "q_llm_dedup_substring",
-    "q_audience_overlap_hll",
-    "q_llm_decontaminate_substring",
-    "q_llm_sim_imipq",
-    "q_ts_sim_search",
-    "q_ts_rolling_corr",
-    "q_dq_stats_drift",
-    "q_llm_split_leakage_safe",
-    "q_win_sliding_distinct_hll",
-    "q_dq_volume_anomaly",
-    "q_llm_sim_pq_rerank_baseline",
-    "q_llm_embed_outliers",
-    "q_llm_mix_temperature",
-    "q_llm_dedup_semantic",
-    "q_flagship_daily_enrich",
-    "q_llm_dedup_semantic_ivf",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_agg_group",
-    "q_agg_percentile",
-    "q_join_multiway",
-    "q_histogram",
-    "q_lateral_topk",
-    "q_project_rename",
-    "q_filter_pred",
-    "q_filter_branch",
-    "q_dq_constraints",
-    "q_stream_distinct_users",
-    "q_win_sliding_distinct",
-    "q_llm_dedup_semantic_incr",
-    "q_llm_source_token_cap",
-    "q_llm_decontaminate_semantic",
-    "q_llm_ann_recall_nprobe",
-    "q_llm_sim_ivf_probe",
-    "q_agg_approx_percentile",
-    "q_agg_approx_distinct",
-    "q_llm_sample_hash",
-    "q_llm_split_assign",
-    "q_llm_decontaminate",
-    "q_llm_pack_chunks",
-    "q_llm_train_pipeline",
-    "q_llm_chunk_overlap",
-    "q_llm_sample_stratified",
-    "q_llm_mix_sources",
-    "q_llm_repetition",
-    "q_llm_pii_redact",
-    "q_gaps_islands",
-    "q_llm_kmeans_iter",
-    "q_incremental_agg",
-    "q_profile_columns",
-    "q_win_rank",
-    "q_win_topk_per_group",
-    "q_win_running",
-    "q_win_ntile_percent",
-    "q_sort_limit",
-    "q_limit_offset",
-    "q_set_union_distinct",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect_all",
-    "q_scan_parquet",
-    "q_multimodal_frames",
-    "q_llm_dedup_ngram",
-    "q_join_theta_range",
-    "q_agg_cube",
-    "q_agg_latest_per_key",
-    "q_fn_json",
-    "q_fn_map",
-    "q_llm_dedup_block_audit",
-    "q_llm_embed_quantize",
-    "q_llm_dedup_incremental",
-    "q_llm_dedup_simhash_exact",
-    "q_llm_quality_gate",
-    "q_llm_bigram_surprisal",
-    "q_join_asof_tolerance",
     "q_agg_approx_topk",
+    "q_agg_bitwise",
+    "q_cohort_retention",
+    "q_event_transitions",
+    "q_funnel_stages",
     "q_join_asof",
     "q_join_asof_left",
-    "q_time_rollup",
-    "q_profile_skew",
-    "q_agg_bitwise",
-    "q_event_transitions",
+    "q_join_asof_tolerance",
     "q_join_ktable",
     "q_join_range_bucketed",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_win_lead_lag",
-    "q_win_time_range",
-    "q_win_first_last",
+    "q_llm_bigram_surprisal",
+    "q_llm_char_entropy",
+    "q_llm_dedup_block_audit",
+    "q_llm_dedup_incremental",
+    "q_llm_dedup_simhash_exact",
+    "q_llm_embed_quantize",
+    "q_llm_quality_gate",
+    "q_profile_skew",
     "q_resample_gapfill",
-    "q_funnel_stages",
-    "q_cohort_retention",
+    "q_scan_count",
+    "q_scan_json_props",
     "q_scd2_intervals",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_time_rollup",
     "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q13",
     "q_tpch_q15",
     "q_tpch_q16",
     "q_tpch_q17",
+    "q_tpch_q2",
     "q_tpch_q20",
     "q_tpch_q21",
-    "q_llm_char_entropy",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_win_first_last",
+    "q_win_lead_lag",
+    "q_win_time_range",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_agg_cube",
+    "q_agg_latest_per_key",
+    "q_dq_constraints",
+    "q_fn_json",
+    "q_fn_map",
+    "q_gaps_islands",
+    "q_incremental_agg",
+    "q_join_theta_range",
+    "q_limit_offset",
+    "q_llm_ann_recall_nprobe",
+    "q_llm_chunk_overlap",
+    "q_llm_decontaminate",
+    "q_llm_decontaminate_semantic",
+    "q_llm_dedup_ngram",
+    "q_llm_dedup_semantic_incr",
+    "q_llm_kmeans_iter",
+    "q_llm_mix_sources",
+    "q_llm_pack_chunks",
+    "q_llm_pii_redact",
+    "q_llm_repetition",
+    "q_llm_sample_hash",
+    "q_llm_sample_stratified",
+    "q_llm_sim_ivf_probe",
+    "q_llm_source_token_cap",
+    "q_llm_split_assign",
+    "q_llm_train_pipeline",
+    "q_multimodal_frames",
+    "q_profile_columns",
+    "q_scan_parquet",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect_all",
+    "q_set_union_distinct",
+    "q_sort_limit",
+    "q_stream_distinct_users",
+    "q_win_ntile_percent",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_sliding_distinct",
+    "q_win_topk_per_group",
+    "q_agg_group",
+    "q_agg_percentile",
+    "q_audience_overlap_hll",
+    "q_dq_robust_mad",
+    "q_dq_stats_drift",
+    "q_dq_volume_anomaly",
+    "q_filter_branch",
+    "q_filter_pred",
+    "q_flagship_daily_enrich",
+    "q_histogram",
+    "q_join_multiway",
+    "q_lateral_topk",
+    "q_llm_bm25_search",
+    "q_llm_cluster_quality",
+    "q_llm_curate_pipeline",
+    "q_llm_decontaminate_substring",
+    "q_llm_dedup_prefix",
+    "q_llm_dedup_semantic",
+    "q_llm_dedup_semantic_imi",
+    "q_llm_dedup_semantic_ivf",
+    "q_llm_dedup_substring",
+    "q_llm_embed_outliers",
+    "q_llm_imi_recall",
+    "q_llm_mine_margin",
+    "q_llm_mix_temperature",
+    "q_llm_sample_weighted",
+    "q_llm_sim_imipq",
+    "q_llm_sim_pq_rerank_baseline",
+    "q_llm_split_leakage_safe",
+    "q_project_rename",
+    "q_resample_locf",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_ts_concurrency",
+    "q_ts_ewma",
+    "q_ts_holt_forecast",
+    "q_ts_rolling_corr",
+    "q_ts_sim_search",
+    "q_ts_trend",
+    "q_ts_twap",
+    "q_win_sliding_distinct_hll",
+    "q_events_attribution",
+    "q_funnel_latency",
+    "q_graph_bfs",
+    "q_graph_kcore",
+    "q_graph_label_prop",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_bloom",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_llm_bpe_pairs",
+    "q_llm_cluster_dbscan",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_cluster_star",
+    "q_llm_dedup_containment",
+    "q_llm_dedup_cosine_lossless",
+    "q_llm_dedup_editdist",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_minhash_exact",
+    "q_llm_dedup_near",
+    "q_llm_dedup_semantic_exact",
+    "q_llm_embed_near",
+    "q_llm_fingerprint",
+    "q_llm_kmeans_converged",
+    "q_llm_lang_filter",
+    "q_llm_langid",
+    "q_llm_mix_epochs",
+    "q_llm_pipeline",
+    "q_llm_quality",
+    "q_llm_quality_auc",
+    "q_llm_quality_calibration",
+    "q_llm_search_hybrid",
+    "q_llm_select_dsir",
+    "q_llm_shard_plan",
+    "q_llm_sim_ivf",
+    "q_llm_sim_topk",
+    "q_llm_text_stats",
+    "q_llm_tfidf",
+    "q_llm_tokens",
+    "q_llm_zipf",
+    "q_multimodal_decode",
+    "q_orders_basket",
+    "q_orders_rfm",
+    "q_supplier_pareto",
+    "q_ts_autocorr",
+    "q_ts_changepoint",
+    "q_ts_seasonal",
+    "q_agg_any_all",
+    "q_agg_distinct",
+    "q_agg_filter_clause",
+    "q_agg_global",
+    "q_agg_groupingsets",
+    "q_agg_having",
+    "q_agg_mode",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_explode_pos",
+    "q_fn_array",
+    "q_fn_bitwise",
+    "q_fn_codec",
+    "q_fn_cond",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_nulls",
+    "q_fn_regex",
+    "q_fn_string",
+    "q_fn_struct",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_exists_correlated",
+    "q_join_salted",
+    "q_llm_ann_recall",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_keep_best",
+    "q_llm_pq_quantize",
+    "q_llm_sim_imi",
+    "q_llm_sim_ivfpq",
+    "q_llm_sim_pq_adc",
+    "q_multimodal_prune",
+    "q_outlier_iqr",
+    "q_pivot",
+    "q_recursive_chain",
+    "q_scalar_correlated",
+    "q_scalar_subquery",
+    "q_snapshot_diff",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_tpch_q4",
+    "q_unpivot",
+    "q_win_share",
+    "q_zorder_layout",
 )
 
 

@@ -301,20 +301,15 @@ def test_driver_priority_head_is_oracle_able():
     if a new rows-only query is deliberately prioritized, it must be
     re-ordered below the top 50 or this pin updated consciously.
 
-    Round-7 conscious exception (VERDICT r6 task #7): the three structurally
-    rows-only queries (xxhash64 MinHash/SimHash, MLlib LSH) have never had
-    ANY driver row; we spend 3 prefix slots ONCE to put their rows_match
-    evidence on record. Remove them from the head (and this allowance)
-    once CORRECTNESS_r07 lands."""
+    Round 7 spent 3 head slots (a conscious one-time allowance) to learn
+    the driver has NO rows-only mode (`err: no_oracle`, CORRECTNESS_r07);
+    round 8 re-declared those three queries with oracles, so the head must
+    now be oracle-able with zero exceptions, unconditionally."""
     from join_example_spark.registry import load_all
 
     reg = load_all()
     head = list(reg.items())[:50]
-    allowed_once = {"q_llm_dedup_minhash", "q_llm_dedup_simhash", "q_llm_sim_knn_scale"}
-    rows_only = [
-        name for name, spec in head
-        if spec.oracle is None and name not in allowed_once
-    ]
+    rows_only = [name for name, spec in head if spec.oracle is None]
     assert not rows_only, (
         f"rows-only queries inside the driver's top-50 prefix: {rows_only}"
     )

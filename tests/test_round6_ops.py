@@ -136,8 +136,9 @@ def test_cosine_lossless_degenerate_shapes(spark):
 
 
 def test_lsh_knn_scale_surfaces_planted_neighbors(spark):
-    """Semantic quality assertion for the rows-only LSH path
-    (q_llm_sim_knn_scale / lsh_ann_pairs): at the shipped dials
+    """Semantic quality assertion for the LSH library path (lsh_ann_pairs,
+    certified in aggregate by q_llm_sim_knn_scale's oracle-asserted recall
+    audit since round 8): at the shipped dials
     (bucketLength=0.5, numHashTables=3, seed=42, threshold 1.2) every
     planted near-neighbor pair MUST surface, and recall over all true
     pairs stays above a measured floor (0.925 at this geometry/seed;
