@@ -191,17 +191,20 @@ def _cells_and_admissible_imi(
     lo = F.expr(f"slice(_vec, 1, {half_dim})")
     hi = F.expr(f"slice(_vec, {half_dim + 1}, {half_dim})")
 
-    # Per-block half-codebooks: the ⌈∛n_block⌉ lowest-id reps (float pow
-    # sizing is safe here for the same reason as the flat ceil(sqrt):
-    # codebook size shapes COST only, never output). Dense _cidx ranks
-    # make the product key packable.
+    # Per-block half-codebooks: the smallest C with C³ ≥ n_block lowest-id
+    # reps — the EXACT integer sizing rule (imi_c_per_half): float pow(n,
+    # 1/3) is not correctly rounded, so ceil(pow(...)) can flip at perfect
+    # cubes (here that shapes cost only, never output, but the repo
+    # invariant is one exact rule everywhere). Dense _cidx ranks make the
+    # product key packable.
     cnt = reps.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    c_of_n = F.expr("array_min(filter(sequence(1, 1024), c -> c * c * c >= _n))")
     cw = Window.partitionBy("_blk").orderBy("_id")
     cents = (
         reps.select("_blk", "_id")
         .withColumn("_rn", F.row_number().over(cw))
         .join(F.broadcast(cnt), "_blk")
-        .where(F.col("_rn") <= F.ceil(F.pow(F.col("_n").cast("double"), F.lit(1.0 / 3.0))))
+        .where(F.col("_rn") <= c_of_n)
         .join(reps, ["_blk", "_id"])
         .select(
             "_blk",
@@ -308,6 +311,16 @@ def cosine_lossless_pairs(
     admits everything (SCALE.md §3.7 / §3.10c). Output is identical
     either way (both bounds over-approximate; the verify is the same
     exact fold) — only the pruning power and index cost differ.
+
+    DORMANCY (round 8, deliberate): no production consumer routes
+    ``index_kind="imi"`` today — the fixture corpus is isotropic, where
+    product cells measurably buy nothing over flat (§3.10c), so every
+    declared query ships the flat front end. The IMI path is kept
+    correct-and-certified (exercised by tests/test_round7_ops.py against
+    the naive twin, plus the §3.10c clustered-geometry probe) as the
+    documented escape hatch for product-structured corpora whose cluster
+    count exceeds ⌈√n⌉; route a consumer through it only with a measured
+    geometry that needs it.
     """
     if index_kind not in ("flat", "imi"):
         raise ValueError(f"index_kind must be 'flat' or 'imi', got {index_kind!r}")

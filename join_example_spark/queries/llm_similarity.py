@@ -242,8 +242,12 @@ def q_llm_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_centroids = int(math.ceil(math.sqrt(n)))
     # The derived dial == 5 at every fixture SF (so the arn <= 5 oracle
     # pins exactly this operating point); past n ~ 2025 it grows with
-    # ceil(sqrt(n)) to hold the probed fraction — the audit instrument
-    # now measures the SAME schedule production semantic dedup runs.
+    # ceil(sqrt(n)) to hold the probed fraction. NOTE: production semantic
+    # dedup derives n from the identity-contracted DISTINCT-rep count,
+    # while this audit uses the full embeddings count — the two schedules
+    # coincide whenever duplicate multiplicity is low (all fixture SFs)
+    # and diverge under duplicate saturation; the full-count form is kept
+    # here to leave this driver-green plan unchanged.
     cand = (
         ivf_candidate_pairs(emb, n_centroids=n_centroids, nprobe=adaptive_nprobe(n))
         .where(F.col("id_a") % 10 == 0)

@@ -206,3 +206,47 @@ def test_documents_vocabulary_within_sketch_exact_regime():
             "approx_top_k counts are no longer provably exact; retune "
             "maxItemsTracked in q_agg_approx_topk or re-certify"
         )
+
+
+def test_documents_embeddings_row_counts_pinned():
+    """Two distinct drift risks live in these row counts (round-8 pins):
+
+    1. documents vs embeddings do NOT scale together at sf0.1 (5000 vs
+       2000) — round 4 mis-sized a shortlist dial assuming they did.
+    2. The adaptive ANN dials (adaptive_nprobe / adaptive_imi_dials) are
+       derived from the embeddings count at plan-build time, and several
+       oracle twins HARDCODE the operating point those counts imply
+       (``arn <= 5`` in the IVF oracles; the (4, 8) IMI beam). A
+       regenerated fixture with different counts would diverge query vs
+       oracle SILENTLY — surfacing as a driver hash mismatch instead of a
+       dial mismatch (round-7 ADVICE). Fail here, loudly, instead.
+    """
+    import pyarrow.parquet as pq
+
+    from join_example_spark.operators.similarity import (
+        adaptive_imi_dials,
+        adaptive_nprobe,
+    )
+
+    expected = {
+        ("sf0.001", "documents"): 500,
+        ("sf0.001", "embeddings"): 500,
+        ("sf0.01", "documents"): 500,
+        ("sf0.01", "embeddings"): 500,
+        ("sf0.1", "documents"): 5000,
+        ("sf0.1", "embeddings"): 2000,
+    }
+    for (sf, table), want in expected.items():
+        got = pq.read_metadata(f"/root/testdata/{sf}/{table}.parquet").num_rows
+        assert got == want, (
+            f"{sf}/{table}: row count drifted {want} -> {got}. If embeddings "
+            "changed: re-derive the hardcoded oracle operating points "
+            "(arn <= 5 / IMI (4, 8)) before trusting any ANN oracle."
+        )
+    for n_emb in (500, 2000):
+        assert adaptive_nprobe(n_emb) == 5, (
+            f"adaptive_nprobe({n_emb}) != 5 — the IVF oracles hardcode arn <= 5"
+        )
+        assert adaptive_imi_dials(n_emb) == (4, 8), (
+            f"adaptive_imi_dials({n_emb}) != (4, 8) — IMI oracles pin this beam"
+        )

@@ -189,7 +189,7 @@ def test_imi_front_end_lossless_and_prunes_coverage_bound_regime(spark):
         emb.withColumn("_one", F.lit(0)), threshold=thr, block_col="_one"
     )
     assert _canon(got) == _canon(want)
-    assert len(_canon(got)) > 0  # intra-cluster pairs exist at tau=0.5
+    assert len(_canon(got)) > 0  # intra-cluster pairs exist at tau=0.8
 
     # pruning-rate comparison on the same reps
     reps = emb.select(
