@@ -52,16 +52,20 @@ def main() -> None:
     # Three warmups at the SMALLEST SF (codegen/JIT only — different data
     # than the bench SF): the flagship covers the events/join/window paths,
     # the embedding query covers the cosine-fold/window paths, and the
-    # star-contraction CC query covers the iterative-loop stage shapes —
-    # measured round 7: the CC loop's per-iteration plan variants cost ~5 s
-    # of first-execution Janino compile that recurs at sf0.1 unless the
-    # same stage code was compiled once at sf0.001 (cluster_star single-
-    # shot 10.4 s cold vs 5.5 s warmed; the non-star propagation loop and
-    # the semantic family measured no benefit, so only this one is warmed).
+    # dedup finisher covers the star-contraction CC loop's iterative stage
+    # shapes PLUS the representative-election window (keep_best delegates
+    # to cluster_star, so warming it warms both) — measured round 7: the
+    # CC loop's per-iteration plan variants cost ~5 s of first-execution
+    # Janino compile that recurs at sf0.1 unless the same stage code was
+    # compiled once at sf0.001 (cluster_star single-shot 10.4 s cold vs
+    # 5.5 s warmed; keep_best drew 9.27 s in BENCH_r07 on the same
+    # premium — round 8 widened this warmup from cluster_star to
+    # keep_best; the non-star propagation loop and the semantic family
+    # measured no benefit, so only this one is warmed).
     for wname in (
         "q_flagship_daily_enrich",
         "q_llm_sim_topk",
-        "q_llm_dedup_cluster_star",
+        "q_llm_dedup_keep_best",
     ):
         try:
             warm = registry[wname].fn(spark, "/root/testdata/sf0.001")

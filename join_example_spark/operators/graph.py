@@ -69,6 +69,10 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # ONE Spark job per round (round 8 — the CC cost was profiled as
+        # orchestration-bound, not partition-bound): the LAZY localCheckpoint
+        # is materialized by the same action that computes the convergence
+        # witness, replacing the eager-checkpoint job + count job pair.
         new_labels = (
             labels.withColumnRenamed("label", "prev_label")
             .join(nbr_min, "id", "left")
@@ -79,7 +83,7 @@ def connected_components(
                 ).alias("label"),
                 "prev_label",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("label") != F.col("prev_label")).count()
         labels = new_labels.drop("prev_label")
@@ -150,13 +154,16 @@ def connected_components_star(
 
     Per round: two groupBy shuffles + two distincts over the current pair
     set; pair-set size is bounded by the symmetrized edge count and only
-    shrinks toward the star forest. Convergence is declared by EXACT pair-set
-    equality — a cardinality match plus an anti-join emptiness check
-    (:func:`_pairs_equal`) — so no hash-collision scenario, however
-    improbable, can declare a non-fixpoint converged. Only scalars (a count
-    and an isEmpty flag) reach the driver; the anti-join runs on the two
-    checkpointed pair sets and costs one co-partitioned join per round,
-    the same order as the hash-witness aggregate it replaces.
+    shrinks toward the star forest. Convergence is declared by EXACT
+    pair-set equality — cardinality match plus new ⊆ old (both sides are
+    distinct sets) — so no hash-collision scenario, however improbable,
+    can declare a non-fixpoint converged. Round 8 (the CC family cost was
+    profiled orchestration-bound): each round is ONE Spark job — a lazy
+    localCheckpoint materialized by the same scalar aggregate that
+    returns both witnesses (|new| and |new ∖ old|), folding the former
+    eager-checkpoint + count + anti-join-emptiness job triple into one.
+    Only a 2-int row reaches the driver per round (:func:`_pairs_equal`
+    remains the reference formulation of the equality contract).
     """
     all_nodes = nodes.select(F.col(id_col).alias("id"))
     pairs = (
@@ -165,21 +172,42 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Used only AFTER convergence (roots/singleton attach) — lazy checkpoint
+    # so no up-front job; first post-loop use materializes it once.
     active = (
         pairs.select("u")
         .union(pairs.select(F.col("v").alias("u")))
         .distinct()
         .select(F.col("u").alias("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if pairs.isEmpty():
+    prev_n = pairs.count()
+    if prev_n == 0:
         return all_nodes.select("id", F.col("id").alias("cluster_id"))
 
-    prev_pairs, prev_n = pairs, pairs.count()
+    prev_pairs = pairs
     for _ in range(max_iter):
-        pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=True)
-        cur_n = pairs.count()
-        if _pairs_equal(prev_pairs, prev_n, pairs, cur_n):
+        pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=False)
+        # ONE job per round (round 8 — CC cost is orchestration-bound):
+        # this single scalar aggregate materializes the lazy checkpoint AND
+        # returns both convergence witnesses — the new pair-set cardinality
+        # and the count of pairs NOT present in the previous set — folding
+        # the former eager-checkpoint job + count job + anti-join-emptiness
+        # job into one. Only a 2-int row reaches the driver. Set equality
+        # is still EXACT: both sides are distinct sets, so |new| == |old|
+        # plus new ⊆ old proves it with no hash-collision caveat.
+        witness = (
+            pairs.join(
+                prev_pairs.select("u", "v", F.lit(1).alias("_old")), ["u", "v"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("_old").isNull(), 1)).alias("n_fresh"),
+            )
+            .first()
+        )
+        cur_n = witness["n"]
+        if cur_n == prev_n and witness["n_fresh"] == 0:
             # Star forest: every non-root points directly at its root.
             non_roots = pairs.select(
                 F.col("u").alias("id"), F.col("v").alias("cluster_id")

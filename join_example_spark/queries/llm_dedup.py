@@ -326,15 +326,18 @@ def q_llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
         )
     )
+    # Token char-fold computed ONCE as a column; each permutation is then a
+    # cheap affine re-hash of the shared array (round 8 — the old template
+    # inlined the whole fold once PER signature column).
     th = (
         "transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT),"
         f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P}))"
     )
     sig_cols = [
-        F.expr(f"array_min(transform({th}, h -> ({a} * h + {b}) % {_MH_P}))").alias(f"m{i}")
+        F.expr(f"array_min(transform(th, h -> ({a} * h + {b}) % {_MH_P}))").alias(f"m{i}")
         for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
-    sigs = docs.select("doc_id", "toks", *sig_cols)
+    sigs = docs.withColumn("th", F.expr(th)).select("doc_id", "toks", *sig_cols)
     band0 = [f"m{i}" for i in range(4)]
     band1 = [f"m{i}" for i in range(4, 8)]
 
@@ -422,15 +425,18 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("toks"),
         )
     )
+    # Token char-fold computed ONCE as a column; each of the 16 permutations
+    # is then a cheap affine re-hash of the shared array (inlining the fold
+    # per signature column would compute it 16x per document).
     th = (
         "transform(toks, t -> aggregate(split(t, ''), CAST(0 AS BIGINT),"
         f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P}))"
     )
     sig_cols = [
-        F.expr(f"array_min(transform({th}, h -> ({a} * h + {b}) % {_MH_P}))").alias(f"m{i}")
+        F.expr(f"array_min(transform(th, h -> ({a} * h + {b}) % {_MH_P}))").alias(f"m{i}")
         for i, (a, b) in enumerate(zip(_MH_A16, _MH_B16))
     ]
-    sigs = docs.select("doc_id", "toks", *sig_cols)
+    sigs = docs.withColumn("th", F.expr(th)).select("doc_id", "toks", *sig_cols)
     bands = [[f"m{i}" for i in range(j * 4, j * 4 + 4)] for j in range(4)]
 
     def side(prefix: str) -> DataFrame:
