@@ -285,24 +285,60 @@ def ivf_cells(
 #: the measured recall collapse (0.85 at n=2k → 0.37 at n=128k, §3.7b).
 NPROBE_FRAC = 5.0 / 45.0
 
+#: The constant-fraction schedule's calibration anchor (sf0.1 reps n=2000 →
+#: C=45) and the measured recall-decay exponent for the 0.85-target
+#: schedule below (tools/calibrated_recall_sweep.py, round 8): recall at a
+#: FIXED probed fraction RISES with n (0.85 at 2k → 0.995 at 16k → 1.0 at
+#: 128k), so a target-recall deployment can shrink the fraction like
+#: (n0/n)^0.28 and stay on target — measured landing points p=8 at n=16k
+#: (recall 0.8508, 3.5× fewer work pairs than the constant-fraction p=15)
+#: and p=13 at n=128k (recall 0.8847, 9.5× fewer than p=40). SCALE.md §3.11.
+NPROBE_CALIB_N0 = 2025
+NPROBE_RECALL_DECAY = 0.28
 
-def adaptive_nprobe(n_reps: int, floor: int = 5, frac: float = NPROBE_FRAC) -> int:
+
+def adaptive_nprobe(
+    n_reps: int,
+    floor: int = 5,
+    frac: float = NPROBE_FRAC,
+    target_recall: float | None = None,
+) -> int:
     """Derive the multi-probe dial from the observed rep count.
 
-    Holds the PROBED FRACTION of coarse cells constant at the audited
-    operating point: with C = ⌈√n⌉ centroids, ``nprobe = max(floor,
-    ⌈frac·C⌉)`` — 5 at every fixture SF (n ≤ 2000, bit-identical plans
-    and costs to the previously shipped constant), growing like √·√n
-    beyond it (40 at n=128k, where the fixed dial's recall fell to 0.37;
-    measured with the derived dial in SCALE.md §3.10). Candidate work
-    stays at the same order, n²·p²/(2C) = n^1.5·frac²/2 · √n → the
-    n^1.5-scaling generator the family already budgets for, now with
-    n-independent recall instead of n-independent probe count. The
-    ``floor`` keeps small corpora at the audited minimum rather than
-    letting ⌈frac·C⌉ drop below the calibrated point.
+    Default (``target_recall=None``) holds the PROBED FRACTION of coarse
+    cells constant at the audited operating point: with C = ⌈√n⌉
+    centroids, ``nprobe = max(floor, ⌈frac·C⌉)`` — 5 at every fixture SF
+    (n ≤ 2000, bit-identical plans and costs to the previously shipped
+    constant), growing like √·√n beyond it (40 at n=128k, where the fixed
+    dial's recall fell to 0.37; measured with the derived dial in SCALE.md
+    §3.10). Candidate work stays at the same order, n²·p²/(2C) =
+    n^1.5·frac²/2 · √n → the n^1.5-scaling generator the family already
+    budgets for, now with n-independent recall instead of n-independent
+    probe count. The ``floor`` keeps small corpora at the audited minimum
+    rather than letting ⌈frac·C⌉ drop below the calibrated point.
+
+    ``target_recall=0.85`` is the CALIBRATED deployment schedule (round 8,
+    closing SCALE.md §3.10's note that constant fraction OVERSHOOTS to
+    recall ≈ 1.0 at scale while paying the full Θ(n^1.5·frac²) candidate
+    budget): recall at fixed fraction rises with n, so the fraction is
+    decayed as ``frac·(N0/n)^0.28`` past the calibration anchor — measured
+    recall 0.8508 / 0.8847 at the 16k / 128k tiers with 3.5× / 9.5× fewer
+    candidate pairs than the constant-fraction schedule (SCALE.md §3.11;
+    tools/calibrated_recall_sweep.py reproduces). Only 0.85 is calibrated;
+    other targets raise until measured. At fixture SFs the floor keeps
+    both schedules identical (nprobe=5), so declared-query plans and
+    oracles are unchanged.
     """
     import math as _math
 
+    if target_recall is not None:
+        if abs(target_recall - 0.85) > 1e-9:
+            raise ValueError(
+                "only target_recall=0.85 is calibrated (sweep in "
+                "tools/calibrated_recall_sweep.py before shipping others)"
+            )
+        if n_reps > NPROBE_CALIB_N0:
+            frac = frac * (NPROBE_CALIB_N0 / n_reps) ** NPROBE_RECALL_DECAY
     c = int(_math.ceil(_math.sqrt(max(n_reps, 1))))
     return max(floor, int(_math.ceil(frac * c)))
 
