@@ -40,7 +40,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (omitted => rows-only check)."""
+    """DuckDB-equivalent ANSI SQL per query.
+
+    Complete since round 8 — every declared query ships an oracle (the
+    driver has no rows-only mode; ``tests/test_round8_ops.py`` pins the
+    100%-oracle-able invariant). The ``is not None`` guard is kept as a
+    safety net for future declarations, not an expected path.
+    """
     return {
         name: spec.oracle
         for name, spec in load_all().items()

@@ -671,27 +671,57 @@ _IMI_BASE = 1024
 #: faster than flat IVF's (0.21 at n=128k).
 IMI_T_FRAC = 8.0 / 169.0
 
+#: Calibrated 0.85-target schedule for the IMI beam (round 8,
+#: tools/calibrated_recall_sweep.py in SPARK_GRAFT_SWEEP_IMI_TS mode):
+#: unlike flat IVF — whose constant-fraction recall overshoots already at
+#: 16k (0.995) — the product index's constant-fraction recall is still
+#: IN-BAND at 16k (T=32 → 0.9396) and only overshoots by 128k (T=124 →
+#: 0.9975 at 49.6 B work pairs). So the calibrated schedule is a KNEE law:
+#: constant fraction up to the measured in-band tier (n=16k), decaying as
+#: (16000/n)^0.434 beyond it — landing exactly on the measured T=50 at
+#: n=128k (recall 0.9054, 5.9× fewer work pairs than T=124). SCALE.md §3.11b.
+IMI_CALIB_KNEE_N = 16000
+IMI_RECALL_DECAY = 0.434
+
 
 def adaptive_imi_dials(
     n_reps: int,
     t_floor: int = 8,
     p_floor: int = 4,
     frac: float = IMI_T_FRAC,
+    target_recall: float | None = None,
 ) -> tuple[int, int]:
     """Derive the IMI dials ``(nprobe_half, nprobe_cells)`` from the
     observed rep count — the product-index twin of :func:`adaptive_nprobe`.
 
-    Holds the probed fraction of PRODUCT cells at the audited operating
-    point: ``T = max(t_floor, ⌈frac·C²⌉)`` with C = ``imi_c_per_half(n)``,
-    and ``p = max(p_floor, ⌈√T⌉)`` (the per-half beam must satisfy
-    p² ≥ T for the top-T product selection to have T candidates).
-    Equal to the shipped constants (4, 8) at every fixture SF (n ≤ 2000:
-    identical plans, costs, oracles); at n=128k → (12, 124), where the
-    fixed dial's pair recall fell to 0.21 (§3.7b). Measured with the
-    derived dials in SCALE.md §3.10b.
+    Default holds the probed fraction of PRODUCT cells at the audited
+    operating point: ``T = max(t_floor, ⌈frac·C²⌉)`` with C =
+    ``imi_c_per_half(n)``, and ``p = max(p_floor, ⌈√T⌉)`` (the per-half
+    beam must satisfy p² ≥ T for the top-T product selection to have T
+    candidates). Equal to the shipped constants (4, 8) at every fixture SF
+    (n ≤ 2000: identical plans, costs, oracles); at n=128k → (12, 124),
+    where the fixed dial's pair recall fell to 0.21 (§3.7b). Measured with
+    the derived dials in SCALE.md §3.10b.
+
+    ``target_recall=0.85`` applies the calibrated KNEE schedule (see
+    ``IMI_CALIB_KNEE_N``/``IMI_RECALL_DECAY`` above): identical to the
+    default up to n=16k — where constant fraction is already in the
+    [0.85, 0.95] band (measured 0.9396), so there is honestly nothing to
+    save — then fraction-decayed to land on the measured (ceil(√50)=8 →
+    p=8, T=50) point at n=128k: recall 0.9054 with 5.9× fewer candidate
+    pairs than the recall-overshooting default (SCALE.md §3.11b). Only
+    0.85 is calibrated; other targets raise.
     """
     import math as _math
 
+    if target_recall is not None:
+        if abs(target_recall - 0.85) > 1e-9:
+            raise ValueError(
+                "only target_recall=0.85 is calibrated (sweep in "
+                "tools/calibrated_recall_sweep.py before shipping others)"
+            )
+        if n_reps > IMI_CALIB_KNEE_N:
+            frac = frac * (IMI_CALIB_KNEE_N / n_reps) ** IMI_RECALL_DECAY
     c = imi_c_per_half(n_reps)
     t = max(t_floor, int(_math.ceil(frac * c * c)))
     p = max(p_floor, int(_math.ceil(_math.sqrt(t))))

@@ -52,6 +52,21 @@ class TestCalibratedRecallDial:
         with pytest.raises(ValueError, match="calibrated"):
             adaptive_nprobe(16000, target_recall=0.9)
 
+    def test_imi_knee_schedule_landing_points(self):
+        # IMI twin (SCALE.md §3.11b): constant fraction is already IN-BAND
+        # at 16k (T=32 -> recall 0.9396 measured), so the knee keeps the
+        # schedules identical there; at 128k the calibrated beam must land
+        # on the MEASURED (8, 50) point (recall 0.9054, 5.9x fewer work
+        # pairs than the default (12, 124) at 0.9975).
+        from join_example_spark.operators.similarity import adaptive_imi_dials
+
+        for n in (500, 2000, 16000):
+            assert adaptive_imi_dials(n, target_recall=0.85) == adaptive_imi_dials(n)
+        assert adaptive_imi_dials(128000) == (12, 124)
+        assert adaptive_imi_dials(128000, target_recall=0.85) == (8, 50)
+        with pytest.raises(ValueError, match="calibrated"):
+            adaptive_imi_dials(128000, target_recall=0.9)
+
 
 class TestRedeclaredTrio:
     """The three former rows-only queries are now full oracle citizens —

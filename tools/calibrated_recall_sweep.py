@@ -12,6 +12,12 @@ Env:    SPARK_GRAFT_PROBE_COPIES=8,64    tier multipliers
         SPARK_GRAFT_SWEEP_NPROBES=...    per-tier comma/colon list, e.g.
                                          "6,8,10,15:10,14,20,40"
                                          (defaults below)
+        SPARK_GRAFT_SWEEP_IMI_TS=...     sweep the IMI product-cell beam
+                                         instead: per-tier T lists, e.g.
+                                         "14,18,32:30,39,124"; p is
+                                         derived as max(4, ceil(sqrt(T)))
+                                         (the top-T selection needs p^2
+                                         >= T candidates)
 
 Protocol identical to tools/adaptive_recall_tier.py (same ground truth:
 exact rounded dots of a 1% probe sample vs the corpus at sim >= 0.35;
@@ -41,10 +47,21 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from join_example_spark.conf import ensure_session_confs
-    from join_example_spark.operators.similarity import DOT_SQL, ivf_cells
+    from join_example_spark.operators.similarity import (
+        DOT_SQL,
+        imi_c_per_half,
+        imi_cells,
+        ivf_cells,
+    )
 
+    imi_env = os.environ.get("SPARK_GRAFT_SWEEP_IMI_TS", "")
     sweep_env = os.environ.get("SPARK_GRAFT_SWEEP_NPROBES", "")
-    if sweep_env:
+    if imi_env:
+        sweeps = {
+            c: [int(t) for t in part.split(",")]
+            for c, part in zip(COPIES, imi_env.split(":"))
+        }
+    elif sweep_env:
         sweeps = {
             c: [int(p) for p in part.split(",")]
             for c, part in zip(COPIES, sweep_env.split(":"))
@@ -103,9 +120,19 @@ def main() -> None:
 
         for p in sweeps[copies]:
             t0 = time.perf_counter()
+            if imi_env:
+                t_cells = p  # in IMI mode the swept dial is T
+                ph = max(4, int(math.ceil(math.sqrt(t_cells))))
+                mk = imi_cells(
+                    big,
+                    c_per_half=imi_c_per_half(n),
+                    nprobe_half=ph,
+                    nprobe_cells=t_cells,
+                )
+            else:
+                mk = ivf_cells(big, n_centroids=c, nprobe=p)
             cell_sets = (
-                ivf_cells(big, n_centroids=c, nprobe=p)
-                .groupBy("vec_id")
+                mk.groupBy("vec_id")
                 .agg(F.collect_set("cell").alias("cells"))
                 .localCheckpoint(eager=True)
             )
