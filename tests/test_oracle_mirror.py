@@ -23,8 +23,9 @@ def test_oracle_match_smoke_sf(spark, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = _SPECS[name].fn(spark, SF_SMOKE)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries_remain():
+    # Since round 8 every declared query ships an oracle (the driver has no
+    # rows-only mode — CORRECTNESS_r07 evidence); the old parametrized
+    # rows-only runner would now emit an empty-parameterset skip, so it is
+    # replaced by this invariant (also pinned in tests/test_round8_ops.py).
+    assert _ROWS_ONLY == []
