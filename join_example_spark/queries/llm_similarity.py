@@ -516,10 +516,15 @@ FROM truth
 )
 def q_llm_sim_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
+    # Defensive pair-dedup: approxSimilarityJoin distincts its output today,
+    # but a duplicate (id_a, id_b) here would fan out the LEFT join below
+    # and inflate n_true_sampled vs the oracle — cheap insurance on a small
+    # set against MLlib behavior drift.
     found = (
         lsh_ann_pairs(emb, threshold_distance=1.2)
         .where(F.col("id_a") % 10 == 0)
         .select("id_a", "id_b", F.lit(1).alias("hit"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     a0 = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
