@@ -1,6 +1,7 @@
 """Partition-independence regression: results must not depend on the
-physical parallelism. The full sweep (round 7: all 228 oracle queries
-under local[5]/7-shuffle-partitions, 0 mismatches in 191 s — reproducible
+physical parallelism. The full sweep (round 8: all 231 oracle queries —
+trio re-declaration, one-job CC and fold-once MinHash included — under
+local[5]/7-shuffle-partitions, 0 mismatches in 222 s — reproducible
 via tools/sweep_partition_independence.py) was run out-of-band; this fast
 version re-checks the most partition-sensitive query classes — float
 aggregation merge order, collect_list order, LIMIT boundaries, window
