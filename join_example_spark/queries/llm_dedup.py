@@ -338,26 +338,34 @@ def q_llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
     sigs = docs.withColumn("th", F.expr(th)).select("doc_id", "toks", *sig_cols)
-    band0 = [f"m{i}" for i in range(4)]
-    band1 = [f"m{i}" for i in range(4, 8)]
-
-    def side(prefix: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id").alias(f"id_{prefix}"),
-            F.col("toks").alias(f"toks_{prefix}"),
-            *[F.col(c).alias(f"{c}_{prefix}") for c in band0 + band1],
-        )
-
-    a, b = side("a"), side("b")
-    # Scale shape: one equi-join per band (hash shuffle on the band tuple),
-    # unioned then de-duplicated — never an OR-of-bands nested loop.
-    cands = None
-    for band in (band0, band1):
-        j = a.join(
-            b, [F.col(f"{c}_a") == F.col(f"{c}_b") for c in band]
-        ).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "toks_a", "toks_b")
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+    # Scale shape: ONE equi-join on the exploded (band_idx, band_key) rows
+    # — a single hash shuffle keyed by the band tuple (same multi-index
+    # shape as q_llm_dedup_minhash/q_llm_dedup_simhash; an OR-of-bands
+    # join would be a nested loop, one join per band costs 2x the stages).
+    band_structs = ", ".join(
+        f"STRUCT({j} AS band_idx, array(m{j * 4}, m{j * 4 + 1},"
+        f" m{j * 4 + 2}, m{j * 4 + 3}) AS band_key)"
+        for j in range(2)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(f"array({band_structs})")).alias("band"),
+    ).select("doc_id", "toks", "band.band_idx", "band.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"),
+        "band_idx", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"),
+        "band_idx", "band_key",
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     jac = F.expr(
         "CAST(SIZE(ARRAY_INTERSECT(toks_a, toks_b)) AS DOUBLE)"
         " / CAST(SIZE(ARRAY_UNION(toks_a, toks_b)) AS DOUBLE)"
