@@ -1,9 +1,10 @@
 """§2.10 — deduplication over the ``documents`` corpus.
 
-Exact dedup and blocked token-Jaccard near-dup are oracle-checked (Y);
-MinHash+LSH and SimHash use Spark's xxhash64 (no DuckDB twin) and are
-declared rows-only (R), with their algebraic properties unit-tested instead
-(see tests/test_operators.py and tests/test_round3_ops.py).
+Every declared query here is oracle-checked (Y) since round 8: the
+MinHash+LSH and SimHash queries run the PORTABLE polynomial token hash
+end-to-end (bit-identical Spark↔DuckDB), while the xxhash64 fast paths
+remain library operators (operators/dedup.py) with brute-force-complete
+unit tests (tests/test_operators.py, tests/test_round3_ops.py).
 """
 
 from __future__ import annotations
@@ -311,10 +312,11 @@ FROM cand
 WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
         / CAST(LEN(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.9
 """,
-    note="MinHash with PORTABLE polynomial token hashes — the full "
-    "signature/banding/verify pipeline is oracle-certified (unlike the "
-    "xxhash64 fast path, which stays the scale default). 8 perms, 2x4 "
-    "bands, Jaccard >= 0.9 verify",
+    note="MinHash with PORTABLE polynomial token hashes — the compact "
+    "8-perm/2x4-band dial of the certified family (q_llm_dedup_minhash "
+    "carries the 16-perm/4x4 default since its round-8 re-declaration; "
+    "the xxhash64 fast path is a library operator). Jaccard >= 0.9 "
+    "verify, single exploded (band_idx, band_key) equi-join",
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,8 +419,9 @@ WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
     "driver has no rows-only mode, proven round 7), keeping the original "
     "16-perm/4-band geometry; the xxhash64 fast path stays a library "
     "operator (operators/dedup.py minhash_lsh_candidates, unit-tested "
-    "against brute force). Band joins are per-band equi-joins unioned "
-    "then deduplicated — never an OR-of-bands nested loop. Scoped to one "
+    "against brute force). Candidates come from ONE equi-join on the "
+    "exploded (band_idx, band_key) multi-index rows, then pair-dedup — "
+    "never an OR-of-bands nested loop. Scoped to one "
     "source partition: the fixture corpus has a 31-word vocabulary "
     "(median pairwise Jaccard 0.65, measured), so banding cannot prune "
     "it — the bound keeps the demo honest instead of quadratic",
@@ -1081,9 +1084,10 @@ FROM cand
 WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIT)) <= 3
 """,
     note="PORTABLE 16-bit SimHash with exact multi-index banding — the "
-    "oracle-certified twin of the xxhash64 q_llm_dedup_simhash (which "
-    "stays the 64-bit scale default), mirroring how q_llm_dedup_minhash_"
-    "exact certifies the MinHash path. Per-token polynomial hashes (same "
+    "compact dial of the certified family (q_llm_dedup_simhash carries "
+    "the 32-bit/4x8-band default since its round-8 re-declaration; the "
+    "xxhash64 64-bit path is a library operator, operators/dedup.py). "
+    "Per-token polynomial hashes (same "
     "fold as the MinHash twin), bit i of the signature = sign of the "
     "+-1 vote sum over tokens, 4x4-bit bands, pigeonhole guarantees 100% "
     "recall at hamming radius 3, bit_count(xor) exact verify. All integer "
