@@ -67,67 +67,17 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-8 head (50): first the 3 queries RE-DECLARED this round with
-#: oracles (q_llm_dedup_minhash/_simhash on the portable polynomial hash,
-#: q_llm_sim_knn_scale as an exact-regime-certified recall audit — round 7
-#: proved the driver has no rows-only mode, so their old rows-only forms
-#: could never earn a driver row), then oldest-proof-first rotation: the 46
-#: queries whose latest driver green is r3 (the oldest still-current
-#: evidence) + 1 r4 row to fill 50. The entire tail is likewise sorted by
-#: ascending latest-green round (r4, r5, r6, r7; name-ordered within a
-#: round), so any prefix spill always lands on the stalest proofs. Derived
-#: from CORRECTNESS_r0{3..7}.json; re-derive and re-sort each round.
+#: Round-9 head (50): pure oldest-proof-first rotation — after the round-8
+#: clean sweep every registry query has a driver-green proof, so the head
+#: is the 41 queries whose latest green is r4 (the oldest still-current
+#: evidence) + the first 9 r5 rows (name order) to fill 50. New queries
+#: declared this round (no proof yet) sort to the very front by the same
+#: rule. The entire tail is likewise sorted by ascending latest-green round
+#: (r5, r6, r7, r8; name-ordered within a round), so any prefix spill
+#: always lands on the stalest proofs. Derived mechanically from
+#: CORRECTNESS_r0{1..8}.json by tools/rotate_driver_priority.py; re-derive
+#: and re-sort each round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_llm_dedup_minhash",
-    "q_llm_dedup_simhash",
-    "q_llm_sim_knn_scale",
-    "q_agg_approx_topk",
-    "q_agg_bitwise",
-    "q_cohort_retention",
-    "q_event_transitions",
-    "q_funnel_stages",
-    "q_join_asof",
-    "q_join_asof_left",
-    "q_join_asof_tolerance",
-    "q_join_ktable",
-    "q_join_range_bucketed",
-    "q_llm_bigram_surprisal",
-    "q_llm_char_entropy",
-    "q_llm_dedup_block_audit",
-    "q_llm_dedup_incremental",
-    "q_llm_dedup_simhash_exact",
-    "q_llm_embed_quantize",
-    "q_llm_quality_gate",
-    "q_profile_skew",
-    "q_resample_gapfill",
-    "q_scan_count",
-    "q_scan_json_props",
-    "q_scd2_intervals",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_stream_dedup",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_time_rollup",
-    "q_tpch_q1",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_win_first_last",
-    "q_win_lead_lag",
-    "q_win_time_range",
-    "q_agg_approx_distinct",
     "q_agg_approx_percentile",
     "q_agg_cube",
     "q_agg_latest_per_key",
@@ -309,6 +259,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_win_share",
     "q_zorder_layout",
+    "q_agg_approx_distinct",
+    "q_agg_approx_topk",
+    "q_agg_bitwise",
+    "q_cohort_retention",
+    "q_event_transitions",
+    "q_funnel_stages",
+    "q_join_asof",
+    "q_join_asof_left",
+    "q_join_asof_tolerance",
+    "q_join_ktable",
+    "q_join_range_bucketed",
+    "q_llm_bigram_surprisal",
+    "q_llm_char_entropy",
+    "q_llm_dedup_block_audit",
+    "q_llm_dedup_incremental",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_exact",
+    "q_llm_embed_quantize",
+    "q_llm_quality_gate",
+    "q_llm_sim_knn_scale",
+    "q_profile_skew",
+    "q_resample_gapfill",
+    "q_scan_count",
+    "q_scan_json_props",
+    "q_scd2_intervals",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_time_rollup",
+    "q_tpch_q1",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_win_first_last",
+    "q_win_lead_lag",
+    "q_win_time_range",
 )
 
 

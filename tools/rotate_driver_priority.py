@@ -71,7 +71,9 @@ def main() -> None:
         with open(path) as fh:
             src = fh.read()
         start = src.index("DRIVER_PRIORITY: tuple[str, ...] = (")
-        end = src.index(")\n", start) + 2
+        # Anchor the tuple's end at a close-paren on column 0 — an inline
+        # comment ending in ')' inside the tuple must not terminate the splice.
+        end = src.index("\n)\n", start) + 3
         body = "\n".join(f'    "{n}",' for n in order)
         src = (
             src[:start]
