@@ -198,7 +198,14 @@ def _cells_and_admissible_imi(
     # invariant is one exact rule everywhere). Dense _cidx ranks make the
     # product key packable.
     cnt = reps.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
-    c_of_n = F.expr("array_min(filter(sequence(1, 1024), c -> c * c * c >= _n))")
+    # coalesce(…, 1024): filter() is empty (array_min → NULL) when a block
+    # holds more than 1024³ ≈ 1.07e9 reps; `_rn <= NULL` would then drop
+    # every centroid and silently empty the candidate set. Saturate at the
+    # scan max instead (C = 1024 keeps C³ ≥ 2^30 cells — sizing shapes cost
+    # only, never output), mirroring imi_c_per_half's range(1, 1025) note.
+    c_of_n = F.expr(
+        "coalesce(array_min(filter(sequence(1, 1024), c -> c * c * c >= _n)), 1024)"
+    )
     cw = Window.partitionBy("_blk").orderBy("_id")
     cents = (
         reps.select("_blk", "_id")
