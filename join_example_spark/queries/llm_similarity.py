@@ -1825,7 +1825,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_llm_mine_margin",
+    "q_llm_mine_margin_baseline",
     oracle=f"""
 WITH probes AS (
     SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
@@ -1863,14 +1863,15 @@ FROM best2
     "Determinism: sims are ROUND(fold, 4) doubles under a (sim desc, "
     "cand_id) total order; margin is one exact-rounded IEEE subtraction "
     "of identical operands, and both acceptance comparisons evaluate "
-    "on identical doubles. This is the flat-scan baseline (probe x "
-    "corpus fold); at 100 TB the probe side routes through the "
-    "IVF/IMI front ends exactly as the dedup family does — the margin "
-    "rule only needs each probe's top-2, which multi-probe candidate "
-    "generation preserves at the audited recall",
+    "on identical doubles. SCALE-BASELINE BY DESIGN (renamed from "
+    "q_llm_mine_margin in round 9): the flat probes x corpus crossJoin "
+    "is the exact ground truth the family's audits compare against; the "
+    "family DEFAULT is q_llm_mine_margin_ivf, which routes the probe "
+    "side through the multi-probe IVF front end exactly as the dedup "
+    "family does",
     tags=("llm", "similarity", "search"),
 )
-def q_llm_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_mine_margin_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from join_example_spark.operators.similarity import DOT_SQL
@@ -1900,6 +1901,136 @@ def q_llm_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     margin = F.col("best_sim") - F.col("second_sim")
     return best2.select(
+        "probe_id",
+        F.col("best_id").cast("bigint").alias("best_id"),
+        "best_sim",
+        margin.alias("margin"),
+        ((margin >= F.lit(0.05)) & (F.col("best_sim") >= F.lit(0.3))).alias(
+            "accepted"
+        ),
+    )
+
+
+@register(
+    "q_llm_mine_margin_ivf",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), corpus AS (
+    SELECT vec_id AS cand_id, embedding AS cv, cent_id AS cell
+    FROM assign WHERE arn = 1 AND vec_id % 50 <> 0
+), probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv, cent_id AS cell
+    FROM assign WHERE arn <= 5 AND vec_id % 50 = 0
+), scored AS (
+    SELECT p.probe_id, c.cand_id,
+           ROUND({_DUCK_DOT.format(a="p.pv", b="c.cv")}, 4) AS sim
+    FROM probes p JOIN corpus c ON p.cell = c.cell
+), ranked AS (
+    SELECT probe_id, cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM scored
+), best2 AS (
+    SELECT probe_id,
+           MAX(CASE WHEN rn = 1 THEN cand_id END) AS best_id,
+           MAX(CASE WHEN rn = 1 THEN sim END) AS best_sim,
+           MAX(CASE WHEN rn = 2 THEN sim END) AS second_sim
+    FROM ranked WHERE rn <= 2 GROUP BY probe_id
+)
+SELECT probe_id, CAST(best_id AS BIGINT) AS best_id, best_sim,
+       best_sim - second_sim AS margin,
+       (best_sim - second_sim) >= 0.05 AND best_sim >= 0.3 AS accepted
+FROM best2
+WHERE second_sim IS NOT NULL
+""",
+    note="the FAMILY-DEFAULT margin miner (round 9, closing the "
+    "q_llm_mine_margin_baseline note's promise): the probe side routes "
+    "through the multi-probe IVF front end — ceil(sqrt(n)) lowest-id "
+    "centroids, adaptive_nprobe(n) probed cells per probe (== 5 at "
+    "every fixture SF, which the arn <= 5 oracle pins exactly; the "
+    "fixture-drift test pins the dial) — and the Artetxe & Schwenk "
+    "margin rule runs over the candidate set instead of the full "
+    "corpus. Margin needs each probe's top-2, which audited-recall "
+    "multi-probe candidate generation preserves (same argument as "
+    "q_llm_dedup_semantic); candidates live in their single home cell "
+    "so each (probe, candidate) pair arises at most once. Probes whose "
+    "probed cells yield < 2 candidates are dropped (margin undefined) — "
+    "identically on both engines via the second_sim IS NOT NULL filter. "
+    "At 100 TB: centroids broadcast, assignment map-side, ONE shuffle "
+    "of probes+corpus on the cell key (repartition-pinned against AQE "
+    "fan-out-blind coalescing), candidate work n_probes * nprobe/C of "
+    "the corpus instead of n_probes * corpus. Measured fixture caveat "
+    "(same class as the IMI dormancy note): this corpus is ISOTROPIC — "
+    "no planted bimodal translation structure — so probe neighborhoods "
+    "are dense near-tie bands and candidate restriction inflates "
+    "margins at the 0.05 boundary (sf0.1: 7/40 probes accept on an "
+    "inflated margin whose true margin is 0.008-0.041). Mining presumes "
+    "separated true pairs (margin >> 0.05), where an audited-recall "
+    "candidate set keeps both of the top-2; the certified two-sided "
+    "invariant (candidate-subset dominance: ivf best_sim <= flat "
+    "best_sim per probe, equality when the true best is retained) is "
+    "pinned in tests/test_round9_ops.py",
+    tags=("llm", "similarity", "search", "approx"),
+)
+def q_llm_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.similarity import (
+        DOT_SQL,
+        _by_cell,
+        adaptive_nprobe,
+        ivf_cells,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Scalar plan-build action (same class as the CC convergence witness).
+    n = emb.count()
+    n_centroids = int(math.ceil(math.sqrt(n)))
+    nprobe = adaptive_nprobe(n)
+    corpus = (
+        ivf_cells(emb, n_centroids)
+        .where(F.col("vec_id") % 50 != 0)
+        .select(F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("cv"))
+    )
+    probes = (
+        ivf_cells(emb, n_centroids, nprobe=nprobe)
+        .where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("probe_id"), "cell", F.col("embedding").alias("pv"))
+    )
+    scored = (
+        _by_cell(probes)
+        .join(_by_cell(corpus), "cell")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(F.expr(DOT_SQL.format(a="pv", b="cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    best2 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("probe_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cand_id"))).alias("best_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias("best_sim"),
+            F.max(F.when(F.col("rn") == 2, F.col("sim"))).alias("second_sim"),
+        )
+    )
+    margin = F.col("best_sim") - F.col("second_sim")
+    return best2.where(F.col("second_sim").isNotNull()).select(
         "probe_id",
         F.col("best_id").cast("bigint").alias("best_id"),
         "best_sim",

@@ -67,17 +67,20 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-9 head (50): pure oldest-proof-first rotation — after the round-8
-#: clean sweep every registry query has a driver-green proof, so the head
-#: is the 41 queries whose latest green is r4 (the oldest still-current
-#: evidence) + the first 9 r5 rows (name order) to fill 50. New queries
-#: declared this round (no proof yet) sort to the very front by the same
-#: rule. The entire tail is likewise sorted by ascending latest-green round
+#: Round-9 head (50): the 2 queries DECLARED this round with no driver
+#: proof yet (q_llm_mine_margin_baseline — the flat miner renamed from
+#: q_llm_mine_margin per the round-8 verdict — and q_llm_mine_margin_ivf,
+#: its new IVF-front-end family default) sort to the very front, then pure
+#: oldest-proof-first rotation: the 41 queries whose latest green is r4
+#: (the oldest still-current evidence) + the first 7 r5 rows (name order)
+#: to fill 50. The entire tail is likewise sorted by ascending latest-green round
 #: (r5, r6, r7, r8; name-ordered within a round), so any prefix spill
 #: always lands on the stalest proofs. Derived mechanically from
 #: CORRECTNESS_r0{1..8}.json by tools/rotate_driver_priority.py; re-derive
 #: and re-sort each round.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_llm_mine_margin_baseline",
+    "q_llm_mine_margin_ivf",
     "q_agg_approx_percentile",
     "q_agg_cube",
     "q_agg_latest_per_key",
@@ -142,7 +145,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_substring",
     "q_llm_embed_outliers",
     "q_llm_imi_recall",
-    "q_llm_mine_margin",
     "q_llm_mix_temperature",
     "q_llm_sample_weighted",
     "q_llm_sim_imipq",

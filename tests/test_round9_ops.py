@@ -1,0 +1,83 @@
+"""Round-9 pins: the q_llm_mine_margin family split (flat baseline vs the
+IVF-front-end default) and the IMI codebook-sizing NULL guard.
+
+The margin family's hash-level correctness is certified by the oracle
+mirror (both queries, both SFs); these tests pin the cheap structural
+facts a silent edit would break first: the candidate-subset dominance
+invariant that makes the IVF miner's errors one-sided per component, and
+the saturation bound on the IMI sizing expression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from join_example_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestMineMarginFamily:
+    def test_family_is_declared_and_oracled(self):
+        reg = load_all()
+        for name in ("q_llm_mine_margin_baseline", "q_llm_mine_margin_ivf"):
+            assert name in reg
+            assert reg[name].oracle is not None
+        # the unsuffixed name is GONE (renamed round 9, per the r8 verdict)
+        assert "q_llm_mine_margin" not in reg
+
+    def test_candidate_subset_dominance(self, spark):
+        # The IVF miner scores a SUBSET of the flat miner's candidate set,
+        # so per probe: ivf best_sim <= flat best_sim (equality iff the true
+        # best survived candidate generation). A violation means the IVF
+        # path scored a pair the flat path didn't — impossible unless the
+        # probe/corpus split or the rounding drifted between the twins.
+        reg = load_all()
+        flat = {
+            r["probe_id"]: r
+            for r in reg["q_llm_mine_margin_baseline"]
+            .fn(spark, SF)
+            .collect()
+        }
+        ivf = reg["q_llm_mine_margin_ivf"].fn(spark, SF).collect()
+        assert len(ivf) > 0
+        for r in ivf:
+            assert r["probe_id"] in flat
+            assert r["best_sim"] <= flat[r["probe_id"]]["best_sim"]
+
+    def test_ivf_never_emits_single_candidate_probes(self, spark):
+        # margin is undefined below 2 candidates; the declared filter must
+        # keep every emitted margin/accepted non-null on both engines.
+        reg = load_all()
+        rows = reg["q_llm_mine_margin_ivf"].fn(spark, SF).collect()
+        for r in rows:
+            assert r["margin"] is not None
+            assert r["accepted"] is not None
+
+
+class TestImiSizingGuard:
+    def test_c_of_n_saturates_instead_of_nulling(self, spark):
+        # The inline SQL sizing rule must COALESCE to the scan max (1024)
+        # past 1024^3 reps per block instead of returning NULL (which would
+        # silently empty the centroid set — ADVICE r8). Evaluate the exact
+        # expression used by operators/cosine_pairs.py on boundary counts.
+        import re
+
+        src = open(
+            "join_example_spark/operators/cosine_pairs.py", encoding="utf-8"
+        ).read()
+        m = re.search(r'"(coalesce\(array_min\(filter[^"]+)"', src)
+        assert m, "sizing expression moved — update this pin"
+        expr = m.group(1)
+        df = spark.createDataFrame(
+            [(8,), (1000,), (1024**3,), (1024**3 + 1,)], ["_n"]
+        )
+        got = [r[0] for r in df.selectExpr(f"{expr} AS c").collect()]
+        assert got == [2, 10, 1024, 1024]
+        # and the Python twin (which additionally floors at 4) agrees on
+        # in-range points above its floor
+        from join_example_spark.operators.similarity import imi_c_per_half
+
+        assert imi_c_per_half(8) == 4  # floor, not ceil-cbrt
+        assert imi_c_per_half(1000) == 10
+        assert imi_c_per_half(1001) == 11
