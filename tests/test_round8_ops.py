@@ -49,8 +49,9 @@ class TestCalibratedRecallDial:
         assert adaptive_nprobe(1_000_000, target_recall=0.85) > 5
 
     def test_uncalibrated_target_raises(self):
+        # 0.90 became a calibrated notch in round 9; 0.95 remains unswept.
         with pytest.raises(ValueError, match="calibrated"):
-            adaptive_nprobe(16000, target_recall=0.9)
+            adaptive_nprobe(16000, target_recall=0.95)
 
     def test_imi_knee_schedule_landing_points(self):
         # IMI twin (SCALE.md §3.11b): constant fraction is already IN-BAND
@@ -65,7 +66,7 @@ class TestCalibratedRecallDial:
         assert adaptive_imi_dials(128000) == (12, 124)
         assert adaptive_imi_dials(128000, target_recall=0.85) == (8, 50)
         with pytest.raises(ValueError, match="calibrated"):
-            adaptive_imi_dials(128000, target_recall=0.9)
+            adaptive_imi_dials(128000, target_recall=0.95)
 
 
 class TestRedeclaredTrio:

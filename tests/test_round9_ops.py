@@ -55,6 +55,65 @@ class TestMineMarginFamily:
             assert r["accepted"] is not None
 
 
+class TestCalibrated090Dial:
+    def test_fixture_sfs_unchanged_by_target(self):
+        from join_example_spark.operators.similarity import (
+            adaptive_imi_dials,
+            adaptive_nprobe,
+        )
+
+        # Floors keep every calibrated schedule at the audited fixture
+        # operating points — no declared plan or oracle moves.
+        for n in (1, 500, 2000, 2025):
+            assert adaptive_nprobe(n, target_recall=0.90) == 5
+            assert adaptive_imi_dials(n, target_recall=0.90) == (4, 8)
+
+    def test_measured_landing_points(self):
+        from join_example_spark.operators.similarity import (
+            adaptive_imi_dials,
+            adaptive_nprobe,
+        )
+
+        # The two-piece 0.90 law must land exactly on MEASURED rows of the
+        # deterministic round-8 sweep (SCALE.md §3.11 table):
+        #   n=16k  -> p=10 (recall 0.9358, 100.9 M work pairs)
+        #   n=128k -> p=14 (recall 0.9121, 4.49 B work pairs)
+        assert adaptive_nprobe(16000, target_recall=0.90) == 10
+        assert adaptive_nprobe(128000, target_recall=0.90) == 14
+        # IMI: the 0.85 knee law's landings (0.9396 @16k, 0.9054 @128k)
+        # already sit inside [0.90, 0.95] — one measured operating line
+        # serves both targets.
+        assert adaptive_imi_dials(16000, target_recall=0.90) == adaptive_imi_dials(
+            16000, target_recall=0.85
+        )
+        assert adaptive_imi_dials(128000, target_recall=0.90) == adaptive_imi_dials(
+            128000, target_recall=0.85
+        )
+
+    def test_dominance_ordering(self):
+        from join_example_spark.operators.similarity import adaptive_nprobe
+
+        # Higher target must never probe LESS than a lower one, and the
+        # calibrated schedules never exceed the recall-1.0 default.
+        for n in range(1, 600001, 997):
+            p85 = adaptive_nprobe(n, target_recall=0.85)
+            p90 = adaptive_nprobe(n, target_recall=0.90)
+            p10 = adaptive_nprobe(n)
+            assert p85 <= p90 <= p10
+
+    def test_uncalibrated_targets_still_raise(self):
+        from join_example_spark.operators.similarity import (
+            adaptive_imi_dials,
+            adaptive_nprobe,
+        )
+
+        for bad in (0.8, 0.95, 0.99):
+            with pytest.raises(ValueError):
+                adaptive_nprobe(16000, target_recall=bad)
+            with pytest.raises(ValueError):
+                adaptive_imi_dials(16000, target_recall=bad)
+
+
 class TestImiSizingGuard:
     def test_c_of_n_saturates_instead_of_nulling(self, spark):
         # The inline SQL sizing rule must COALESCE to the scan max (1024)
