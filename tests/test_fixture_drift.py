@@ -250,3 +250,26 @@ def test_documents_embeddings_row_counts_pinned():
         assert adaptive_imi_dials(n_emb) == (4, 8), (
             f"adaptive_imi_dials({n_emb}) != (4, 8) — IMI oracles pin this beam"
         )
+
+
+def test_events_ts_value_domain_pinned(spark):
+    """Round-9 pin (r8 verdict stretch #8): the events table's TIME DOMAIN,
+    not just its encoding. Every windowed/sessionized/gap-filled query's
+    row counts depend on the 2024-01 value range; a regenerated fixture
+    with a shifted domain would silently change all of them and surface
+    only as a wall of driver hash mismatches. Fail here, in one obvious
+    place, instead. Goes through read_events so the pin holds under BOTH
+    ts encodings the fixture has shipped with (int64 nanos / timestamp)."""
+    import datetime
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        lo, hi = (
+            read_events(spark, f"/root/testdata/{sf}")
+            .agg(F.min("ts"), F.max("ts"))
+            .first()
+        )
+        assert lo >= datetime.datetime(2024, 1, 1), (sf, lo)
+        assert hi < datetime.datetime(2024, 2, 1), (sf, hi)
+        # and the span covers most of the month — a truncated regeneration
+        # (one day of data) would also reshape every windowed answer
+        assert hi - lo > datetime.timedelta(days=25), (sf, lo, hi)
