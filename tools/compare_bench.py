@@ -16,6 +16,11 @@ A query is flagged only if BOTH hold:
   - the absolute delta is >= 1.0 s (sub-second moves are scheduling jitter
     at any percentage).
 Exit 0 always (informational tool).
+
+Since round 9, bench.py imports :func:`compute_diff` and writes the same
+adjudicated diff to ``bench_diff.json`` on every run (vs the latest
+BENCH_r{N}.json), so the round-open ritual reads adjudicated deltas
+instead of raw pairs.
 """
 
 from __future__ import annotations
@@ -36,24 +41,25 @@ def qmap(path: str) -> dict[str, float]:
     return d.get("queries", d)
 
 
-def main() -> None:
-    if len(sys.argv) != 3:
-        print(__doc__, file=sys.stderr)
-        sys.exit(2)
-    old, new = qmap(sys.argv[1]), qmap(sys.argv[2])
+def load_envelope() -> dict:
     try:
         with open(os.path.join(REPO, "BENCH_VARIANCE.json")) as fh:
-            env = json.load(fh)["queries"]
-    except OSError:
-        env = {}
+            return json.load(fh)["queries"]
+    except (OSError, KeyError, ValueError):
+        return {}
 
+
+def compute_diff(
+    old: dict[str, float], new: dict[str, float], env: dict | None = None
+) -> dict:
+    """The adjudicated diff as data: common-set totals plus only the
+    per-query rows that clear BOTH the envelope percentage and the 1 s
+    absolute floor. Pure function so bench.py can emit it per-run."""
+    if env is None:
+        env = load_envelope()
     common = sorted(set(old) & set(new))
-    tot_old = sum(old[q] for q in common)
-    tot_new = sum(new[q] for q in common)
-    print(
-        f"common set: {len(common)} queries, {tot_old:.1f}s -> {tot_new:.1f}s "
-        f"({tot_new / max(tot_old, 1e-9):.2f}x)"
-    )
+    tot_old = round(sum(old[q] for q in common), 3)
+    tot_new = round(sum(new[q] for q in common), 3)
     flagged = []
     for q in common:
         a, b = old[q], new[q]
@@ -61,19 +67,50 @@ def main() -> None:
             continue
         allowed = max(env.get(q, {}).get("spread_pct", 50), 25) / 100.0
         if abs(b - a) / max(min(a, b), 1e-9) > allowed:
-            flagged.append((abs(b - a), q, a, b, allowed))
-    if not flagged:
+            flagged.append(
+                {
+                    "query": q,
+                    "old_sec": a,
+                    "new_sec": b,
+                    "allowed_spread_pct": int(allowed * 100),
+                }
+            )
+    flagged.sort(key=lambda r: abs(r["new_sec"] - r["old_sec"]), reverse=True)
+    return {
+        "n_common": len(common),
+        "common_total_old_sec": tot_old,
+        "common_total_new_sec": tot_new,
+        "ratio": round(tot_new / max(tot_old, 1e-9), 3),
+        "outside_envelope": flagged,
+        "new_only": sorted(set(new) - set(old)),
+        "dropped": sorted(set(old) - set(new)),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
+    d = compute_diff(qmap(sys.argv[1]), qmap(sys.argv[2]))
+    print(
+        f"common set: {d['n_common']} queries, "
+        f"{d['common_total_old_sec']:.1f}s -> {d['common_total_new_sec']:.1f}s "
+        f"({d['ratio']:.2f}x)"
+    )
+    if not d["outside_envelope"]:
         print("no per-query delta exceeds the measured noise envelope")
-    for d, q, a, b, allowed in sorted(flagged, reverse=True):
+    for r in d["outside_envelope"]:
         print(
-            f"  OUTSIDE ENVELOPE: {q} {a:.2f}s -> {b:.2f}s "
-            f"(same-code spread allows {allowed:.0%})"
+            f"  OUTSIDE ENVELOPE: {r['query']} {r['old_sec']:.2f}s -> "
+            f"{r['new_sec']:.2f}s (same-code spread allows "
+            f"{r['allowed_spread_pct']}%)"
         )
-    only_new = sorted(set(new) - set(old))
-    if only_new:
-        head = ", ".join(only_new[:8])
-        more = f" (+{len(only_new) - 8} more)" if len(only_new) > 8 else ""
-        print(f"new-only queries ({len(only_new)}): {head}{more}")
+    if d["new_only"]:
+        head = ", ".join(d["new_only"][:8])
+        more = (
+            f" (+{len(d['new_only']) - 8} more)" if len(d["new_only"]) > 8 else ""
+        )
+        print(f"new-only queries ({len(d['new_only'])}): {head}{more}")
 
 
 if __name__ == "__main__":
