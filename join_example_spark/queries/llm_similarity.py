@@ -534,6 +534,10 @@ def q_llm_sim_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         b.crossJoin(F.broadcast(a0))
         .where(F.col("id_a") < F.col("id_b"))
+        # ROUND(,4) >= 0.28 is engine-divergent only within half an ulp of
+        # a x.xxxx5 boundary (ADVICE r8): if a future fixture regeneration
+        # trips this query's driver hash, check for a dot at ~0.27995
+        # before suspecting the LSH path.
         .where(F.round(dot, 4) >= 0.28)
         .select("id_a", "id_b")
     )
