@@ -67,17 +67,13 @@ def register(
 #: from this list are placed before everything else so new work is always
 #: checked first (a gate test also requires every query be listed).
 #:
-#: Round-9 head (50): the 2 queries DECLARED this round with no driver
-#: proof yet (q_llm_mine_margin_baseline — the flat miner renamed from
-#: q_llm_mine_margin per the round-8 verdict — and q_llm_mine_margin_ivf,
-#: its new IVF-front-end family default) sort to the very front, then pure
-#: oldest-proof-first rotation: the 41 queries whose latest green is r4
-#: (the oldest still-current evidence) + the first 7 r5 rows (name order)
-#: to fill 50. The entire tail is likewise sorted by ascending latest-green round
-#: (r5, r6, r7, r8; name-ordered within a round), so any prefix spill
-#: always lands on the stalest proofs. Derived mechanically from
-#: CORRECTNESS_r0{1..8}.json by tools/rotate_driver_priority.py; re-derive
-#: and re-sort each round.
+#: BEGIN AUTO-ROTATION
+#: (rewritten by tools/rotate_driver_priority.py --write — do not
+#: hand-edit; the tool regenerates comment AND tuple together)
+#: Ordering: never-proven first (2: q_llm_mine_margin_baseline, q_llm_mine_margin_ivf),
+#: then ascending latest-driver-green round, name-ordered within a
+#: round. Latest-green histogram: r4x41, r5x42, r6x50, r7x47, r8x50.
+#: Head-50 composition: newx2, r4x41, r5x7. Derived from CORRECTNESS_r{4..8}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_mine_margin_baseline",
     "q_llm_mine_margin_ivf",

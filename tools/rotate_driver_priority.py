@@ -63,6 +63,45 @@ def rotated_order() -> list[str]:
     return sorted(names, key=lambda n: (latest.get(n, 0), n))
 
 
+MARKER = "#: BEGIN AUTO-ROTATION"
+
+
+def generated_block(order: list[str], latest: dict[str, int]) -> str:
+    """The sentinel comment + narrative + tuple, regenerated as one unit so
+    the head comment can never go stale relative to the ordering (the
+    round-8 verdict's recurring gap #1)."""
+    from collections import Counter
+
+    new = [n for n in order if n not in latest]
+    hist = Counter(latest[n] for n in order if n in latest)
+    hist_s = ", ".join(f"r{r}x{c}" for r, c in sorted(hist.items()))
+    head = order[:50]
+    head_hist = Counter(
+        f"r{latest[n]}" if n in latest else "new" for n in head
+    )
+    head_s = ", ".join(f"{k}x{c}" for k, c in sorted(head_hist.items()))
+    rounds = sorted({r for r in latest.values()})
+    src_s = f"CORRECTNESS_r{{{rounds[0]}..{rounds[-1]}}}" if rounds else "none"
+    lines = [
+        MARKER,
+        "#: (rewritten by tools/rotate_driver_priority.py --write — do not",
+        "#: hand-edit; the tool regenerates comment AND tuple together)",
+        f"#: Ordering: never-proven first ({len(new)}: "
+        + (", ".join(new) if new else "none")
+        + "),",
+        "#: then ascending latest-driver-green round, name-ordered within a",
+        f"#: round. Latest-green histogram: {hist_s}.",
+        f"#: Head-50 composition: {head_s}. Derived from {src_s}.json.",
+    ]
+    body = "\n".join(f'    "{n}",' for n in order)
+    return (
+        "\n".join(lines)
+        + "\nDRIVER_PRIORITY: tuple[str, ...] = (\n"
+        + body
+        + "\n)\n"
+    )
+
+
 def main() -> None:
     order = rotated_order()
     latest = latest_green_rounds()
@@ -70,24 +109,17 @@ def main() -> None:
         path = os.path.join(REPO, "join_example_spark", "registry.py")
         with open(path) as fh:
             src = fh.read()
-        start = src.index("DRIVER_PRIORITY: tuple[str, ...] = (")
-        # Anchor the tuple's end at a close-paren on column 0 — an inline
-        # comment ending in ')' inside the tuple must not terminate the splice.
+        # Replace from the sentinel marker through the tuple's closing
+        # paren at column 0 — comment and tuple are regenerated together,
+        # so the narrative can never describe a previous round's ordering.
+        start = src.index(MARKER)
         end = src.index("\n)\n", start) + 3
-        body = "\n".join(f'    "{n}",' for n in order)
-        src = (
-            src[:start]
-            + "DRIVER_PRIORITY: tuple[str, ...] = (\n"
-            + body
-            + "\n)\n"
-            + src[end:]
-        )
+        src = src[:start] + generated_block(order, latest) + src[end:]
         with open(path, "w") as fh:
             fh.write(src)
         print(f"wrote {len(order)} names to {path}", file=sys.stderr)
         print(
-            "now: update the head comment, run the registry gate tests, "
-            "review git diff",
+            "now: run the registry gate tests and review git diff",
             file=sys.stderr,
         )
     else:
