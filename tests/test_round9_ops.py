@@ -45,6 +45,30 @@ class TestMineMarginFamily:
             assert r["probe_id"] in flat
             assert r["best_sim"] <= flat[r["probe_id"]]["best_sim"]
 
+    def test_accepted_rows_are_exact_flat_truth(self, spark):
+        # Verify-the-positives contract: every accepted row in the IVF
+        # miner's output must carry the EXACT flat-truth best/margin —
+        # accept precision 1.0 by construction. A violation means the
+        # exact rescan stage was bypassed or its corpus drifted from the
+        # baseline's.
+        # sf0.01: the smallest fixture with a NON-EMPTY ivf-accepted set
+        # (sf0.001 has 0 — this pin would be vacuous there).
+        sf01 = "/root/testdata/sf0.01"
+        reg = load_all()
+        flat = {
+            r["probe_id"]: r
+            for r in reg["q_llm_mine_margin_baseline"].fn(spark, sf01).collect()
+        }
+        ivf = reg["q_llm_mine_margin_ivf"].fn(spark, sf01).collect()
+        accepted = [r for r in ivf if r["accepted"]]
+        assert accepted, "fixture drift: ivf-accepted set became empty at sf0.01"
+        for r in accepted:
+            f = flat[r["probe_id"]]
+            assert r["best_id"] == f["best_id"]
+            assert r["best_sim"] == f["best_sim"]
+            assert r["margin"] == f["margin"]
+            assert f["accepted"] is True
+
     def test_ivf_never_emits_single_candidate_probes(self, spark):
         # margin is undefined below 2 candidates; the declared filter must
         # keep every emitted margin/accepted non-null on both engines.
