@@ -105,6 +105,9 @@ def main() -> None:
             ),
             "sf": runs[0].get("sf"),
             "totals_sec": [d["total_sec"] for d in runs],
+            # full per-run maps: lets a later session FOLD additional draws
+            # (e.g. a hotter batch) into the envelope without re-running
+            "runs": [d["queries"] for d in runs],
             "queries": rows,
         }
     with open(OUT, "w") as fh:
