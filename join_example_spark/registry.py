@@ -70,61 +70,11 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven first (2: q_llm_mine_margin_baseline, q_llm_mine_margin_ivf),
+#: Ordering: never-proven first (0: none),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r4x41, r5x42, r6x50, r7x47, r8x50.
-#: Head-50 composition: newx2, r4x41, r5x7. Derived from CORRECTNESS_r{4..8}.json.
+#: round. Latest-green histogram: r5x35, r6x50, r7x47, r8x50, r9x50.
+#: Head-50 composition: r5x35, r6x15. Derived from CORRECTNESS_r{4..9}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_llm_mine_margin_baseline",
-    "q_llm_mine_margin_ivf",
-    "q_agg_approx_percentile",
-    "q_agg_cube",
-    "q_agg_latest_per_key",
-    "q_dq_constraints",
-    "q_fn_json",
-    "q_fn_map",
-    "q_gaps_islands",
-    "q_incremental_agg",
-    "q_join_theta_range",
-    "q_limit_offset",
-    "q_llm_ann_recall_nprobe",
-    "q_llm_chunk_overlap",
-    "q_llm_decontaminate",
-    "q_llm_decontaminate_semantic",
-    "q_llm_dedup_ngram",
-    "q_llm_dedup_semantic_incr",
-    "q_llm_kmeans_iter",
-    "q_llm_mix_sources",
-    "q_llm_pack_chunks",
-    "q_llm_pii_redact",
-    "q_llm_repetition",
-    "q_llm_sample_hash",
-    "q_llm_sample_stratified",
-    "q_llm_sim_ivf_probe",
-    "q_llm_source_token_cap",
-    "q_llm_split_assign",
-    "q_llm_train_pipeline",
-    "q_multimodal_frames",
-    "q_profile_columns",
-    "q_scan_parquet",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect_all",
-    "q_set_union_distinct",
-    "q_sort_limit",
-    "q_stream_distinct_users",
-    "q_win_ntile_percent",
-    "q_win_rank",
-    "q_win_running",
-    "q_win_sliding_distinct",
-    "q_win_topk_per_group",
-    "q_agg_group",
-    "q_agg_percentile",
-    "q_audience_overlap_hll",
-    "q_dq_robust_mad",
-    "q_dq_stats_drift",
-    "q_dq_volume_anomaly",
-    "q_filter_branch",
     "q_filter_pred",
     "q_flagship_daily_enrich",
     "q_histogram",
@@ -307,6 +257,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_first_last",
     "q_win_lead_lag",
     "q_win_time_range",
+    "q_agg_approx_percentile",
+    "q_agg_cube",
+    "q_agg_group",
+    "q_agg_latest_per_key",
+    "q_agg_percentile",
+    "q_audience_overlap_hll",
+    "q_dq_constraints",
+    "q_dq_robust_mad",
+    "q_dq_stats_drift",
+    "q_dq_volume_anomaly",
+    "q_filter_branch",
+    "q_fn_json",
+    "q_fn_map",
+    "q_gaps_islands",
+    "q_incremental_agg",
+    "q_join_theta_range",
+    "q_limit_offset",
+    "q_llm_ann_recall_nprobe",
+    "q_llm_chunk_overlap",
+    "q_llm_decontaminate",
+    "q_llm_decontaminate_semantic",
+    "q_llm_dedup_ngram",
+    "q_llm_dedup_semantic_incr",
+    "q_llm_kmeans_iter",
+    "q_llm_mine_margin_baseline",
+    "q_llm_mine_margin_ivf",
+    "q_llm_mix_sources",
+    "q_llm_pack_chunks",
+    "q_llm_pii_redact",
+    "q_llm_repetition",
+    "q_llm_sample_hash",
+    "q_llm_sample_stratified",
+    "q_llm_sim_ivf_probe",
+    "q_llm_source_token_cap",
+    "q_llm_split_assign",
+    "q_llm_train_pipeline",
+    "q_multimodal_frames",
+    "q_profile_columns",
+    "q_scan_parquet",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect_all",
+    "q_set_union_distinct",
+    "q_sort_limit",
+    "q_stream_distinct_users",
+    "q_win_ntile_percent",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_sliding_distinct",
+    "q_win_topk_per_group",
 )
 
 
