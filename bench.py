@@ -110,10 +110,28 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # Per-query timings are context-sensitive to SUITE ORDER (the registry
+    # iterates in DRIVER_PRIORITY order, which rotates every round), so an
+    # adjudicated per-query delta can be a position-shift artifact rather
+    # than a plan change (ADVICE r9). Record the ordering fingerprint and
+    # each query's position so adjudication can tell the two apart.
+    import hashlib as _hashlib
+
+    order = list(registry)
+    order_sha = _hashlib.sha256("\n".join(order).encode()).hexdigest()[:16]
+    positions = {name: i for i, name in enumerate(order)}
+
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "bench_full.json"), "w") as f:
         json.dump(
-            {"queries": timings, "errors": errors, "sf": sf_val, "total_sec": total},
+            {
+                "queries": timings,
+                "errors": errors,
+                "sf": sf_val,
+                "total_sec": total,
+                "order_sha256": order_sha,
+                "positions": positions,
+            },
             f,
             indent=1,
         )
@@ -136,6 +154,13 @@ def main() -> None:
             base = rounds[-1]
             diff = compute_diff(qmap(base), timings)
             diff["vs"] = os.path.basename(base)
+            # Ordering fingerprint of THIS run (the old run's ordering is
+            # whatever DRIVER_PRIORITY was that round — rotation shifts
+            # per-query suite position, a known noise source at
+            # adjudication time; see bench_full.json "positions").
+            diff["order_sha256_new"] = order_sha
+            for row in diff.get("outside_envelope", []):
+                row["position_new"] = positions.get(row.get("query"))
             with open(os.path.join(repo, "bench_diff.json"), "w") as f:
                 json.dump(diff, f, indent=1)
             _log(

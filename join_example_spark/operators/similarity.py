@@ -306,8 +306,10 @@ NPROBE_RECALL_DECAY = 0.28
 #: (recall 0.9358, 100.9 M work pairs — 2.2× fewer than the recall-1.0
 #: p=15) and p=14 at n=128k (recall 0.9121, 4.49 B — 8.2× fewer than
 #: p=40). Dominance (0.85-schedule ≤ 0.90-schedule ≤ recall-1.0
-#: schedule, all n) verified over a 1..600k grid; pinned in
-#: tests/test_round9_ops.py.
+#: schedule, all n) is ENFORCED by flooring the 0.90 fraction at the
+#: 0.85 fraction — the raw two-piece law's steeper 0.34 tail crosses
+#: below the 0.85 law near n ≈ 2.3M (ADVICE r9) — and pinned over a
+#: 1..8M grid in tests/test_round9_ops.py.
 NPROBE_RECALL_DECAY_90A = 0.17
 NPROBE_RECALL_DECAY_90B = 0.34
 NPROBE_CALIB_KNEE_N = 16000
@@ -358,14 +360,28 @@ def adaptive_nprobe(
             if n_reps > NPROBE_CALIB_N0:
                 frac = frac * (NPROBE_CALIB_N0 / n_reps) ** NPROBE_RECALL_DECAY
         elif abs(target_recall - 0.90) < 1e-9:
+            frac90 = frac
             if n_reps > NPROBE_CALIB_N0:
-                frac = frac * (
+                frac90 = frac90 * (
                     NPROBE_CALIB_N0 / min(n_reps, NPROBE_CALIB_KNEE_N)
                 ) ** NPROBE_RECALL_DECAY_90A
             if n_reps > NPROBE_CALIB_KNEE_N:
-                frac = frac * (
+                frac90 = frac90 * (
                     NPROBE_CALIB_KNEE_N / n_reps
                 ) ** NPROBE_RECALL_DECAY_90B
+            # Dominance floor: the 0.90 piece-B exponent (0.34) is steeper
+            # than the 0.85 law's 0.28, so unfloored the two curves CROSS
+            # near n ≈ 2.3M and a caller asking for HIGHER recall would
+            # probe FEWER cells (e.g. n=4M: 24 vs 27). Past the calibrated
+            # range the 0.85 schedule is the better-grounded lower bound —
+            # take the max of the fractions so p85 ≤ p90 holds for ALL n
+            # (pinned to 8M in tests/test_round9_ops.py).
+            frac85 = frac
+            if n_reps > NPROBE_CALIB_N0:
+                frac85 = frac85 * (
+                    NPROBE_CALIB_N0 / n_reps
+                ) ** NPROBE_RECALL_DECAY
+            frac = max(frac90, frac85)
         else:
             raise ValueError(
                 "only target_recall in {0.85, 0.90} is calibrated (sweep in "

@@ -118,12 +118,20 @@ class TestCalibrated090Dial:
         from join_example_spark.operators.similarity import adaptive_nprobe
 
         # Higher target must never probe LESS than a lower one, and the
-        # calibrated schedules never exceed the recall-1.0 default.
-        for n in range(1, 600001, 997):
+        # calibrated schedules never exceed the recall-1.0 default. The
+        # grid deliberately extends PAST the ~2.3M crossover where the
+        # unfloored 0.90 two-piece law dips below the 0.85 law (ADVICE
+        # r9): the max-of-fractions floor in adaptive_nprobe must hold
+        # dominance out to 8M.
+        for n in range(1, 8_000_001, 997):
             p85 = adaptive_nprobe(n, target_recall=0.85)
             p90 = adaptive_nprobe(n, target_recall=0.90)
             p10 = adaptive_nprobe(n)
-            assert p85 <= p90 <= p10
+            assert p85 <= p90 <= p10, n
+        # Spot-check the ADVICE example: n=4M previously gave p90=24 < p85=27.
+        assert adaptive_nprobe(4_000_000, target_recall=0.90) >= adaptive_nprobe(
+            4_000_000, target_recall=0.85
+        )
 
     def test_uncalibrated_targets_still_raise(self):
         from join_example_spark.operators.similarity import (
@@ -146,9 +154,14 @@ class TestImiSizingGuard:
         # expression used by operators/cosine_pairs.py on boundary counts.
         import re
 
-        src = open(
-            "join_example_spark/operators/cosine_pairs.py", encoding="utf-8"
-        ).read()
+        from pathlib import Path
+
+        src = (
+            Path(__file__).resolve().parents[1]
+            / "join_example_spark"
+            / "operators"
+            / "cosine_pairs.py"
+        ).read_text(encoding="utf-8")
         m = re.search(r'"(coalesce\(array_min\(filter[^"]+)"', src)
         assert m, "sizing expression moved — update this pin"
         expr = m.group(1)

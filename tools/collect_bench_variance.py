@@ -90,6 +90,26 @@ def main() -> None:
         updated = {q: r for q, r in rows.items() if any(f in q for f in fams)}
         doc["queries"].update(updated)
         doc["what"] += f" | families {args.families} re-measured ({args.runs} runs)"
+        # doc["runs"] (full-regeneration per-run maps) now PREDATES the
+        # re-measured family rows — keep the new draws under a separate key
+        # so a later fold can't silently mix stale family draws (ADVICE r9).
+        doc.setdefault("family_runs", []).append(
+            {
+                "families": fams,
+                "runs": [
+                    {
+                        q: s
+                        for q, s in d["queries"].items()
+                        if any(f in q for f in fams)
+                    }
+                    for d in runs
+                ],
+            }
+        )
+        doc["runs_note"] = (
+            "doc['runs'] predates the most recent --families re-measure; "
+            "re-measured family draws live under doc['family_runs']"
+        )
         print(
             f"[variance] merged {len(updated)} family rows into existing envelope",
             file=sys.stderr,
