@@ -314,6 +314,45 @@ NPROBE_RECALL_DECAY_90A = 0.17
 NPROBE_RECALL_DECAY_90B = 0.34
 NPROBE_CALIB_KNEE_N = 16000
 
+#: Margin-mining screen symmetrization (round 10). The round-9 screen was
+#: ASYMMETRIC: probes multi-probe p cells but each corpus candidate was
+#: findable only through its single home cell, so accept recall was capped
+#: by P(candidate's home cell ∈ probe's top-p) — measured 0.656 at the 64×
+#: tier (p=40/C=358) with EVERY miss a best-dropped case whose screen
+#: margin collapsed into the near-tie band (tools/margin_grayzone_probe.py:
+#: eps-widened gates are empirically blind there — reaching 0.85 recall by
+#: gate-widening alone needs ~60% of probes escalated ≈ half the flat
+#: scan). Multi-assigning the CORPUS side to its top-q cells gives each
+#: top-2 member q chances to intersect the probe window; the measured 64×
+#: frontier (tools/margin_rulec_sweep.py, flat-truth ground truth,
+#: candidate volume ∝ q·p): (q=1,p=40) 0.656 → (q=3,p=27) 0.906 →
+#: (q=4,p=20) 0.922 at MATCHED ~2× volume → (q=3,p=40) 0.969 at 3× —
+#: balanced q·p beats raw p at matched volume (raw p=40→80 extrapolates
+#: ~0.75; measured (q=2,p=40) 0.844). Shipped operating point: q=4 with
+#: the probe dial HALVED (margin_screen_dials below) — volume 4·p/2 = 2×
+#: the round-9 screen, accept recall 0.656→0.922 (default) at the 64×
+#: tier. Pairs meeting in up to q cells are de-duplicated (MAX over
+#: identical rounded sims) before the top-2 window.
+MARGIN_CORPUS_ASSIGN = 4
+
+#: Gray-zone escalation thresholds for the margin miner's verify stage
+#: (round 10, VERDICT r9 task #2): probes whose SCREEN estimates land
+#: within eps=0.01 of the acceptance thresholds (margin ≥ 0.05, best ≥
+#: 0.3) are routed through the exact full-corpus rescan alongside the
+#: tentative accepts, so a borderline screen estimate can never silently
+#: drop a true accept whose screen margin deflated just under the gate.
+#: Written as LITERALS (0.05 − 0.01 and 0.3 − 0.01 computed in IEEE are
+#: 0.040000000000000001-class values; the literals 0.04/0.29 parse to the
+#: same double in Spark and DuckDB, which is what the oracle twin needs).
+#: Measured at the 64× tier: widens the escalated set from ~3.5% to ~7-9%
+#: of probes (verify volume stays |escalated|·n ≪ screen volume) and is
+#: monotone — recall can only rise. The honest caveat stays measured: on
+#: the isotropic fixture most best-dropped misses collapse DEEPER than any
+#: affordable eps (margin_grayzone_probe eps-tables); the symmetrized
+#: screen above, not this guard, is what recovers them.
+MARGIN_ESC_MARGIN = 0.04
+MARGIN_ESC_FLOOR = 0.29
+
 
 def adaptive_nprobe(
     n_reps: int,
@@ -389,6 +428,28 @@ def adaptive_nprobe(
             )
     c = int(_math.ceil(_math.sqrt(max(n_reps, 1))))
     return max(floor, int(_math.ceil(frac * c)))
+
+
+def margin_screen_dials(
+    n_reps: int,
+    floor: int = 5,
+    target_recall: float | None = None,
+) -> tuple[int, int]:
+    """The margin-mining family's symmetrized screen dials ``(q, p)``:
+    corpus multi-assign q = MARGIN_CORPUS_ASSIGN (4) and probe dial
+    p = max(floor, ⌈adaptive_nprobe(n[, target]) / 2⌉) — half the
+    calibrated schedule's probe budget moved to the corpus side, keeping
+    candidate volume at q·p ≈ 2× the round-9 asymmetric screen while the
+    measured accept recall rises 0.656 → 0.922 (default dial) at the 64×
+    tier (see MARGIN_CORPUS_ASSIGN above; tools/margin_rulec_sweep.py).
+    The floor keeps every fixture SF at the audited p=5, so fixture plans
+    differ from round 9 only by the corpus-side multi-assign (arn ≤ 4 in
+    the oracle twin) and the pair de-duplication it requires.
+    """
+    import math as _math
+
+    p = adaptive_nprobe(n_reps, floor=floor, target_recall=target_recall)
+    return MARGIN_CORPUS_ASSIGN, max(floor, int(_math.ceil(p / 2)))
 
 
 def ivf_candidate_pairs(

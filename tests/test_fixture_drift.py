@@ -243,12 +243,18 @@ def test_documents_embeddings_row_counts_pinned():
             "changed: re-derive the hardcoded oracle operating points "
             "(arn <= 5 / IMI (4, 8)) before trusting any ANN oracle."
         )
+    from join_example_spark.operators.similarity import margin_screen_dials
+
     for n_emb in (500, 2000):
         assert adaptive_nprobe(n_emb) == 5, (
             f"adaptive_nprobe({n_emb}) != 5 — the IVF oracles hardcode arn <= 5"
         )
         assert adaptive_imi_dials(n_emb) == (4, 8), (
             f"adaptive_imi_dials({n_emb}) != (4, 8) — IMI oracles pin this beam"
+        )
+        assert margin_screen_dials(n_emb) == (4, 5), (
+            f"margin_screen_dials({n_emb}) != (4, 5) — the margin oracle "
+            "hardcodes arn <= 4 (corpus) / arn <= 5 (probes)"
         )
 
 

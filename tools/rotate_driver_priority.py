@@ -14,6 +14,13 @@ Usage:  python tools/rotate_driver_priority.py            # print the tuple
                                                           # registry.py's
                                                           # DRIVER_PRIORITY
                                                           # in place
+        ... --reprove q_a,q_b    treat the named queries as never-proven
+                                 (front of the order) — REQUIRED whenever a
+                                 round changes an already-green query's plan
+                                 or oracle, since its latest CORRECTNESS row
+                                 proves the OLD plan (round-10 lesson: the
+                                 gray-zone margin upgrade would otherwise
+                                 ride a stale r9 proof at the tail)
 
 After --write: update the head comment in registry.py (it narrates WHY the
 current head is what it is — the tool does not write prose), re-run
@@ -54,24 +61,33 @@ def latest_green_rounds() -> dict[str, int]:
     return latest
 
 
-def rotated_order() -> list[str]:
+def rotated_order(reprove: frozenset[str] = frozenset()) -> list[str]:
     from join_example_spark.registry import load_all
 
     latest = latest_green_rounds()
     names = list(load_all().keys())
-    # never-proven first (round 0), then ascending latest-green, then name
-    return sorted(names, key=lambda n: (latest.get(n, 0), n))
+    # never-proven first (round 0; --reprove names are demoted to round 0
+    # too — their green rows prove a superseded plan), then ascending
+    # latest-green, then name
+    return sorted(
+        names, key=lambda n: (0 if n in reprove else latest.get(n, 0), n)
+    )
 
 
 MARKER = "#: BEGIN AUTO-ROTATION"
 
 
-def generated_block(order: list[str], latest: dict[str, int]) -> str:
+def generated_block(
+    order: list[str],
+    latest: dict[str, int],
+    reprove: frozenset[str] = frozenset(),
+) -> str:
     """The sentinel comment + narrative + tuple, regenerated as one unit so
     the head comment can never go stale relative to the ordering (the
     round-8 verdict's recurring gap #1)."""
     from collections import Counter
 
+    latest = {n: r for n, r in latest.items() if n not in reprove}
     new = [n for n in order if n not in latest]
     hist = Counter(latest[n] for n in order if n in latest)
     hist_s = ", ".join(f"r{r}x{c}" for r, c in sorted(hist.items()))
@@ -86,7 +102,7 @@ def generated_block(order: list[str], latest: dict[str, int]) -> str:
         MARKER,
         "#: (rewritten by tools/rotate_driver_priority.py --write — do not",
         "#: hand-edit; the tool regenerates comment AND tuple together)",
-        f"#: Ordering: never-proven first ({len(new)}: "
+        f"#: Ordering: never-proven/replanned first ({len(new)}: "
         + (", ".join(new) if new else "none")
         + "),",
         "#: then ascending latest-driver-green round, name-ordered within a",
@@ -103,8 +119,16 @@ def generated_block(order: list[str], latest: dict[str, int]) -> str:
 
 
 def main() -> None:
-    order = rotated_order()
+    reprove: frozenset[str] = frozenset()
+    if "--reprove" in sys.argv:
+        reprove = frozenset(
+            sys.argv[sys.argv.index("--reprove") + 1].split(",")
+        )
+    order = rotated_order(reprove)
     latest = latest_green_rounds()
+    unknown = reprove - set(order)
+    if unknown:
+        raise SystemExit(f"--reprove names not in registry: {sorted(unknown)}")
     if "--write" in sys.argv:
         path = os.path.join(REPO, "join_example_spark", "registry.py")
         with open(path) as fh:
@@ -114,7 +138,7 @@ def main() -> None:
         # so the narrative can never describe a previous round's ordering.
         start = src.index(MARKER)
         end = src.index("\n)\n", start) + 3
-        src = src[:start] + generated_block(order, latest) + src[end:]
+        src = src[:start] + generated_block(order, latest, reprove) + src[end:]
         with open(path, "w") as fh:
             fh.write(src)
         print(f"wrote {len(order)} names to {path}", file=sys.stderr)
