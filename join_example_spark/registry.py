@@ -70,11 +70,12 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven first (0: none),
+#: Ordering: never-proven/replanned first (1: q_llm_mine_margin_ivf),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r5x35, r6x50, r7x47, r8x50, r9x50.
-#: Head-50 composition: r5x35, r6x15. Derived from CORRECTNESS_r{4..9}.json.
+#: round. Latest-green histogram: r5x35, r6x50, r7x47, r8x50, r9x49.
+#: Head-50 composition: newx1, r5x35, r6x14. Derived from CORRECTNESS_r{4..9}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_llm_mine_margin_ivf",
     "q_filter_pred",
     "q_flagship_daily_enrich",
     "q_histogram",
@@ -282,7 +283,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_semantic_incr",
     "q_llm_kmeans_iter",
     "q_llm_mine_margin_baseline",
-    "q_llm_mine_margin_ivf",
     "q_llm_mix_sources",
     "q_llm_pack_chunks",
     "q_llm_pii_redact",

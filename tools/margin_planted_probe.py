@@ -27,9 +27,10 @@ can be compared.
 
 Usage:  python tools/margin_planted_probe.py
 Env:    SPARK_GRAFT_PROBE_COPIES=8,64   tier sizes (x2000 vectors)
-        SPARK_GRAFT_MARGIN_Q=2          corpus multi-assign
-        SPARK_GRAFT_MARGIN_EPS=0.01     gray-zone widening
         SPARK_GRAFT_GEOMS=planted,clustered
+
+Dials come from the DECLARED plan (margin_screen_dials + the MARGIN_ESC_*
+gray-zone literals), so the probe measures exactly what ships.
 """
 
 from __future__ import annotations
@@ -43,8 +44,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COPIES = [int(x) for x in os.environ.get("SPARK_GRAFT_PROBE_COPIES", "8,64").split(",")]
-Q = int(os.environ.get("SPARK_GRAFT_MARGIN_Q", "2"))
-EPS = float(os.environ.get("SPARK_GRAFT_MARGIN_EPS", "0.01"))
 GEOMS = os.environ.get("SPARK_GRAFT_GEOMS", "planted,clustered").split(",")
 PLANT_COS = 0.7
 N0 = 2000
@@ -59,9 +58,11 @@ def main() -> None:
     from join_example_spark.conf import ensure_session_confs
     from join_example_spark.operators.similarity import (
         DOT_SQL,
+        MARGIN_ESC_FLOOR,
+        MARGIN_ESC_MARGIN,
         _by_cell,
-        adaptive_nprobe,
         ivf_cells,
+        margin_screen_dials,
     )
 
     spark = (
@@ -172,14 +173,10 @@ def main() -> None:
             )
 
             for notch, target in (("default", None), ("t090", 0.90)):
-                nprobe = (
-                    adaptive_nprobe(n)
-                    if target is None
-                    else adaptive_nprobe(n, target_recall=target)
-                )
+                q_assign, nprobe = margin_screen_dials(n, target_recall=target)
                 t0 = time.perf_counter()
                 corpus = (
-                    ivf_cells(big, n_cent, nprobe=Q)
+                    ivf_cells(big, n_cent, nprobe=q_assign)
                     .where(F.col("vec_id") % 50 != 0)
                     .select(
                         F.col("vec_id").alias("cand_id"),
@@ -206,11 +203,11 @@ def main() -> None:
                             "sim"
                         ),
                     ),
-                    dedup=Q > 1,
+                    dedup=q_assign > 1,
                 ).localCheckpoint(eager=True)
                 esc = est.where(
-                    (F.col("margin") >= F.lit(0.05 - EPS))
-                    & (F.col("best_sim") >= F.lit(0.3 - EPS))
+                    (F.col("margin") >= F.lit(MARGIN_ESC_MARGIN))
+                    & (F.col("best_sim") >= F.lit(MARGIN_ESC_FLOOR))
                 ).select("probe_id")
                 acc_p = big.join(
                     F.broadcast(esc), big.vec_id == F.col("probe_id")
@@ -263,9 +260,9 @@ def main() -> None:
                 key = f"{geom}_{copies}x_{notch}"
                 results[key] = {
                     "n": n,
-                    "q": Q,
+                    "q": q_assign,
                     "p": nprobe,
-                    "eps": EPS,
+                    
                     "sec": secs,
                     "flat_sec": flat_sec,
                     "n_true_accepts": len(true_acc),

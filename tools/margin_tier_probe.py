@@ -1,8 +1,10 @@
 """Measure the margin-mining family's scale posture at rotation-enlarged
 tiers: the flat probes x corpus scan (q_llm_mine_margin_baseline shape)
 vs the IVF-front-end default (q_llm_mine_margin_ivf shape — the TWO-STAGE
-screen + verify-the-positives plan) at the recall-1.0 dial and at the
-calibrated target_recall=0.90 notch.
+SYMMETRIZED screen + gray-zone-escalated verify-the-positives plan,
+round 10: corpus multi-assign q=4, halved probe dial, eps=0.01 widened
+escalation gate) at the default dial and at the calibrated
+target_recall=0.90 notch.
 
 Same corpus-enlargement protocol as tools/calibrated_recall_sweep.py
 (cyclic rotation isometry — distinct vectors, preserved geometry). The
@@ -34,9 +36,11 @@ def main() -> None:
     from join_example_spark.conf import ensure_session_confs
     from join_example_spark.operators.similarity import (
         DOT_SQL,
+        MARGIN_ESC_FLOOR,
+        MARGIN_ESC_MARGIN,
         _by_cell,
-        adaptive_nprobe,
         ivf_cells,
+        margin_screen_dials,
     )
 
     spark = (
@@ -97,13 +101,14 @@ def main() -> None:
         n_cent = int(math.ceil(math.sqrt(n)))
         dials = {
             "flat": None,
-            "ivf_default": adaptive_nprobe(n),
-            "ivf_t090": adaptive_nprobe(n, target_recall=0.90),
+            "ivf_default": margin_screen_dials(n),
+            "ivf_t090": margin_screen_dials(n, target_recall=0.90),
         }
         print(f"tier {copies}x: n={n} C={n_cent} dials={dials}", file=sys.stderr)
 
         accepted = {}
-        for name, nprobe in dials.items():
+        for name, dial in dials.items():
+            q_assign, nprobe = dial if dial is not None else (None, None)
             t0 = time.perf_counter()
             if nprobe is None:
                 probes = big.where(F.col("vec_id") % 50 == 0).select(
@@ -119,7 +124,7 @@ def main() -> None:
                 )
             else:
                 corpus = (
-                    ivf_cells(big, n_cent)
+                    ivf_cells(big, n_cent, nprobe=q_assign)
                     .where(F.col("vec_id") % 50 != 0)
                     .select(
                         F.col("vec_id").alias("cand_id"),
@@ -146,13 +151,19 @@ def main() -> None:
                             "sim"
                         ),
                     )
+                    .groupBy("probe_id", "cand_id")
+                    .agg(F.max("sim").alias("sim"))
                 )
             out = margin_over(scored)
             if nprobe is not None:
-                # the declared plan's verify-the-positives stage: exact
-                # full-corpus rescan of ONLY the tentative accepts
+                # the declared plan's verify stage: exact full-corpus
+                # rescan of the tentative accepts PLUS the eps=0.01
+                # gray zone (widened-gate escalation, round 10)
                 est = out.localCheckpoint(eager=True)
-                acc_ids = est.where("accepted").select("probe_id")
+                acc_ids = est.where(
+                    (F.col("margin") >= F.lit(MARGIN_ESC_MARGIN))
+                    & (F.col("best_sim") >= F.lit(MARGIN_ESC_FLOOR))
+                ).select("probe_id")
                 acc_p = big.join(
                     F.broadcast(acc_ids), big.vec_id == F.col("probe_id")
                 ).select("probe_id", F.col("embedding").alias("pv"))
@@ -193,13 +204,13 @@ def main() -> None:
             accepted[name] = acc
             results[f"{copies}x_{name}"] = {
                 "n": n,
-                "nprobe": nprobe,
+                "dial_q_p": dial,
                 "sec": secs,
                 "n_probes_out": out.count(),
                 "n_accepted": len(acc),
             }
             print(
-                f"  {name} (p={nprobe}): {secs}s accepted={len(acc)}",
+                f"  {name} (q,p={dial}): {secs}s accepted={len(acc)}",
                 file=sys.stderr,
             )
         # fidelity vs the flat ground truth: accepted-set precision/recall
