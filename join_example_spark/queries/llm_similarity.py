@@ -2140,6 +2140,170 @@ def q_llm_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_mine_margin_recall",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), corpus AS (
+    SELECT vec_id AS cand_id, embedding AS cv, cent_id AS cell
+    FROM assign WHERE arn <= 4 AND vec_id % 50 <> 0
+), probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv, cent_id AS cell
+    FROM assign WHERE arn <= 5 AND vec_id % 50 = 0
+), scored AS (
+    SELECT p.probe_id, c.cand_id,
+           MAX(ROUND({_DUCK_DOT.format(a="p.pv", b="c.cv")}, 4)) AS sim
+    FROM probes p JOIN corpus c ON p.cell = c.cell
+    GROUP BY p.probe_id, c.cand_id
+), ranked AS (
+    SELECT probe_id, cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM scored
+), best2 AS (
+    SELECT probe_id,
+           MAX(CASE WHEN rn = 1 THEN cand_id END) AS best_id,
+           MAX(CASE WHEN rn = 1 THEN sim END) AS best_sim,
+           MAX(CASE WHEN rn = 2 THEN sim END) AS second_sim
+    FROM ranked WHERE rn <= 2 GROUP BY probe_id
+), est AS (
+    SELECT probe_id, best_id, best_sim, second_sim
+    FROM best2 WHERE second_sim IS NOT NULL
+), acc AS (
+    SELECT probe_id FROM est
+    WHERE best_sim - second_sim >= 0.04 AND best_sim >= 0.29
+), rescored AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM embeddings p
+    JOIN acc a ON a.probe_id = p.vec_id
+    JOIN embeddings c ON c.vec_id % 50 <> 0
+), vranked AS (
+    SELECT probe_id, cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM rescored
+), vbest2 AS (
+    SELECT probe_id,
+           MAX(CASE WHEN rn = 1 THEN cand_id END) AS vbest_id,
+           MAX(CASE WHEN rn = 1 THEN sim END) AS vbest_sim,
+           MAX(CASE WHEN rn = 2 THEN sim END) AS vsecond_sim
+    FROM vranked WHERE rn <= 2 GROUP BY probe_id
+), ivf_acc AS (
+    SELECT e.probe_id,
+           CAST(COALESCE(v.vbest_id, e.best_id) AS BIGINT) AS v_best
+    FROM est e LEFT JOIN vbest2 v ON v.probe_id = e.probe_id
+    WHERE COALESCE(v.vbest_sim, e.best_sim)
+              - COALESCE(v.vsecond_sim, e.second_sim) >= 0.05
+      AND COALESCE(v.vbest_sim, e.best_sim) >= 0.3
+), fscored AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM embeddings p
+    JOIN embeddings c ON c.vec_id % 50 <> 0
+    WHERE p.vec_id % 50 = 0
+), franked AS (
+    SELECT probe_id, cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM fscored
+), fbest2 AS (
+    SELECT probe_id,
+           MAX(CASE WHEN rn = 1 THEN cand_id END) AS best_id,
+           MAX(CASE WHEN rn = 1 THEN sim END) AS best_sim,
+           MAX(CASE WHEN rn = 2 THEN sim END) AS second_sim
+    FROM franked WHERE rn <= 2 GROUP BY probe_id
+), flat_acc AS (
+    SELECT probe_id, CAST(best_id AS BIGINT) AS t_best
+    FROM fbest2
+    WHERE best_sim - second_sim >= 0.05 AND best_sim >= 0.3
+), j AS (
+    SELECT i.probe_id, i.v_best, f.t_best
+    FROM ivf_acc i LEFT JOIN flat_acc f ON f.probe_id = i.probe_id
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ivf_accepts,
+           CAST(COALESCE(SUM(CASE WHEN v_best = t_best THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hits
+    FROM j
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM flat_acc) AS n_true_accepts,
+       n_ivf_accepts,
+       n_hits,
+       n_hits = n_ivf_accepts AS precision_exact,
+       ROUND(CAST(n_hits AS DOUBLE)
+             / NULLIF(CAST((SELECT COUNT(*) FROM flat_acc) AS DOUBLE), 0.0),
+             6) AS accept_recall
+FROM agg
+""",
+    note="the margin-mining family's ACCEPT-RECALL AUDIT as a declared "
+    "query (round 10) — same idiom as q_llm_ann_recall_nprobe / "
+    "q_llm_imi_recall: run the family default (symmetrized two-stage "
+    "q_llm_mine_margin_ivf plan) AND the exact flat ground truth "
+    "(q_llm_mine_margin_baseline plan) side by side, and emit the "
+    "counts the consumer actually pays for: n_true_accepts, "
+    "n_ivf_accepts, n_hits (accepts agreeing with the flat best), "
+    "precision_exact (n_hits == n_ivf_accepts — the "
+    "verify-the-positives 1.0-precision contract, asserted literally "
+    "by the oracle twin), accept_recall (NULL when the fixture has no "
+    "true accepts, via NULLIF — sf0.001's accept set is empty; sf0.01 "
+    "has two). The Spark side literally CALLS the two declared query "
+    "functions and joins their accepted rows, so this audit can never "
+    "drift from the plans it certifies; the oracle twin restates both "
+    "plans' SQL (shared CTEs f-prefixed for the flat side). Ground "
+    "truth is quadratic BY DEFINITION — production runs this audit on "
+    "a bounded probe sample exactly as the tier instruments do "
+    "(tools/margin_tier_probe.py measured 0.9219/0.6719 at the 64x "
+    "tier, SCALE.md §3.13); the declared form certifies the audit "
+    "MACHINERY cross-engine at fixture scale",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_mine_margin_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat_acc = (
+        q_llm_mine_margin_baseline(spark, sf_dir)
+        .where("accepted")
+        .select("probe_id", F.col("best_id").alias("t_best"))
+    )
+    ivf_acc = (
+        q_llm_mine_margin_ivf(spark, sf_dir)
+        .where("accepted")
+        .select("probe_id", F.col("best_id").alias("v_best"))
+    )
+    j = ivf_acc.join(flat_acc, "probe_id", "left")
+    counts = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ivf_accepts"),
+        F.coalesce(
+            F.sum(F.when(F.col("v_best") == F.col("t_best"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    truth_n = flat_acc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_accepts")
+    )
+    return truth_n.crossJoin(counts).select(
+        "n_true_accepts",
+        "n_ivf_accepts",
+        "n_hits",
+        (F.col("n_hits") == F.col("n_ivf_accepts")).alias("precision_exact"),
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_true_accepts").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("accept_recall"),
+    )
+
+
+@register(
     "q_llm_cluster_dbscan",
     oracle=f"""
 WITH RECURSIVE

@@ -121,3 +121,18 @@ class TestGrayZoneEscalation:
         hits = sum(1 for p, b in ivf_acc.items() if flat_acc.get(p) == b)
         recall = hits / len(flat_acc)
         assert recall >= 0.5, f"accept recall regressed: {recall}"
+
+    def test_recall_audit_query_coherent(self, spark):
+        # q_llm_mine_margin_recall (round 10): single-row audit; the
+        # precision_exact boolean IS the verify-the-positives contract
+        # and must hold at every SF; hits can never exceed either count.
+        reg = load_all()
+        for sf in (SF, SF01):
+            row = reg["q_llm_mine_margin_recall"].fn(spark, sf).collect()
+            assert len(row) == 1
+            r = row[0]
+            assert r["precision_exact"] is True, (sf, r)
+            assert r["n_hits"] <= r["n_true_accepts"] or r["n_true_accepts"] == 0
+            assert r["n_hits"] <= r["n_ivf_accepts"] or r["n_ivf_accepts"] == 0
+            if r["n_true_accepts"] == 0:
+                assert r["accept_recall"] is None
