@@ -314,6 +314,20 @@ NPROBE_RECALL_DECAY_90A = 0.17
 NPROBE_RECALL_DECAY_90B = 0.34
 NPROBE_CALIB_KNEE_N = 16000
 
+#: The 0.95-target schedule (round 10, closing "0.95 remains uncalibrated
+#: and still raises"). Same two-piece idiom; MEASURED 0.95-crossings from
+#: tools/calibrated_recall_sweep.py this round: p=11 at n=16k (recall
+#: 0.9642, 122.1 M work pairs — 1.86× fewer than the recall-1.0 p=15) and
+#: p=16 at n=128k (0.9515, 5.86 B — 6.2× fewer than p=40). Exponents are
+#: fitted so ceil(frac·C) lands EXACTLY on both measured rows (0.125
+#: anchor→knee, 0.33 beyond). Dominance (p85 ≤ p90 ≤ p95 ≤ default) is
+#: enforced by flooring the 0.95 fraction at the FINAL 0.90 schedule
+#: (itself floored at 0.85): the raw 0.33 tail crosses below the 0.85 law
+#: near n ≈ 10M — same crossover class the 0.90 notch hit (ADVICE r9).
+#: Pinned over a 1..8M grid in tests/test_round10_ops.py.
+NPROBE_RECALL_DECAY_95A = 0.125
+NPROBE_RECALL_DECAY_95B = 0.33
+
 #: Margin-mining screen symmetrization (round 10). The round-9 screen was
 #: ASYMMETRIC: probes multi-probe p cells but each corpus candidate was
 #: findable only through its single home cell, so accept recall was capped
@@ -387,44 +401,67 @@ def adaptive_nprobe(
     decay steepens between the tiers, so a single exponent cannot land
     in-band at both (see NPROBE_RECALL_DECAY_90A/B above): landing points
     p=10 at n=16k (measured recall 0.9358) and p=14 at n=128k (0.9121),
-    both MEASURED rows of the deterministic round-8 sweep. Only 0.85 and
-    0.90 are calibrated; other targets raise until swept. At fixture SFs
-    the floor keeps every schedule identical (nprobe=5), so declared-query
-    plans and oracles are unchanged.
+    both MEASURED rows of the deterministic round-8 sweep.
+
+    ``target_recall=0.95`` (round 10) completes the notch set with the
+    same two-piece idiom: landing points p=11 at n=16k (measured recall
+    0.9642) and p=16 at n=128k (0.9515) — see NPROBE_RECALL_DECAY_95A/B.
+    All three notches are dominance-floored (p85 ≤ p90 ≤ p95 ≤ the
+    recall-1.0 default for every n). Other targets raise until swept. At
+    fixture SFs the floor keeps every schedule identical (nprobe=5), so
+    declared-query plans and oracles are unchanged.
     """
     import math as _math
 
+    def _two_piece(frac0: float, decay_a: float, decay_b: float) -> float:
+        f = frac0
+        if n_reps > NPROBE_CALIB_N0:
+            f = f * (
+                NPROBE_CALIB_N0 / min(n_reps, NPROBE_CALIB_KNEE_N)
+            ) ** decay_a
+        if n_reps > NPROBE_CALIB_KNEE_N:
+            f = f * (NPROBE_CALIB_KNEE_N / n_reps) ** decay_b
+        return f
+
+    def _frac85(frac0: float) -> float:
+        f = frac0
+        if n_reps > NPROBE_CALIB_N0:
+            f = f * (NPROBE_CALIB_N0 / n_reps) ** NPROBE_RECALL_DECAY
+        return f
+
+    def _frac90(frac0: float) -> float:
+        # Dominance floor: the 0.90 piece-B exponent (0.34) is steeper
+        # than the 0.85 law's 0.28, so unfloored the two curves CROSS
+        # near n ≈ 2.3M and a caller asking for HIGHER recall would
+        # probe FEWER cells (e.g. n=4M: 24 vs 27). Past the calibrated
+        # range the 0.85 schedule is the better-grounded lower bound —
+        # take the max of the fractions so p85 ≤ p90 holds for ALL n
+        # (pinned to 8M in tests/test_round9_ops.py).
+        return max(
+            _two_piece(frac0, NPROBE_RECALL_DECAY_90A, NPROBE_RECALL_DECAY_90B),
+            _frac85(frac0),
+        )
+
     if target_recall is not None:
         if abs(target_recall - 0.85) < 1e-9:
-            if n_reps > NPROBE_CALIB_N0:
-                frac = frac * (NPROBE_CALIB_N0 / n_reps) ** NPROBE_RECALL_DECAY
+            frac = _frac85(frac)
         elif abs(target_recall - 0.90) < 1e-9:
-            frac90 = frac
-            if n_reps > NPROBE_CALIB_N0:
-                frac90 = frac90 * (
-                    NPROBE_CALIB_N0 / min(n_reps, NPROBE_CALIB_KNEE_N)
-                ) ** NPROBE_RECALL_DECAY_90A
-            if n_reps > NPROBE_CALIB_KNEE_N:
-                frac90 = frac90 * (
-                    NPROBE_CALIB_KNEE_N / n_reps
-                ) ** NPROBE_RECALL_DECAY_90B
-            # Dominance floor: the 0.90 piece-B exponent (0.34) is steeper
-            # than the 0.85 law's 0.28, so unfloored the two curves CROSS
-            # near n ≈ 2.3M and a caller asking for HIGHER recall would
-            # probe FEWER cells (e.g. n=4M: 24 vs 27). Past the calibrated
-            # range the 0.85 schedule is the better-grounded lower bound —
-            # take the max of the fractions so p85 ≤ p90 holds for ALL n
-            # (pinned to 8M in tests/test_round9_ops.py).
-            frac85 = frac
-            if n_reps > NPROBE_CALIB_N0:
-                frac85 = frac85 * (
-                    NPROBE_CALIB_N0 / n_reps
-                ) ** NPROBE_RECALL_DECAY
-            frac = max(frac90, frac85)
+            frac = _frac90(frac)
+        elif abs(target_recall - 0.95) < 1e-9:
+            # Same dominance idiom one notch up: the raw 0.33 tail crosses
+            # below the 0.85 law near n ≈ 10M, so floor at the FINAL 0.90
+            # schedule (p85 ≤ p90 ≤ p95 for all n; round-10 pin).
+            frac = max(
+                _two_piece(
+                    frac, NPROBE_RECALL_DECAY_95A, NPROBE_RECALL_DECAY_95B
+                ),
+                _frac90(frac),
+            )
         else:
             raise ValueError(
-                "only target_recall in {0.85, 0.90} is calibrated (sweep in "
-                "tools/calibrated_recall_sweep.py before shipping others)"
+                "only target_recall in {0.85, 0.90, 0.95} is calibrated "
+                "(sweep in tools/calibrated_recall_sweep.py before "
+                "shipping others)"
             )
     c = int(_math.ceil(_math.sqrt(max(n_reps, 1))))
     return max(floor, int(_math.ceil(frac * c)))

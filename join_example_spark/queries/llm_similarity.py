@@ -2304,6 +2304,488 @@ def q_llm_mine_margin_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_mine_margin_ratio_baseline",
+    oracle=f"""
+WITH fwd AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM embeddings p
+    JOIN embeddings c ON c.vec_id % 50 <> 0
+    WHERE p.vec_id % 50 = 0
+), fr AS (
+    SELECT probe_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM fwd
+), fden AS (
+    SELECT probe_id,
+           (MAX(CASE WHEN rn = 1 THEN sim END)
+            + COALESCE(MAX(CASE WHEN rn = 2 THEN sim END), 0.0)
+            + COALESCE(MAX(CASE WHEN rn = 3 THEN sim END), 0.0)
+            + COALESCE(MAX(CASE WHEN rn = 4 THEN sim END), 0.0)) / 8.0 AS den_x
+    FROM fr WHERE rn <= 4 GROUP BY probe_id
+), br AS (
+    SELECT cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY cand_id ORDER BY sim DESC, probe_id) AS rn
+    FROM fwd
+), bden AS (
+    SELECT cand_id,
+           (MAX(CASE WHEN rn = 1 THEN sim END)
+            + COALESCE(MAX(CASE WHEN rn = 2 THEN sim END), 0.0)
+            + COALESCE(MAX(CASE WHEN rn = 3 THEN sim END), 0.0)
+            + COALESCE(MAX(CASE WHEN rn = 4 THEN sim END), 0.0)) / 8.0 AS den_y
+    FROM br WHERE rn <= 4 GROUP BY cand_id
+), sc AS (
+    SELECT f.probe_id, f.cand_id, f.sim,
+           f.sim / (d.den_x + b.den_y) AS ratio
+    FROM fwd f
+    JOIN fden d ON d.probe_id = f.probe_id
+    JOIN bden b ON b.cand_id = f.cand_id
+), rk AS (
+    SELECT probe_id, cand_id, sim, ratio,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY ratio DESC, cand_id) AS rn
+    FROM sc
+)
+SELECT probe_id, CAST(cand_id AS BIGINT) AS best_id, sim AS best_sim,
+       ratio,
+       ratio >= 1.05 AND sim >= 0.3 AS accepted
+FROM rk WHERE rn = 1
+""",
+    note="RATIO-margin mining (the Artetxe & Schwenk 2019 flagship "
+    "scoring, round 10): score(x, y) = sim(x, y) / (den_x + den_y) with "
+    "den = (sum of the top-4 neighbor sims, missing treated as 0) / 8 — "
+    "the distance-normalized, hubness-robust variant the paper prefers "
+    "over the absolute margin (q_llm_mine_margin_baseline): a hub whose "
+    "whole neighborhood is uniformly close gets a large den and a ratio "
+    "near 1, where the absolute rule needs a tuned gap. k = 4 neighbors "
+    "is the dyadic choice: den sums are FIXED-ORDER additions of "
+    "rounded-sim doubles (s1 + COALESCE(s2,0) + ... left-associated "
+    "identically on both engines) divided by 8 (a power of two — exact), "
+    "so every den, the den_x + den_y sum, and the final IEEE division "
+    "are bit-identical cross-engine; the ratio is emitted RAW (the "
+    "determinism rule for quotients). Acceptance: ratio >= 1.05 AND "
+    "best_sim >= 0.3 (the sim floor guards the ratio rule's known "
+    "scale-invariance weakness: an all-garbage neighborhood can have a "
+    "confident ratio). Backward dens use the probe set as the opposing "
+    "corpus, exactly the bitext-mining setup. SCALE-BASELINE BY DESIGN "
+    "(the probes x corpus crossJoin, executed once and localCheckpointed "
+    "against the three-consumer branch split — the round-5 lesson); the "
+    "family scale default is q_llm_mine_margin_ratio_ivf",
+    tags=("llm", "similarity", "search"),
+)
+def q_llm_mine_margin_ratio_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.similarity import DOT_SQL
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    corpus = emb.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    # One quadratic/50 sim table feeds THREE consumers (forward dens,
+    # backward dens, the scored join) — checkpoint it once, eagerly
+    # (executor-side; the round-5 branch-split lesson).
+    fwd = (
+        corpus.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(F.expr(DOT_SQL.format(a="pv", b="cv")), 4).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fden = _top4_den(fwd, "probe_id", "cand_id", "den_x")
+    bden = _top4_den(fwd, "cand_id", "probe_id", "den_y")
+    sc = (
+        fwd.join(fden, "probe_id")
+        .join(bden, "cand_id")
+        .withColumn("ratio", F.col("sim") / (F.col("den_x") + F.col("den_y")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("ratio").desc(), F.col("cand_id"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("cand_id").cast("bigint").alias("best_id"),
+            F.col("sim").alias("best_sim"),
+            "ratio",
+            ((F.col("ratio") >= F.lit(1.05)) & (F.col("sim") >= F.lit(0.3))).alias(
+                "accepted"
+            ),
+        )
+    )
+
+
+def _top4_den(fwd: DataFrame, part_col: str, tie_col: str, out_col: str) -> DataFrame:
+    """The ratio-margin denominator: (top-4 sims + missing-as-0) / 8 over
+    ``part_col`` groups, additions in FIXED left-to-right order so the
+    double sum is bit-identical to the oracle twin's identically-shaped
+    expression (k=4 makes the closing division dyadic — exact)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(F.col("sim").desc(), F.col(tie_col))
+    s = [
+        F.max(F.when(F.col("rn") == i, F.col("sim"))).alias(f"s{i}")
+        for i in (1, 2, 3, 4)
+    ]
+    g = (
+        fwd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .groupBy(part_col)
+        .agg(*s)
+    )
+    den = (
+        F.col("s1")
+        + F.coalesce(F.col("s2"), F.lit(0.0))
+        + F.coalesce(F.col("s3"), F.lit(0.0))
+        + F.coalesce(F.col("s4"), F.lit(0.0))
+    ) / F.lit(8.0)
+    return g.select(part_col, den.alias(out_col))
+
+
+#: DuckDB twin of _top4_den's fixed-order sum (kept textually parallel so
+#: the two cannot drift): {rn} is the per-group rank column, {sim} the
+#: rounded-sim column.
+_DUCK_TOP4_DEN = """(MAX(CASE WHEN {rn} = 1 THEN {sim} END)
+            + COALESCE(MAX(CASE WHEN {rn} = 2 THEN {sim} END), 0.0)
+            + COALESCE(MAX(CASE WHEN {rn} = 3 THEN {sim} END), 0.0)
+            + COALESCE(MAX(CASE WHEN {rn} = 4 THEN {sim} END), 0.0)) / 8.0"""
+
+
+@register(
+    "q_llm_mine_margin_ratio_ivf",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id
+    LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), corpus AS (
+    SELECT vec_id AS cand_id, embedding AS cv, cent_id AS cell
+    FROM assign WHERE arn <= 4 AND vec_id % 50 <> 0
+), probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv, cent_id AS cell
+    FROM assign WHERE arn <= 5 AND vec_id % 50 = 0
+), scored AS (
+    SELECT p.probe_id, c.cand_id,
+           MAX(ROUND({_DUCK_DOT.format(a="p.pv", b="c.cv")}, 4)) AS sim
+    FROM probes p JOIN corpus c ON p.cell = c.cell
+    GROUP BY p.probe_id, c.cand_id
+), sxr AS (
+    SELECT probe_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM scored
+), sdx AS (
+    SELECT probe_id,
+           {_DUCK_TOP4_DEN.format(rn="rn", sim="sim")} AS den_x
+    FROM sxr WHERE rn <= 4 GROUP BY probe_id
+), syr AS (
+    SELECT cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY cand_id ORDER BY sim DESC, probe_id) AS rn
+    FROM scored
+), sdy AS (
+    SELECT cand_id,
+           {_DUCK_TOP4_DEN.format(rn="rn", sim="sim")} AS den_y
+    FROM syr WHERE rn <= 4 GROUP BY cand_id
+), ssc AS (
+    SELECT s.probe_id, s.cand_id, s.sim,
+           s.sim / (x.den_x + y.den_y) AS ratio
+    FROM scored s
+    JOIN sdx x ON x.probe_id = s.probe_id
+    JOIN sdy y ON y.cand_id = s.cand_id
+), est AS (
+    SELECT probe_id, cand_id AS best_id, sim AS best_sim, ratio
+    FROM (
+        SELECT probe_id, cand_id, sim, ratio,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_id ORDER BY ratio DESC, cand_id) AS rn
+        FROM ssc
+    ) WHERE rn = 1
+), esc AS (
+    SELECT DISTINCT probe_id FROM ssc
+    WHERE ratio >= 1.05 AND sim >= 0.3
+), vfwd AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM embeddings p
+    JOIN esc a ON a.probe_id = p.vec_id
+    JOIN embeddings c ON c.vec_id % 50 <> 0
+), vxr AS (
+    SELECT probe_id, cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM vfwd
+), vdx AS (
+    SELECT probe_id,
+           {_DUCK_TOP4_DEN.format(rn="rn", sim="sim")} AS vden_x
+    FROM vxr WHERE rn <= 4 GROUP BY probe_id
+), vanch AS (
+    SELECT probe_id, cand_id AS anchor_id, sim AS anchor_sim
+    FROM vxr WHERE rn = 1
+), aback AS (
+    SELECT y.vec_id AS cand_id, x.vec_id AS p2_id,
+           ROUND({_DUCK_DOT.format(a="y.embedding", b="x.embedding")}, 4) AS sim
+    FROM embeddings y
+    JOIN (SELECT DISTINCT anchor_id FROM vanch) an ON an.anchor_id = y.vec_id
+    JOIN embeddings x ON x.vec_id % 50 = 0
+), abr AS (
+    SELECT cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY cand_id ORDER BY sim DESC, p2_id) AS rn
+    FROM aback
+), aden AS (
+    SELECT cand_id,
+           {_DUCK_TOP4_DEN.format(rn="rn", sim="sim")} AS aden_y
+    FROM abr WHERE rn <= 4 GROUP BY cand_id
+), lbound AS (
+    SELECT v.probe_id,
+           v.anchor_sim / (x.vden_x + a.aden_y) AS l_ratio
+    FROM vanch v
+    JOIN vdx x ON x.probe_id = v.probe_id
+    JOIN aden a ON a.cand_id = v.anchor_id
+), short AS (
+    SELECT f.probe_id, f.cand_id, f.sim
+    FROM vfwd f
+    JOIN vdx x ON x.probe_id = f.probe_id
+    JOIN lbound l ON l.probe_id = f.probe_id
+    WHERE f.sim / (x.vden_x + f.sim / 8.0) >= l.l_ratio
+), sback AS (
+    SELECT y.vec_id AS cand_id, x.vec_id AS p2_id,
+           ROUND({_DUCK_DOT.format(a="y.embedding", b="x.embedding")}, 4) AS sim
+    FROM embeddings y
+    JOIN (SELECT DISTINCT cand_id FROM short) sh ON sh.cand_id = y.vec_id
+    JOIN embeddings x ON x.vec_id % 50 = 0
+), sbr AS (
+    SELECT cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY cand_id ORDER BY sim DESC, p2_id) AS rn
+    FROM sback
+), sden AS (
+    SELECT cand_id,
+           {_DUCK_TOP4_DEN.format(rn="rn", sim="sim")} AS vden_y
+    FROM sbr WHERE rn <= 4 GROUP BY cand_id
+), vbest AS (
+    SELECT probe_id, cand_id AS vbest_id, sim AS vbest_sim, vratio
+    FROM (
+        SELECT s.probe_id, s.cand_id, s.sim,
+               s.sim / (x.vden_x + d.vden_y) AS vratio,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.probe_id
+                   ORDER BY s.sim / (x.vden_x + d.vden_y) DESC, s.cand_id
+               ) AS rn
+        FROM short s
+        JOIN vdx x ON x.probe_id = s.probe_id
+        JOIN sden d ON d.cand_id = s.cand_id
+    ) WHERE rn = 1
+)
+SELECT e.probe_id,
+       CAST(COALESCE(v.vbest_id, e.best_id) AS BIGINT) AS best_id,
+       COALESCE(v.vbest_sim, e.best_sim) AS best_sim,
+       COALESCE(v.vratio, e.ratio) AS ratio,
+       COALESCE(v.vratio, e.ratio) >= 1.05
+           AND COALESCE(v.vbest_sim, e.best_sim) >= 0.3 AS accepted
+FROM est e LEFT JOIN vbest v ON v.probe_id = e.probe_id
+""",
+    note="the RATIO-margin family's SCALE DEFAULT (round 10): the "
+    "symmetrized IVF screen (corpus multi-assign 4, probe dial "
+    "margin_screen_dials(n) — fixture (4, 5), pinned by the "
+    "arn<=4/arn<=5 oracle) scores cell-join pairs and estimates BOTH "
+    "ratio denominators from the same screened pair set (each is a "
+    "subset top-4, so each den under-estimates and the screened ratio "
+    "OVER-estimates the true ratio for every scored pair — one-sided, "
+    "no eps needed): any probe with a scored pair passing the exact "
+    "gates (ratio >= 1.05, sim >= 0.3) escalates to the exact verify, "
+    "so a true accept is missed ONLY when its probe has no gate-passing "
+    "scored pair at all. VERIFY is exact with a LOSSLESS shortlist: "
+    "exact forward sims give den_x and the top-by-sim anchor; the "
+    "anchor's exact backward den gives a per-probe score floor L; since "
+    "every candidate's backward den is >= sim/8 (the probe itself sits "
+    "in the candidate's backward neighbor set), true_ratio <= "
+    "sim/(den_x + sim/8), an INCREASING bound in sim — candidates "
+    "below L under that bound provably cannot win, so exact backward "
+    "dens are computed only for the surviving shortlist. Accepted rows "
+    "therefore carry the exact flat-truth best/ratio (precision 1.0 by "
+    "construction, same contract as q_llm_mine_margin_ivf; pinned in "
+    "tests/test_round10_ops.py). At 100 TB: one cell-key shuffle + one "
+    "narrow pair-dedup shuffle for the screen; verify is "
+    "|esc|*n forward + |esc|*(n/50) anchor-backward + |shortlist|*(n/50) "
+    "folds, all broadcast-bounded. den determinism: fixed-order top-4 "
+    "sums / 8 (dyadic), raw IEEE divisions — bit-identical cross-engine "
+    "(see q_llm_mine_margin_ratio_baseline)",
+    tags=("llm", "similarity", "search", "approx"),
+)
+def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    from join_example_spark.operators.similarity import (
+        DOT_SQL,
+        _by_cell,
+        ivf_cells,
+        margin_screen_dials,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Scalar plan-build action (same class as the CC convergence witness).
+    n = emb.count()
+    n_centroids = int(math.ceil(math.sqrt(n)))
+    q_assign, nprobe = margin_screen_dials(n)
+    corpus = (
+        ivf_cells(emb, n_centroids, nprobe=q_assign)
+        .where(F.col("vec_id") % 50 != 0)
+        .select(F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("cv"))
+    )
+    probes = (
+        ivf_cells(emb, n_centroids, nprobe=nprobe)
+        .where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("probe_id"), "cell", F.col("embedding").alias("pv"))
+    )
+    # The screened pair set feeds FOUR consumers (den_x, den_y, the score
+    # join, the escalation gate) — checkpoint once, eagerly (the round-5
+    # branch-split lesson; executor-side).
+    scored = (
+        _by_cell(probes)
+        .join(_by_cell(corpus), "cell")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(F.expr(DOT_SQL.format(a="pv", b="cv")), 4).alias("sim"),
+        )
+        .groupBy("probe_id", "cand_id")
+        .agg(F.max("sim").alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    sdx = _top4_den(scored, "probe_id", "cand_id", "den_x")
+    sdy = _top4_den(scored, "cand_id", "probe_id", "den_y")
+    ssc = (
+        scored.join(sdx, "probe_id")
+        .join(sdy, "cand_id")
+        .withColumn("ratio", F.col("sim") / (F.col("den_x") + F.col("den_y")))
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.col("ratio").desc(), F.col("cand_id"))
+    est = (
+        ssc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("cand_id").alias("best_id"),
+            F.col("sim").alias("best_sim"),
+            "ratio",
+        )
+        .localCheckpoint(eager=True)
+    )
+    esc = (
+        ssc.where((F.col("ratio") >= F.lit(1.05)) & (F.col("sim") >= F.lit(0.3)))
+        .select("probe_id")
+        .distinct()
+    )
+    # --- exact verify of escalated probes, lossless-shortlisted ---
+    acc_p = emb.join(F.broadcast(esc), emb.vec_id == F.col("probe_id")).select(
+        "probe_id", F.col("embedding").alias("pv")
+    )
+    corpus_full = emb.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    vfwd = (
+        corpus_full.crossJoin(F.broadcast(acc_p))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(F.expr(DOT_SQL.format(a="pv", b="cv")), 4).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vdx = _top4_den(vfwd, "probe_id", "cand_id", "vden_x")
+    ws = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    vanch = (
+        vfwd.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .select("probe_id", F.col("cand_id").alias("anchor_id"), F.col("sim").alias("anchor_sim"))
+    )
+    probes_all = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("p2_id"), F.col("embedding").alias("p2v")
+    )
+    anchor_emb = emb.join(
+        F.broadcast(vanch.select("anchor_id").distinct()),
+        emb.vec_id == F.col("anchor_id"),
+    ).select("anchor_id", F.col("embedding").alias("av"))
+    aback = probes_all.crossJoin(F.broadcast(anchor_emb)).select(
+        F.col("anchor_id").alias("cand_id"),
+        "p2_id",
+        F.round(F.expr(DOT_SQL.format(a="av", b="p2v")), 4).alias("sim"),
+    )
+    aden = _top4_den(aback, "cand_id", "p2_id", "aden_y").select(
+        F.col("cand_id").alias("anchor_id"), "aden_y"
+    )
+    lbound = (
+        vanch.join(vdx, "probe_id")
+        .join(aden, "anchor_id")
+        .select(
+            "probe_id",
+            (F.col("anchor_sim") / (F.col("vden_x") + F.col("aden_y"))).alias("l_ratio"),
+        )
+    )
+    short = (
+        vfwd.join(vdx, "probe_id")
+        .join(lbound, "probe_id")
+        .where(
+            F.col("sim") / (F.col("vden_x") + F.col("sim") / F.lit(8.0))
+            >= F.col("l_ratio")
+        )
+        .select("probe_id", "cand_id", "sim", "vden_x")
+    )
+    short_emb = emb.join(
+        F.broadcast(short.select("cand_id").distinct()), emb.vec_id == F.col("cand_id")
+    ).select("cand_id", F.col("embedding").alias("sv"))
+    sback = probes_all.crossJoin(F.broadcast(short_emb)).select(
+        "cand_id",
+        "p2_id",
+        F.round(F.expr(DOT_SQL.format(a="sv", b="p2v")), 4).alias("sim"),
+    )
+    sden = _top4_den(sback, "cand_id", "p2_id", "vden_y")
+    wvr = Window.partitionBy("probe_id").orderBy(F.col("vratio").desc(), F.col("cand_id"))
+    vbest = (
+        short.join(sden, "cand_id")
+        .withColumn("vratio", F.col("sim") / (F.col("vden_x") + F.col("vden_y")))
+        .withColumn("rn", F.row_number().over(wvr))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("cand_id").alias("vbest_id"),
+            F.col("sim").alias("vbest_sim"),
+            "vratio",
+        )
+    )
+    j = est.join(vbest, "probe_id", "left")
+    best_sim_f = F.coalesce(F.col("vbest_sim"), F.col("best_sim"))
+    ratio_f = F.coalesce(F.col("vratio"), F.col("ratio"))
+    return j.select(
+        "probe_id",
+        F.coalesce(F.col("vbest_id"), F.col("best_id")).cast("bigint").alias("best_id"),
+        best_sim_f.alias("best_sim"),
+        ratio_f.alias("ratio"),
+        ((ratio_f >= F.lit(1.05)) & (best_sim_f >= F.lit(0.3))).alias("accepted"),
+    )
+
+
+@register(
     "q_llm_cluster_dbscan",
     oracle=f"""
 WITH RECURSIVE

@@ -70,12 +70,14 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (2: q_llm_mine_margin_ivf, q_llm_mine_margin_recall),
+#: Ordering: never-proven/replanned first (4: q_llm_mine_margin_ivf, q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_recall),
 #: then ascending latest-driver-green round, name-ordered within a
 #: round. Latest-green histogram: r5x35, r6x50, r7x47, r8x50, r9x49.
-#: Head-50 composition: newx2, r5x35, r6x13. Derived from CORRECTNESS_r{4..9}.json.
+#: Head-50 composition: newx4, r5x35, r6x11. Derived from CORRECTNESS_r{4..9}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_mine_margin_ivf",
+    "q_llm_mine_margin_ratio_baseline",
+    "q_llm_mine_margin_ratio_ivf",
     "q_llm_mine_margin_recall",
     "q_filter_pred",
     "q_flagship_daily_enrich",

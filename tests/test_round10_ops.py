@@ -136,3 +136,95 @@ class TestGrayZoneEscalation:
             assert r["n_hits"] <= r["n_ivf_accepts"] or r["n_ivf_accepts"] == 0
             if r["n_true_accepts"] == 0:
                 assert r["accept_recall"] is None
+
+
+class TestCalibrated095Dial:
+    def test_measured_landing_points(self):
+        # Round-10 sweep rows (tools/calibrated_recall_sweep.py):
+        # p=11 at 16k -> recall 0.9642 / 122.1M pairs; p=16 at 128k ->
+        # 0.9515 / 5.86B (6.2x fewer than the recall-1.0 p=40).
+        from join_example_spark.operators.similarity import adaptive_nprobe
+
+        assert adaptive_nprobe(16000, target_recall=0.95) == 11
+        assert adaptive_nprobe(128000, target_recall=0.95) == 16
+
+    def test_fixture_floor_unchanged(self):
+        from join_example_spark.operators.similarity import adaptive_nprobe
+
+        for n in (500, 2000):
+            assert adaptive_nprobe(n, target_recall=0.95) == 5
+
+    def test_dominance_all_notches(self):
+        # p85 <= p90 <= p95 <= recall-1.0 default for ALL n: the raw 0.95
+        # tail (0.33) crosses below the 0.85 law near n ~ 10M, so the
+        # schedule floors at the FINAL 0.90 schedule — pin past the
+        # crossover (same grid idiom as the round-9 0.90 pin).
+        from join_example_spark.operators.similarity import adaptive_nprobe
+
+        for n in list(range(100, 20000, 777)) + list(
+            range(20000, 8_000_001, 99_991)
+        ) + [2_300_000, 4_000_000, 8_000_000]:
+            p85 = adaptive_nprobe(n, target_recall=0.85)
+            p90 = adaptive_nprobe(n, target_recall=0.90)
+            p95 = adaptive_nprobe(n, target_recall=0.95)
+            pd = adaptive_nprobe(n)
+            assert p85 <= p90 <= p95 <= pd, (n, p85, p90, p95, pd)
+
+    def test_uncalibrated_targets_still_raise(self):
+        import pytest as _pytest
+
+        from join_example_spark.operators.similarity import adaptive_nprobe
+
+        with _pytest.raises(ValueError):
+            adaptive_nprobe(128000, target_recall=0.99)
+
+
+class TestRatioMarginFamily:
+    def test_family_declared_and_oracled(self):
+        reg = load_all()
+        for name in (
+            "q_llm_mine_margin_ratio_baseline",
+            "q_llm_mine_margin_ratio_ivf",
+        ):
+            assert name in reg
+            assert reg[name].oracle is not None
+
+    def test_accepted_rows_are_exact_flat_truth(self, spark):
+        # The ratio family inherits the verify-the-positives contract:
+        # every accepted ivf row must equal the flat-truth row (best id,
+        # sim, RAW ratio — bit-identical doubles). This is the
+        # cross-plan check the oracle mirror cannot see (both twins use
+        # the same lossless shortlist; a shortlist soundness bug would
+        # cancel out there, not here).
+        reg = load_all()
+        for sf in (SF, SF01):
+            flat = {
+                r["probe_id"]: r
+                for r in reg["q_llm_mine_margin_ratio_baseline"]
+                .fn(spark, sf)
+                .collect()
+            }
+            ivf = reg["q_llm_mine_margin_ratio_ivf"].fn(spark, sf).collect()
+            accepted = [r for r in ivf if r["accepted"]]
+            assert accepted, f"{sf}: ivf-accepted set empty (fixture drift?)"
+            for r in accepted:
+                f = flat[r["probe_id"]]
+                assert r["best_id"] == f["best_id"], (sf, r, f)
+                assert r["best_sim"] == f["best_sim"], (sf, r, f)
+                assert r["ratio"] == f["ratio"], (sf, r, f)
+                assert f["accepted"] is True
+
+    def test_accepted_booleans_derive_from_values(self, spark):
+        # The accepted column is constant-True at fixture SFs (isotropic
+        # small-n ratios sit well above 1.05), which weakens the oracle's
+        # boolean certification — re-derive it from the emitted values so
+        # a sign-flip in either gate fails loudly.
+        reg = load_all()
+        for name in (
+            "q_llm_mine_margin_ratio_baseline",
+            "q_llm_mine_margin_ratio_ivf",
+        ):
+            for r in reg[name].fn(spark, SF).collect():
+                assert r["accepted"] == (
+                    r["ratio"] >= 1.05 and r["best_sim"] >= 0.3
+                ), (name, r)

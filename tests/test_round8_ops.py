@@ -49,9 +49,10 @@ class TestCalibratedRecallDial:
         assert adaptive_nprobe(1_000_000, target_recall=0.85) > 5
 
     def test_uncalibrated_target_raises(self):
-        # 0.90 became a calibrated notch in round 9; 0.95 remains unswept.
+        # 0.90 became a calibrated notch in round 9, 0.95 in round 10;
+        # anything else stays unswept and must raise.
         with pytest.raises(ValueError, match="calibrated"):
-            adaptive_nprobe(16000, target_recall=0.95)
+            adaptive_nprobe(16000, target_recall=0.99)
 
     def test_imi_knee_schedule_landing_points(self):
         # IMI twin (SCALE.md §3.11b): constant fraction is already IN-BAND
