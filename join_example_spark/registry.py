@@ -70,61 +70,11 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (4: q_llm_mine_margin_ivf, q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_recall),
+#: Ordering: never-proven/replanned first (0: none),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r5x35, r6x50, r7x47, r8x50, r9x49.
-#: Head-50 composition: newx4, r5x35, r6x11. Derived from CORRECTNESS_r{4..9}.json.
+#: round. Latest-green histogram: r6x39, r7x47, r8x50, r9x49, r10x50.
+#: Head-50 composition: r6x39, r7x11. Derived from CORRECTNESS_r{4..10}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_llm_mine_margin_ivf",
-    "q_llm_mine_margin_ratio_baseline",
-    "q_llm_mine_margin_ratio_ivf",
-    "q_llm_mine_margin_recall",
-    "q_filter_pred",
-    "q_flagship_daily_enrich",
-    "q_histogram",
-    "q_join_multiway",
-    "q_lateral_topk",
-    "q_llm_bm25_search",
-    "q_llm_cluster_quality",
-    "q_llm_curate_pipeline",
-    "q_llm_decontaminate_substring",
-    "q_llm_dedup_prefix",
-    "q_llm_dedup_semantic",
-    "q_llm_dedup_semantic_imi",
-    "q_llm_dedup_semantic_ivf",
-    "q_llm_dedup_substring",
-    "q_llm_embed_outliers",
-    "q_llm_imi_recall",
-    "q_llm_mix_temperature",
-    "q_llm_sample_weighted",
-    "q_llm_sim_imipq",
-    "q_llm_sim_pq_rerank_baseline",
-    "q_llm_split_leakage_safe",
-    "q_project_rename",
-    "q_resample_locf",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_ts_concurrency",
-    "q_ts_ewma",
-    "q_ts_holt_forecast",
-    "q_ts_rolling_corr",
-    "q_ts_sim_search",
-    "q_ts_trend",
-    "q_ts_twap",
-    "q_win_sliding_distinct_hll",
-    "q_events_attribution",
-    "q_funnel_latency",
-    "q_graph_bfs",
-    "q_graph_kcore",
-    "q_graph_label_prop",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_bloom",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
     "q_join_right",
     "q_join_semi",
     "q_llm_bpe_pairs",
@@ -310,6 +260,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_running",
     "q_win_sliding_distinct",
     "q_win_topk_per_group",
+    "q_events_attribution",
+    "q_filter_pred",
+    "q_flagship_daily_enrich",
+    "q_funnel_latency",
+    "q_graph_bfs",
+    "q_graph_kcore",
+    "q_graph_label_prop",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_histogram",
+    "q_join_bloom",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_lateral_topk",
+    "q_llm_bm25_search",
+    "q_llm_cluster_quality",
+    "q_llm_curate_pipeline",
+    "q_llm_decontaminate_substring",
+    "q_llm_dedup_prefix",
+    "q_llm_dedup_semantic",
+    "q_llm_dedup_semantic_imi",
+    "q_llm_dedup_semantic_ivf",
+    "q_llm_dedup_substring",
+    "q_llm_embed_outliers",
+    "q_llm_imi_recall",
+    "q_llm_mine_margin_ivf",
+    "q_llm_mine_margin_ratio_baseline",
+    "q_llm_mine_margin_ratio_ivf",
+    "q_llm_mine_margin_recall",
+    "q_llm_mix_temperature",
+    "q_llm_sample_weighted",
+    "q_llm_sim_imipq",
+    "q_llm_sim_pq_rerank_baseline",
+    "q_llm_split_leakage_safe",
+    "q_project_rename",
+    "q_resample_locf",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_ts_concurrency",
+    "q_ts_ewma",
+    "q_ts_holt_forecast",
+    "q_ts_rolling_corr",
+    "q_ts_sim_search",
+    "q_ts_trend",
+    "q_ts_twap",
+    "q_win_sliding_distinct_hll",
 )
 
 

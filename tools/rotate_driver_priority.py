@@ -121,9 +121,13 @@ def generated_block(
 def main() -> None:
     reprove: frozenset[str] = frozenset()
     if "--reprove" in sys.argv:
-        reprove = frozenset(
-            sys.argv[sys.argv.index("--reprove") + 1].split(",")
-        )
+        idx = sys.argv.index("--reprove")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
+            raise SystemExit(
+                "usage: --reprove q_name1,q_name2 (a comma-separated value "
+                "must follow --reprove; it may not start with '--')"
+            )
+        reprove = frozenset(sys.argv[idx + 1].split(","))
     order = rotated_order(reprove)
     latest = latest_green_rounds()
     unknown = reprove - set(order)
