@@ -2319,10 +2319,10 @@ WITH fwd AS (
     FROM fwd
 ), fden AS (
     SELECT probe_id,
-           (MAX(CASE WHEN rn = 1 THEN sim END)
-            + COALESCE(MAX(CASE WHEN rn = 2 THEN sim END), 0.0)
-            + COALESCE(MAX(CASE WHEN rn = 3 THEN sim END), 0.0)
-            + COALESCE(MAX(CASE WHEN rn = 4 THEN sim END), 0.0)) / 8.0 AS den_x
+           (GREATEST(MAX(CASE WHEN rn = 1 THEN sim END), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN rn = 2 THEN sim END), 0.0), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN rn = 3 THEN sim END), 0.0), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN rn = 4 THEN sim END), 0.0), 0.0)) / 8.0 AS den_x
     FROM fr WHERE rn <= 4 GROUP BY probe_id
 ), br AS (
     SELECT cand_id, sim,
@@ -2331,10 +2331,10 @@ WITH fwd AS (
     FROM fwd
 ), bden AS (
     SELECT cand_id,
-           (MAX(CASE WHEN rn = 1 THEN sim END)
-            + COALESCE(MAX(CASE WHEN rn = 2 THEN sim END), 0.0)
-            + COALESCE(MAX(CASE WHEN rn = 3 THEN sim END), 0.0)
-            + COALESCE(MAX(CASE WHEN rn = 4 THEN sim END), 0.0)) / 8.0 AS den_y
+           (GREATEST(MAX(CASE WHEN rn = 1 THEN sim END), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN rn = 2 THEN sim END), 0.0), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN rn = 3 THEN sim END), 0.0), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN rn = 4 THEN sim END), 0.0), 0.0)) / 8.0 AS den_y
     FROM br WHERE rn <= 4 GROUP BY cand_id
 ), sc AS (
     SELECT f.probe_id, f.cand_id, f.sim,
@@ -2359,10 +2359,13 @@ FROM rk WHERE rn = 1
     "the distance-normalized, hubness-robust variant the paper prefers "
     "over the absolute margin (q_llm_mine_margin_baseline): a hub whose "
     "whole neighborhood is uniformly close gets a large den and a ratio "
-    "near 1, where the absolute rule needs a tuned gap. k = 4 neighbors "
+    "near 1, where the absolute rule needs a tuned gap. Den slots are "
+    "NONNEG-CLAMPED (GREATEST(s_i, 0), round 11): negative-sim neighbors "
+    "must not inflate the ratio, and the clamp is what makes the IVF "
+    "sibling's screening bounds theorems (see _top4_den). k = 4 neighbors "
     "is the dyadic choice: den sums are FIXED-ORDER additions of "
-    "rounded-sim doubles (s1 + COALESCE(s2,0) + ... left-associated "
-    "identically on both engines) divided by 8 (a power of two — exact), "
+    "clamped rounded-sim doubles (left-associated identically on both "
+    "engines) divided by 8 (a power of two — exact), "
     "so every den, the den_x + den_y sum, and the final IEEE division "
     "are bit-identical cross-engine; the ratio is emitted RAW (the "
     "determinism rule for quotients). Acceptance: ratio >= 1.05 AND "
@@ -2425,10 +2428,23 @@ def q_llm_mine_margin_ratio_baseline(
 
 
 def _top4_den(fwd: DataFrame, part_col: str, tie_col: str, out_col: str) -> DataFrame:
-    """The ratio-margin denominator: (top-4 sims + missing-as-0) / 8 over
-    ``part_col`` groups, additions in FIXED left-to-right order so the
-    double sum is bit-identical to the oracle twin's identically-shaped
-    expression (k=4 makes the closing division dyadic — exact)."""
+    """The ratio-margin denominator: (top-4 NONNEGATIVE-clamped sims +
+    missing-as-0) / 8 over ``part_col`` groups, additions in FIXED
+    left-to-right order so the double sum is bit-identical to the oracle
+    twin's identically-shaped expression (k=4 makes the closing division
+    dyadic — exact).
+
+    Each slot is clamped with GREATEST(s_i, 0) (round 11, ADVICE r10):
+    raw-Gaussian/real embeddings have negative neighbor dots, and the two
+    screening bounds the family's precision/recall contracts rest on are
+    theorems ONLY with nonnegative slots — (a) a candidate's backward den
+    >= sim/8 for sim > 0 (the lossless verify shortlist), and (b) a
+    subset top-4 den <= the full-set top-4 den (the one-sided screened
+    over-estimate). Unclamped, both fail exactly when s2..s4 < 0 — which
+    the sf0.001/sf0.01 fixtures really hit (126/103 negative top-4
+    backward slots measured). Semantically this is Artetxe & Schwenk
+    margin scoring with neighbor contributions floored at orthogonality
+    (a negative-sim "neighbor" should not inflate the ratio)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(part_col).orderBy(F.col("sim").desc(), F.col(tie_col))
@@ -2443,21 +2459,22 @@ def _top4_den(fwd: DataFrame, part_col: str, tie_col: str, out_col: str) -> Data
         .agg(*s)
     )
     den = (
-        F.col("s1")
-        + F.coalesce(F.col("s2"), F.lit(0.0))
-        + F.coalesce(F.col("s3"), F.lit(0.0))
-        + F.coalesce(F.col("s4"), F.lit(0.0))
+        F.greatest(F.col("s1"), F.lit(0.0))
+        + F.greatest(F.coalesce(F.col("s2"), F.lit(0.0)), F.lit(0.0))
+        + F.greatest(F.coalesce(F.col("s3"), F.lit(0.0)), F.lit(0.0))
+        + F.greatest(F.coalesce(F.col("s4"), F.lit(0.0)), F.lit(0.0))
     ) / F.lit(8.0)
     return g.select(part_col, den.alias(out_col))
 
 
-#: DuckDB twin of _top4_den's fixed-order sum (kept textually parallel so
-#: the two cannot drift): {rn} is the per-group rank column, {sim} the
-#: rounded-sim column.
-_DUCK_TOP4_DEN = """(MAX(CASE WHEN {rn} = 1 THEN {sim} END)
-            + COALESCE(MAX(CASE WHEN {rn} = 2 THEN {sim} END), 0.0)
-            + COALESCE(MAX(CASE WHEN {rn} = 3 THEN {sim} END), 0.0)
-            + COALESCE(MAX(CASE WHEN {rn} = 4 THEN {sim} END), 0.0)) / 8.0"""
+#: DuckDB twin of _top4_den's fixed-order clamped sum (kept textually
+#: parallel so the two cannot drift): {rn} is the per-group rank column,
+#: {sim} the rounded-sim column. GREATEST(x, 0.0) is exact (no rounding)
+#: on both engines, so the clamp preserves bit-identity.
+_DUCK_TOP4_DEN = """(GREATEST(MAX(CASE WHEN {rn} = 1 THEN {sim} END), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN {rn} = 2 THEN {sim} END), 0.0), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN {rn} = 3 THEN {sim} END), 0.0), 0.0)
+            + GREATEST(COALESCE(MAX(CASE WHEN {rn} = 4 THEN {sim} END), 0.0), 0.0)) / 8.0"""
 
 
 @register(
@@ -2564,7 +2581,7 @@ WITH cents AS (
     FROM vfwd f
     JOIN vdx x ON x.probe_id = f.probe_id
     JOIN lbound l ON l.probe_id = f.probe_id
-    WHERE f.sim / (x.vden_x + f.sim / 8.0) >= l.l_ratio
+    WHERE f.sim > 0.0 AND f.sim / (x.vden_x + f.sim / 8.0) >= l.l_ratio
 ), sback AS (
     SELECT y.vec_id AS cand_id, x.vec_id AS p2_id,
            ROUND({_DUCK_DOT.format(a="y.embedding", b="x.embedding")}, 4) AS sim
@@ -2602,32 +2619,40 @@ SELECT e.probe_id,
            AND COALESCE(v.vbest_sim, e.best_sim) >= 0.3 AS accepted
 FROM est e LEFT JOIN vbest v ON v.probe_id = e.probe_id
 """,
-    note="the RATIO-margin family's SCALE DEFAULT (round 10): the "
-    "symmetrized IVF screen (corpus multi-assign 4, probe dial "
-    "margin_screen_dials(n) — fixture (4, 5), pinned by the "
-    "arn<=4/arn<=5 oracle) scores cell-join pairs and estimates BOTH "
-    "ratio denominators from the same screened pair set (each is a "
-    "subset top-4, so each den under-estimates and the screened ratio "
-    "OVER-estimates the true ratio for every scored pair — one-sided, "
-    "no eps needed): any probe with a scored pair passing the exact "
-    "gates (ratio >= 1.05, sim >= 0.3) escalates to the exact verify, "
-    "so a true accept is missed ONLY when its probe has no gate-passing "
-    "scored pair at all. VERIFY is exact with a LOSSLESS shortlist: "
-    "exact forward sims give den_x and the top-by-sim anchor; the "
-    "anchor's exact backward den gives a per-probe score floor L; since "
-    "every candidate's backward den is >= sim/8 (the probe itself sits "
-    "in the candidate's backward neighbor set), true_ratio <= "
-    "sim/(den_x + sim/8), an INCREASING bound in sim — candidates "
-    "below L under that bound provably cannot win, so exact backward "
-    "dens are computed only for the surviving shortlist. Accepted rows "
-    "therefore carry the exact flat-truth best/ratio (precision 1.0 by "
-    "construction, same contract as q_llm_mine_margin_ivf; pinned in "
-    "tests/test_round10_ops.py). At 100 TB: one cell-key shuffle + one "
-    "narrow pair-dedup shuffle for the screen; verify is "
-    "|esc|*n forward + |esc|*(n/50) anchor-backward + |shortlist|*(n/50) "
-    "folds, all broadcast-bounded. den determinism: fixed-order top-4 "
-    "sums / 8 (dyadic), raw IEEE divisions — bit-identical cross-engine "
-    "(see q_llm_mine_margin_ratio_baseline)",
+    note="the RATIO-margin family's SCALE DEFAULT (round 10; bounds made "
+    "unconditional in round 11 per ADVICE r10): the symmetrized IVF "
+    "screen (corpus multi-assign 4, probe dial margin_screen_dials(n) — "
+    "fixture (4, 5), pinned by the arn<=4/arn<=5 oracle) scores "
+    "cell-join pairs and estimates BOTH ratio denominators from the "
+    "same screened pair set. Dens are NONNEG-CLAMPED (_top4_den), which "
+    "makes the one-sidedness a THEOREM: each screened den is a subset "
+    "top-4 of clamped slots, so screened den <= true den slot-by-slot "
+    "(missing slot = 0 <= clamped true slot) and both dens of a scored "
+    "pair are >= sim/8 > 0 when sim >= 0.3 (the pair itself sits in "
+    "both top-4 sets), hence the screened ratio OVER-estimates the true "
+    "ratio for every gate-relevant scored pair — no eps, no geometry "
+    "precondition: a true accept is missed ONLY when its probe has no "
+    "gate-passing scored pair at all. VERIFY is exact with a LOSSLESS "
+    "shortlist: exact forward sims give den_x and the top-by-sim "
+    "anchor; the anchor's exact backward den gives the per-probe score "
+    "floor l_ratio (> 0: anchor_sim >= 0.3 and dens > 0); the true "
+    "winner has vratio >= l_ratio > 0 hence sim > 0, and for sim > 0 "
+    "the clamped backward den is >= sim/8 (the probe sits in the "
+    "candidate's backward set), so true_ratio <= sim/(den_x + sim/8) "
+    "with a strictly positive denominator — candidates failing sim > 0 "
+    "or falling below l_ratio under that bound provably cannot win, so "
+    "exact backward dens are computed only for the surviving shortlist. "
+    "Accepted rows therefore carry the exact flat-truth best/ratio "
+    "(precision 1.0 by construction, same contract as "
+    "q_llm_mine_margin_ivf; pinned in tests/test_round10_ops.py; "
+    "negative-sim geometry exercised by the sf0.001/sf0.01 fixtures "
+    "themselves — 126/103 negative top-4 backward slots measured). At "
+    "100 TB: one cell-key shuffle + one narrow pair-dedup shuffle for "
+    "the screen; verify is |esc|*n forward + |esc|*(n/50) "
+    "anchor-backward + |shortlist|*(n/50) folds, all broadcast-bounded. "
+    "den determinism: fixed-order clamped top-4 sums / 8 (dyadic), raw "
+    "IEEE divisions — bit-identical cross-engine (see "
+    "q_llm_mine_margin_ratio_baseline)",
     tags=("llm", "similarity", "search", "approx"),
 )
 def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2742,12 +2767,20 @@ def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("anchor_sim") / (F.col("vden_x") + F.col("aden_y"))).alias("l_ratio"),
         )
     )
+    # Lossless shortlist (valid because dens are nonneg-clamped): the true
+    # winner has vratio >= l_ratio > 0 and D > 0, hence sim > 0; and for
+    # sim > 0 the clamped backward den is >= sim/8 (the probe sits in the
+    # candidate's backward set), so sim/(vden_x + sim/8) upper-bounds the
+    # true vratio with a strictly positive denominator on both engines.
     short = (
         vfwd.join(vdx, "probe_id")
         .join(lbound, "probe_id")
         .where(
-            F.col("sim") / (F.col("vden_x") + F.col("sim") / F.lit(8.0))
-            >= F.col("l_ratio")
+            (F.col("sim") > F.lit(0.0))
+            & (
+                F.col("sim") / (F.col("vden_x") + F.col("sim") / F.lit(8.0))
+                >= F.col("l_ratio")
+            )
         )
         .select("probe_id", "cand_id", "sim", "vden_x")
     )

@@ -70,11 +70,13 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (0: none),
+#: Ordering: never-proven/replanned first (2: q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r6x39, r7x47, r8x50, r9x49, r10x50.
-#: Head-50 composition: r6x39, r7x11. Derived from CORRECTNESS_r{4..10}.json.
+#: round. Latest-green histogram: r6x39, r7x47, r8x50, r9x49, r10x48.
+#: Head-50 composition: newx2, r6x39, r7x9. Derived from CORRECTNESS_r{4..10}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_llm_mine_margin_ratio_baseline",
+    "q_llm_mine_margin_ratio_ivf",
     "q_join_right",
     "q_join_semi",
     "q_llm_bpe_pairs",
@@ -288,8 +290,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_embed_outliers",
     "q_llm_imi_recall",
     "q_llm_mine_margin_ivf",
-    "q_llm_mine_margin_ratio_baseline",
-    "q_llm_mine_margin_ratio_ivf",
     "q_llm_mine_margin_recall",
     "q_llm_mix_temperature",
     "q_llm_sample_weighted",

@@ -57,6 +57,8 @@ def main() -> None:
     n0 = base.count()
     results = {}
 
+    flat_fwd_holder = [None]  # exposes the flat sim table for geometry stats
+
     def flat_plan(big):
         probes = big.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
@@ -74,6 +76,7 @@ def main() -> None:
             .persist(StorageLevel.DISK_ONLY)
         )
         fwd.count()
+        flat_fwd_holder[0] = fwd
         fden = _top4_den(fwd, "probe_id", "cand_id", "den_x")
         bden = _top4_den(fwd, "cand_id", "probe_id", "den_y")
         sc = (
@@ -212,8 +215,11 @@ def main() -> None:
             vfwd.join(vdx, "probe_id")
             .join(lbound, "probe_id")
             .where(
-                F.col("sim") / (F.col("vden_x") + F.col("sim") / F.lit(8.0))
-                >= F.col("l_ratio")
+                (F.col("sim") > F.lit(0.0))
+                & (
+                    F.col("sim") / (F.col("vden_x") + F.col("sim") / F.lit(8.0))
+                    >= F.col("l_ratio")
+                )
             )
             .select("probe_id", "cand_id", "sim", "vden_x")
             .localCheckpoint(eager=True)
@@ -281,6 +287,21 @@ def main() -> None:
         t0 = time.perf_counter()
         flat = flat_plan(big).localCheckpoint(eager=True)
         flat_sec = round(time.perf_counter() - t0, 1)
+        # Negative-sim-geometry check (ADVICE r10): count negative slots
+        # in the flat top-4 backward sets — the regime where the UNCLAMPED
+        # dens' screening bounds were invalid. Nonzero here means this
+        # tier actually exercises the clamp, so its precision/recall rows
+        # certify the bound fix, not just benign geometry.
+        bw = Window.partitionBy("cand_id").orderBy(
+            F.col("sim").desc(), F.col("probe_id")
+        )
+        neg_top4 = (
+            flat_fwd_holder[0]
+            .withColumn("rn", F.row_number().over(bw))
+            .where((F.col("rn") <= 4) & (F.col("sim") < 0))
+            .count()
+        )
+        print(f"  neg top-4 backward slots: {neg_top4}", file=sys.stderr)
         truth = {r["probe_id"]: r for r in flat.collect()}
         true_acc = {p: r["best_id"] for p, r in truth.items() if r["accepted"]}
         print(
@@ -298,6 +319,7 @@ def main() -> None:
         tp = sum(1 for p, b in got_acc.items() if true_acc.get(p) == b)
         results[f"{copies}x"] = {
             "n": n,
+            "neg_top4_slots": neg_top4,
             "dial_q_p": dial,
             "flat_sec": flat_sec,
             "ivf_sec": ivf_sec,
