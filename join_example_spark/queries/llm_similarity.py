@@ -2310,8 +2310,8 @@ WITH fwd AS (
     SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
            ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
     FROM embeddings p
-    JOIN embeddings c ON c.vec_id % 50 <> 0
-    WHERE p.vec_id % 50 = 0
+    JOIN embeddings c ON c.vec_id % 100 <> 0
+    WHERE p.vec_id % 100 = 0
 ), fr AS (
     SELECT probe_id, sim,
            ROW_NUMBER() OVER (
@@ -2386,13 +2386,13 @@ def q_llm_mine_margin_ratio_baseline(
     from join_example_spark.operators.similarity import DOT_SQL
 
     emb = read_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 50 == 0).select(
+    probes = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
     )
-    corpus = emb.where(F.col("vec_id") % 50 != 0).select(
+    corpus = emb.where(F.col("vec_id") % 100 != 0).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
     )
-    # One quadratic/50 sim table feeds THREE consumers (forward dens,
+    # One quadratic/100 sim table feeds THREE consumers (forward dens,
     # backward dens, the scored join) — checkpoint it once, eagerly
     # (executor-side; the round-5 branch-split lesson).
     fwd = (
@@ -2477,10 +2477,7 @@ _DUCK_TOP4_DEN = """(GREATEST(MAX(CASE WHEN {rn} = 1 THEN {sim} END), 0.0)
             + GREATEST(COALESCE(MAX(CASE WHEN {rn} = 4 THEN {sim} END), 0.0), 0.0)) / 8.0"""
 
 
-@register(
-    "q_llm_mine_margin_ratio_ivf",
-    oracle=f"""
-WITH cents AS (
+_RATIO_IVF_CTES = f"""cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
     FROM embeddings ORDER BY vec_id
     LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)
@@ -2493,10 +2490,10 @@ WITH cents AS (
     FROM embeddings e CROSS JOIN cents c
 ), corpus AS (
     SELECT vec_id AS cand_id, embedding AS cv, cent_id AS cell
-    FROM assign WHERE arn <= 4 AND vec_id % 50 <> 0
+    FROM assign WHERE arn <= 4 AND vec_id % 100 <> 0
 ), probes AS (
     SELECT vec_id AS probe_id, embedding AS pv, cent_id AS cell
-    FROM assign WHERE arn <= 5 AND vec_id % 50 = 0
+    FROM assign WHERE arn <= 5 AND vec_id % 100 = 0
 ), scored AS (
     SELECT p.probe_id, c.cand_id,
            MAX(ROUND({_DUCK_DOT.format(a="p.pv", b="c.cv")}, 4)) AS sim
@@ -2542,7 +2539,7 @@ WITH cents AS (
            ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
     FROM embeddings p
     JOIN esc a ON a.probe_id = p.vec_id
-    JOIN embeddings c ON c.vec_id % 50 <> 0
+    JOIN embeddings c ON c.vec_id % 100 <> 0
 ), vxr AS (
     SELECT probe_id, cand_id, sim,
            ROW_NUMBER() OVER (
@@ -2560,7 +2557,7 @@ WITH cents AS (
            ROUND({_DUCK_DOT.format(a="y.embedding", b="x.embedding")}, 4) AS sim
     FROM embeddings y
     JOIN (SELECT DISTINCT anchor_id FROM vanch) an ON an.anchor_id = y.vec_id
-    JOIN embeddings x ON x.vec_id % 50 = 0
+    JOIN embeddings x ON x.vec_id % 100 = 0
 ), abr AS (
     SELECT cand_id, sim,
            ROW_NUMBER() OVER (
@@ -2587,7 +2584,7 @@ WITH cents AS (
            ROUND({_DUCK_DOT.format(a="y.embedding", b="x.embedding")}, 4) AS sim
     FROM embeddings y
     JOIN (SELECT DISTINCT cand_id FROM short) sh ON sh.cand_id = y.vec_id
-    JOIN embeddings x ON x.vec_id % 50 = 0
+    JOIN embeddings x ON x.vec_id % 100 = 0
 ), sbr AS (
     SELECT cand_id, sim,
            ROW_NUMBER() OVER (
@@ -2610,52 +2607,13 @@ WITH cents AS (
         JOIN vdx x ON x.probe_id = s.probe_id
         JOIN sden d ON d.cand_id = s.cand_id
     ) WHERE rn = 1
-)
-SELECT e.probe_id,
-       CAST(COALESCE(v.vbest_id, e.best_id) AS BIGINT) AS best_id,
-       COALESCE(v.vbest_sim, e.best_sim) AS best_sim,
-       COALESCE(v.vratio, e.ratio) AS ratio,
-       COALESCE(v.vratio, e.ratio) >= 1.05
-           AND COALESCE(v.vbest_sim, e.best_sim) >= 0.3 AS accepted
-FROM est e LEFT JOIN vbest v ON v.probe_id = e.probe_id
-""",
-    note="the RATIO-margin family's SCALE DEFAULT (round 10; bounds made "
-    "unconditional in round 11 per ADVICE r10): the symmetrized IVF "
-    "screen (corpus multi-assign 4, probe dial margin_screen_dials(n) — "
-    "fixture (4, 5), pinned by the arn<=4/arn<=5 oracle) scores "
-    "cell-join pairs and estimates BOTH ratio denominators from the "
-    "same screened pair set. Dens are NONNEG-CLAMPED (_top4_den), which "
-    "makes the one-sidedness a THEOREM: each screened den is a subset "
-    "top-4 of clamped slots, so screened den <= true den slot-by-slot "
-    "(missing slot = 0 <= clamped true slot) and both dens of a scored "
-    "pair are >= sim/8 > 0 when sim >= 0.3 (the pair itself sits in "
-    "both top-4 sets), hence the screened ratio OVER-estimates the true "
-    "ratio for every gate-relevant scored pair — no eps, no geometry "
-    "precondition: a true accept is missed ONLY when its probe has no "
-    "gate-passing scored pair at all. VERIFY is exact with a LOSSLESS "
-    "shortlist: exact forward sims give den_x and the top-by-sim "
-    "anchor; the anchor's exact backward den gives the per-probe score "
-    "floor l_ratio (> 0: anchor_sim >= 0.3 and dens > 0); the true "
-    "winner has vratio >= l_ratio > 0 hence sim > 0, and for sim > 0 "
-    "the clamped backward den is >= sim/8 (the probe sits in the "
-    "candidate's backward set), so true_ratio <= sim/(den_x + sim/8) "
-    "with a strictly positive denominator — candidates failing sim > 0 "
-    "or falling below l_ratio under that bound provably cannot win, so "
-    "exact backward dens are computed only for the surviving shortlist. "
-    "Accepted rows therefore carry the exact flat-truth best/ratio "
-    "(precision 1.0 by construction, same contract as "
-    "q_llm_mine_margin_ivf; pinned in tests/test_round10_ops.py; "
-    "negative-sim geometry exercised by the sf0.001/sf0.01 fixtures "
-    "themselves — 126/103 negative top-4 backward slots measured). At "
-    "100 TB: one cell-key shuffle + one narrow pair-dedup shuffle for "
-    "the screen; verify is |esc|*n forward + |esc|*(n/50) "
-    "anchor-backward + |shortlist|*(n/50) folds, all broadcast-bounded. "
-    "den determinism: fixed-order clamped top-4 sums / 8 (dyadic), raw "
-    "IEEE divisions — bit-identical cross-engine (see "
-    "q_llm_mine_margin_ratio_baseline)",
-    tags=("llm", "similarity", "search", "approx"),
-)
-def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+)"""
+
+
+def _ratio_ivf_plan(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """The q_llm_mine_margin_ratio_ivf plan, also returning the escalated
+    probe set so q_llm_mine_margin_ratio_recall audits the EXACT shipped
+    plan (the same can-never-drift idiom as q_llm_mine_margin_recall)."""
     import math
 
     from pyspark.sql import Window
@@ -2674,12 +2632,12 @@ def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_assign, nprobe = margin_screen_dials(n)
     corpus = (
         ivf_cells(emb, n_centroids, nprobe=q_assign)
-        .where(F.col("vec_id") % 50 != 0)
+        .where(F.col("vec_id") % 100 != 0)
         .select(F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("cv"))
     )
     probes = (
         ivf_cells(emb, n_centroids, nprobe=nprobe)
-        .where(F.col("vec_id") % 50 == 0)
+        .where(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("probe_id"), "cell", F.col("embedding").alias("pv"))
     )
     # The screened pair set feeds FOUR consumers (den_x, den_y, the score
@@ -2725,7 +2683,7 @@ def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc_p = emb.join(F.broadcast(esc), emb.vec_id == F.col("probe_id")).select(
         "probe_id", F.col("embedding").alias("pv")
     )
-    corpus_full = emb.where(F.col("vec_id") % 50 != 0).select(
+    corpus_full = emb.where(F.col("vec_id") % 100 != 0).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
     )
     vfwd = (
@@ -2744,7 +2702,7 @@ def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("probe_id", F.col("cand_id").alias("anchor_id"), F.col("sim").alias("anchor_sim"))
     )
-    probes_all = emb.where(F.col("vec_id") % 50 == 0).select(
+    probes_all = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("p2_id"), F.col("embedding").alias("p2v")
     )
     anchor_emb = emb.join(
@@ -2809,12 +2767,217 @@ def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = est.join(vbest, "probe_id", "left")
     best_sim_f = F.coalesce(F.col("vbest_sim"), F.col("best_sim"))
     ratio_f = F.coalesce(F.col("vratio"), F.col("ratio"))
-    return j.select(
+    out = j.select(
         "probe_id",
         F.coalesce(F.col("vbest_id"), F.col("best_id")).cast("bigint").alias("best_id"),
         best_sim_f.alias("best_sim"),
         ratio_f.alias("ratio"),
         ((ratio_f >= F.lit(1.05)) & (best_sim_f >= F.lit(0.3))).alias("accepted"),
+    )
+    return out, esc
+
+
+@register(
+    "q_llm_mine_margin_ratio_ivf",
+    oracle=f"""
+WITH {_RATIO_IVF_CTES}
+SELECT e.probe_id,
+       CAST(COALESCE(v.vbest_id, e.best_id) AS BIGINT) AS best_id,
+       COALESCE(v.vbest_sim, e.best_sim) AS best_sim,
+       COALESCE(v.vratio, e.ratio) AS ratio,
+       COALESCE(v.vratio, e.ratio) >= 1.05
+           AND COALESCE(v.vbest_sim, e.best_sim) >= 0.3 AS accepted
+FROM est e LEFT JOIN vbest v ON v.probe_id = e.probe_id
+""",
+    note="the RATIO-margin family's SCALE DEFAULT (round 10; bounds made "
+    "unconditional in round 11 per ADVICE r10): the symmetrized IVF "
+    "screen (corpus multi-assign 4, probe dial margin_screen_dials(n) — "
+    "fixture (4, 5), pinned by the arn<=4/arn<=5 oracle) scores "
+    "cell-join pairs and estimates BOTH ratio denominators from the "
+    "same screened pair set. Dens are NONNEG-CLAMPED (_top4_den), which "
+    "makes the one-sidedness a THEOREM: each screened den is a subset "
+    "top-4 of clamped slots, so screened den <= true den slot-by-slot "
+    "(missing slot = 0 <= clamped true slot) and both dens of a scored "
+    "pair are >= sim/8 > 0 when sim >= 0.3 (the pair itself sits in "
+    "both top-4 sets), hence the screened ratio OVER-estimates the true "
+    "ratio for every gate-relevant scored pair — no eps, no geometry "
+    "precondition: a true accept is missed ONLY when its probe has no "
+    "gate-passing scored pair at all. VERIFY is exact with a LOSSLESS "
+    "shortlist: exact forward sims give den_x and the top-by-sim "
+    "anchor; the anchor's exact backward den gives the per-probe score "
+    "floor l_ratio (> 0: anchor_sim >= 0.3 and dens > 0); the true "
+    "winner has vratio >= l_ratio > 0 hence sim > 0, and for sim > 0 "
+    "the clamped backward den is >= sim/8 (the probe sits in the "
+    "candidate's backward set), so true_ratio <= sim/(den_x + sim/8) "
+    "with a strictly positive denominator — candidates failing sim > 0 "
+    "or falling below l_ratio under that bound provably cannot win, so "
+    "exact backward dens are computed only for the surviving shortlist. "
+    "Accepted rows therefore carry the exact flat-truth best/ratio "
+    "(precision 1.0 by construction, same contract as "
+    "q_llm_mine_margin_ivf; pinned in tests/test_round10_ops.py; "
+    "negative-sim geometry exercised by the sf0.001/sf0.01 fixtures "
+    "themselves — 126/103 negative top-4 backward slots measured). At "
+    "100 TB: one cell-key shuffle + one narrow pair-dedup shuffle for "
+    "the screen; verify is |esc|*n forward + |esc|*(n/100) "
+    "anchor-backward + |shortlist|*(n/100) folds, all broadcast-bounded. "
+    "den determinism: fixed-order clamped top-4 sums / 8 (dyadic), raw "
+    "IEEE divisions — bit-identical cross-engine (see "
+    "q_llm_mine_margin_ratio_baseline)",
+    tags=("llm", "similarity", "search", "approx"),
+)
+def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _esc = _ratio_ivf_plan(spark, sf_dir)
+    return out
+
+
+@register(
+    "q_llm_mine_margin_ratio_recall",
+    oracle=f"""
+WITH {_RATIO_IVF_CTES},
+ivf_acc AS (
+    SELECT e.probe_id,
+           CAST(COALESCE(v.vbest_id, e.best_id) AS BIGINT) AS v_best
+    FROM est e LEFT JOIN vbest v ON v.probe_id = e.probe_id
+    WHERE COALESCE(v.vratio, e.ratio) >= 1.05
+      AND COALESCE(v.vbest_sim, e.best_sim) >= 0.3
+), ffwd AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4) AS sim
+    FROM embeddings p
+    JOIN embeddings c ON c.vec_id % 100 <> 0
+    WHERE p.vec_id % 100 = 0
+), ffr AS (
+    SELECT probe_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+    FROM ffwd
+), ffden AS (
+    SELECT probe_id,
+           {_DUCK_TOP4_DEN.format(rn="rn", sim="sim")} AS den_x
+    FROM ffr WHERE rn <= 4 GROUP BY probe_id
+), fbr AS (
+    SELECT cand_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY cand_id ORDER BY sim DESC, probe_id) AS rn
+    FROM ffwd
+), fbden AS (
+    SELECT cand_id,
+           {_DUCK_TOP4_DEN.format(rn="rn", sim="sim")} AS den_y
+    FROM fbr WHERE rn <= 4 GROUP BY cand_id
+), fsc AS (
+    SELECT f.probe_id, f.cand_id, f.sim,
+           f.sim / (d.den_x + b.den_y) AS ratio
+    FROM ffwd f
+    JOIN ffden d ON d.probe_id = f.probe_id
+    JOIN fbden b ON b.cand_id = f.cand_id
+), frk AS (
+    SELECT probe_id, cand_id, sim, ratio,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY ratio DESC, cand_id) AS rn
+    FROM fsc
+), flat_acc AS (
+    SELECT probe_id, CAST(cand_id AS BIGINT) AS t_best
+    FROM frk WHERE rn = 1 AND ratio >= 1.05 AND sim >= 0.3
+), jj AS (
+    SELECT i.probe_id, i.v_best, f.t_best
+    FROM ivf_acc i LEFT JOIN flat_acc f ON f.probe_id = i.probe_id
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ivf_accepts,
+           CAST(COALESCE(SUM(CASE WHEN v_best = t_best THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hits
+    FROM jj
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 100 = 0) AS n_probes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM esc) AS n_escalated,
+       ROUND(CAST((SELECT COUNT(*) FROM esc) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM embeddings
+                     WHERE vec_id % 100 = 0) AS DOUBLE), 6) AS escalated_frac,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM flat_acc) AS n_true_accepts,
+       n_ivf_accepts,
+       n_hits,
+       n_hits = n_ivf_accepts AS precision_exact,
+       ROUND(CAST(n_hits AS DOUBLE)
+             / NULLIF(CAST((SELECT COUNT(*) FROM flat_acc) AS DOUBLE), 0.0),
+             6) AS accept_recall
+FROM agg
+""",
+    note="the RATIO-margin family's ACCEPT-RECALL + ESCALATED-FRACTION "
+    "audit as a declared query (round 11, verdict task 4 — mirrors "
+    "q_llm_mine_margin_recall): runs the family scale default "
+    "(_ratio_ivf_plan — literally the same builder "
+    "q_llm_mine_margin_ratio_ivf ships, so the audit can never drift "
+    "from the plan it certifies) AND the exact flat ground truth "
+    "(q_llm_mine_margin_ratio_baseline) side by side. Emits the "
+    "statistics a 100 TB deployment gates on (SCALE.md §3.15): "
+    "escalated_frac (the fraction of probes whose screen escalates to "
+    "exact verify — the cost observable; ~1.0 on the isotropic "
+    "accept-all fixtures, the sparse-accept regime is where the screen "
+    "pays), n_true_accepts / n_ivf_accepts / n_hits, precision_exact "
+    "(the verify-the-positives 1.0-precision contract, asserted "
+    "literally by the oracle twin), accept_recall (NULL via NULLIF "
+    "when the fixture has no true accepts). Ground truth is quadratic "
+    "BY DEFINITION — production runs this audit on a bounded probe "
+    "sample exactly as tools/ratio_tier_probe.py does; the declared "
+    "form certifies the audit machinery cross-engine at fixture scale. "
+    "Count ratios are int64->double (correctly rounded both engines) "
+    "with ROUND(x, 6) far from half-ulp boundaries at fixture "
+    "cardinalities",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_mine_margin_ratio_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out, esc = _ratio_ivf_plan(spark, sf_dir)
+    flat_acc = (
+        q_llm_mine_margin_ratio_baseline(spark, sf_dir)
+        .where("accepted")
+        .select("probe_id", F.col("best_id").alias("t_best"))
+    )
+    ivf_acc = out.where("accepted").select(
+        "probe_id", F.col("best_id").alias("v_best")
+    )
+    j = ivf_acc.join(flat_acc, "probe_id", "left")
+    counts = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ivf_accepts"),
+        F.coalesce(
+            F.sum(F.when(F.col("v_best") == F.col("t_best"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    truth_n = flat_acc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_accepts")
+    )
+    esc_n = esc.agg(F.count(F.lit(1)).cast("bigint").alias("n_escalated"))
+    probes_n = (
+        read_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 100 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+    )
+    return (
+        probes_n.crossJoin(esc_n)
+        .crossJoin(truth_n)
+        .crossJoin(counts)
+        .select(
+            "n_probes",
+            "n_escalated",
+            F.round(
+                F.col("n_escalated").cast("double")
+                / F.col("n_probes").cast("double"),
+                6,
+            ).alias("escalated_frac"),
+            "n_true_accepts",
+            "n_ivf_accepts",
+            "n_hits",
+            (F.col("n_hits") == F.col("n_ivf_accepts")).alias("precision_exact"),
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_true_accepts").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("accept_recall"),
+        )
     )
 
 

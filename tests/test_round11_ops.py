@@ -1,0 +1,108 @@
+"""Round-11 pins: the nonneg-clamped ratio-margin dens (ADVICE r10), the
+1-in-100 ratio-family probe split, and the declared ratio accept-recall /
+escalated-fraction audit (verdict task 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from join_example_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+class TestClampedRatioDens:
+    def test_den_slots_clamped_nonnegative(self, spark):
+        # The screening bounds (verify shortlist + screen one-sidedness)
+        # are theorems ONLY with nonneg den slots. Feed _top4_den a group
+        # whose top-4 holds negatives and pin the clamp: unclamped the den
+        # would be (0.5 - 0.2 - 0.3 - 0.4)/8 = -0.05; clamped it is
+        # 0.5/8 = 0.0625.
+        from join_example_spark.queries.llm_similarity import _top4_den
+
+        rows = [
+            (1, 10, 0.5),
+            (1, 11, -0.2),
+            (1, 12, -0.3),
+            (1, 13, -0.4),
+            (1, 14, -0.9),
+            (2, 10, -0.1),  # single all-negative slot -> den 0.0
+        ]
+        df = spark.createDataFrame(rows, "g int, t int, sim double")
+        out = {
+            r["g"]: r["den"]
+            for r in _top4_den(df, "g", "t", "den").collect()
+        }
+        assert out[1] == 0.5 / 8.0
+        assert out[2] == 0.0
+
+    def test_fixtures_exercise_negative_top4_geometry(self, spark):
+        # The clamp must be load-bearing on the declared fixtures, not
+        # vacuous: with the 1-in-100 split (5 probes at the small SFs)
+        # the candidates' top-4 backward sets contain negative sims.
+        from pyspark.sql import Window
+
+        from join_example_spark.operators.similarity import DOT_SQL
+        from join_example_spark.sources.readers import read_table
+
+        emb = read_table(spark, SF, "embeddings")
+        probes = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        )
+        cands = emb.where(F.col("vec_id") % 100 != 0).select(
+            F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+        )
+        bw = Window.partitionBy("cand_id").orderBy(
+            F.col("sim").desc(), F.col("probe_id")
+        )
+        neg = (
+            cands.crossJoin(F.broadcast(probes))
+            .select(
+                "cand_id",
+                "probe_id",
+                F.round(F.expr(DOT_SQL.format(a="pv", b="cv")), 4).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(bw))
+            .where((F.col("rn") <= 4) & (F.col("sim") < 0))
+            .count()
+        )
+        assert neg > 0
+
+
+class TestRatioRecallAudit:
+    def test_declared_and_oracled(self):
+        reg = load_all()
+        assert "q_llm_mine_margin_ratio_recall" in reg
+        assert reg["q_llm_mine_margin_ratio_recall"].oracle is not None
+
+    def test_fixture_values(self, spark):
+        # Accept-all regime at fixture SFs: every probe escalates
+        # (escalated_frac 1.0 — the cost observable a 100 TB deployment
+        # gates on, degenerate here by construction, see SCALE §3.15) and
+        # the verified accepts hit flat truth exactly (precision AND
+        # recall 1.0 — the lossless-shortlist certificate).
+        reg = load_all()
+        for sf in (SF, SF01):
+            rows = reg["q_llm_mine_margin_ratio_recall"].fn(spark, sf).collect()
+            assert len(rows) == 1
+            r = rows[0]
+            assert r["n_probes"] == 5, (sf, r)
+            assert r["n_escalated"] == 5, (sf, r)
+            assert r["escalated_frac"] == 1.0, (sf, r)
+            assert r["precision_exact"] is True, (sf, r)
+            assert r["accept_recall"] == 1.0, (sf, r)
+            assert r["n_hits"] == r["n_ivf_accepts"] == r["n_true_accepts"]
+
+    def test_audit_uses_shipped_plan_builder(self):
+        # The audit must call the exact builder the declared ivf query
+        # ships (the can-never-drift idiom): pin the shared symbol.
+        import inspect
+
+        from join_example_spark.queries import llm_similarity as m
+
+        src = inspect.getsource(m.q_llm_mine_margin_ratio_recall)
+        assert "_ratio_ivf_plan(spark, sf_dir)" in src
+        src_ivf = inspect.getsource(m.q_llm_mine_margin_ratio_ivf)
+        assert "_ratio_ivf_plan(spark, sf_dir)" in src_ivf

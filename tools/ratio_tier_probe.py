@@ -60,10 +60,10 @@ def main() -> None:
     flat_fwd_holder = [None]  # exposes the flat sim table for geometry stats
 
     def flat_plan(big):
-        probes = big.where(F.col("vec_id") % 50 == 0).select(
+        probes = big.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
         )
-        corpus = big.where(F.col("vec_id") % 50 != 0).select(
+        corpus = big.where(F.col("vec_id") % 100 != 0).select(
             F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
         )
         fwd = (
@@ -105,14 +105,14 @@ def main() -> None:
         q_assign, nprobe = margin_screen_dials(n)
         corpus = (
             ivf_cells(big, n_cent, nprobe=q_assign)
-            .where(F.col("vec_id") % 50 != 0)
+            .where(F.col("vec_id") % 100 != 0)
             .select(
                 F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("cv")
             )
         )
         probes = (
             ivf_cells(big, n_cent, nprobe=nprobe)
-            .where(F.col("vec_id") % 50 == 0)
+            .where(F.col("vec_id") % 100 == 0)
             .select(
                 F.col("vec_id").alias("probe_id"), "cell", F.col("embedding").alias("pv")
             )
@@ -160,7 +160,7 @@ def main() -> None:
         acc_p = big.join(F.broadcast(esc), big.vec_id == F.col("probe_id")).select(
             "probe_id", F.col("embedding").alias("pv")
         )
-        corpus_full = big.where(F.col("vec_id") % 50 != 0).select(
+        corpus_full = big.where(F.col("vec_id") % 100 != 0).select(
             F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
         )
         vfwd = (
@@ -186,7 +186,7 @@ def main() -> None:
                 F.col("sim").alias("anchor_sim"),
             )
         )
-        probes_all = big.where(F.col("vec_id") % 50 == 0).select(
+        probes_all = big.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("p2_id"), F.col("embedding").alias("p2v")
         )
         anchor_emb = big.join(
