@@ -71,6 +71,51 @@ class TestClampedRatioDens:
         assert neg > 0
 
 
+class TestImi095Notch:
+    def test_measured_landings(self):
+        # The sweep-measured 0.95-crossings (SCALE.md §3.11d): T=37 at 16k
+        # (recall 0.9719; T=36 → 0.9443 below band) and T=66 at 128k
+        # (0.9574; T=64 → 0.9278 below). p = max(4, ceil(sqrt(T))).
+        from join_example_spark.operators.similarity import adaptive_imi_dials
+
+        assert adaptive_imi_dials(16000, target_recall=0.95) == (7, 37)
+        assert adaptive_imi_dials(128000, target_recall=0.95) == (9, 66)
+
+    def test_fixture_dials_and_default_unchanged(self):
+        # Declared queries use the DEFAULT dials — (4, 8) at fixture n —
+        # so no plan or oracle moves; the 0.95 notch at fixture n is
+        # (4, 10) (the default constant fraction under-shoots 0.95, see
+        # the honest-non-dominance note at IMI_CALIB_FRAC_95).
+        from join_example_spark.operators.similarity import adaptive_imi_dials
+
+        assert adaptive_imi_dials(2000) == (4, 8)
+        assert adaptive_imi_dials(500) == (4, 8)
+        assert adaptive_imi_dials(2000, target_recall=0.95) == (4, 10)
+
+    def test_notch_dominance_85_90_95(self):
+        # T85 = T90 <= T95 for all n (the 0.85/0.90 targets share one
+        # measured line; the 0.95 fraction ratio >= 1.156·(n/16k)^0.061
+        # >= 1). NOTE: unlike flat IVF there is no "<= default" clause —
+        # the IMI default is constant-fraction, not recall-1.0, and the
+        # 0.95 schedule legitimately exceeds it below n ≈ 23.7k.
+        from join_example_spark.operators.similarity import adaptive_imi_dials
+
+        for n in list(range(100, 20000, 777)) + list(
+            range(20000, 8_000_001, 99_991)
+        ) + [2_300_000, 4_000_000, 8_000_000]:
+            p85, t85 = adaptive_imi_dials(n, target_recall=0.85)
+            p90, t90 = adaptive_imi_dials(n, target_recall=0.90)
+            p95, t95 = adaptive_imi_dials(n, target_recall=0.95)
+            assert t85 == t90 <= t95, (n, t85, t90, t95)
+            assert p85 == p90 <= p95, (n, p85, p90, p95)
+
+    def test_uncalibrated_targets_still_raise(self):
+        from join_example_spark.operators.similarity import adaptive_imi_dials
+
+        with pytest.raises(ValueError):
+            adaptive_imi_dials(128000, target_recall=0.99)
+
+
 class TestRatioRecallAudit:
     def test_declared_and_oracled(self):
         reg = load_all()

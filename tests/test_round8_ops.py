@@ -66,8 +66,10 @@ class TestCalibratedRecallDial:
             assert adaptive_imi_dials(n, target_recall=0.85) == adaptive_imi_dials(n)
         assert adaptive_imi_dials(128000) == (12, 124)
         assert adaptive_imi_dials(128000, target_recall=0.85) == (8, 50)
+        # 0.95 was calibrated in round 11 (test_round11_ops pins it);
+        # still-uncalibrated targets raise.
         with pytest.raises(ValueError, match="calibrated"):
-            adaptive_imi_dials(128000, target_recall=0.95)
+            adaptive_imi_dials(128000, target_recall=0.99)
 
 
 class TestRedeclaredTrio:

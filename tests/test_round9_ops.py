@@ -140,11 +140,11 @@ class TestCalibrated090Dial:
         )
 
         # 0.95 became a calibrated FLAT-IVF notch in round 10 (see
-        # tests/test_round10_ops.py); it stays uncalibrated for IMI.
+        # tests/test_round10_ops.py) and an IMI notch in round 11 (see
+        # tests/test_round11_ops.py); other targets still raise.
         for bad in (0.8, 0.99):
             with pytest.raises(ValueError):
                 adaptive_nprobe(16000, target_recall=bad)
-        for bad in (0.8, 0.95, 0.99):
             with pytest.raises(ValueError):
                 adaptive_imi_dials(16000, target_recall=bad)
 
