@@ -765,11 +765,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_digits: int = 4,
     nprobe: int = 1,
+    corpus_assign: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize every vector to
     its nearest centroid cell, then search the probe's top-``nprobe`` cells
-    (candidates always live in their single home cell, so each
-    (probe, candidate) pair is generated at most once — no dedup needed).
+    (with the default ``corpus_assign=1``, candidates live in their single
+    home cell, so each (probe, candidate) pair is generated at most once —
+    no dedup needed).
 
     The coarse quantizer is deterministic — the ``n_centroids`` lowest-id
     vectors serve as centroids (no k-means randomness), assignment ties break
@@ -779,10 +781,27 @@ def ivf_topk(
     the classic IVF cost shape (n·C map work + nprobe/C of the candidate
     scan, never all-pairs). ``nprobe`` is the recall dial measured by
     ``q_llm_ann_recall`` / ``q_llm_ann_recall_nprobe``.
+
+    ``corpus_assign > 1`` (round 11, OPT-IN) symmetrizes the screen: the
+    corpus side is multi-assigned to its top-``corpus_assign`` cells — the
+    round-10 margin-screen geometry (SCALE.md §3.13) applied to plain
+    search, measured for top-k in §3.14: (q=4, p=20) beats (q=1, p=40) by
+    +4.6 pp top-1 recall at matched candidate volume on the 64× tier.
+    A pair can then surface through several shared cells, so pairs are
+    deduped (exact dots are equal across copies; the reported cell is the
+    MIN shared cell for determinism) — one extra narrow shuffle keyed by
+    (probe, cand). Index storage grows ×q; assignment compute does not
+    (same n·C scan). Default 1 leaves the declared queries' plans
+    byte-identical — their driver-green oracles pin the asymmetric
+    operating points, and §3.14's +5 pp does not justify re-proving the
+    search family; the q>1 path is pinned by a brute-force-complete unit
+    test instead (tests/test_round11_ops.py).
     """
     if probe_pred is None:
         probe_pred = f"{id_col} % 100 = 0"
-    cands = ivf_cells(emb, n_centroids, id_col, vec_col, round_digits).select(
+    cands = ivf_cells(
+        emb, n_centroids, id_col, vec_col, round_digits, nprobe=corpus_assign
+    ).select(
         F.col(id_col).alias("cand_id"), F.col("cell"), F.col(vec_col).alias("vec_c")
     )
     probes = (
@@ -796,6 +815,10 @@ def ivf_topk(
         .where(F.col("probe_id") != F.col("cand_id"))
         .withColumn("sim", F.round(dot, round_digits))
     )
+    if corpus_assign > 1:
+        pairs = pairs.groupBy("probe_id", "cand_id").agg(
+            F.min("cell").alias("cell"), F.max("sim").alias("sim")
+        )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))

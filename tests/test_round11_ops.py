@@ -116,6 +116,82 @@ class TestImi095Notch:
             adaptive_imi_dials(128000, target_recall=0.99)
 
 
+class TestSymmetrizedTopkOptIn:
+    def test_corpus_assign_full_probe_is_brute_force_complete(self, spark):
+        # With nprobe = n_centroids every probe sees every cell, so top-k
+        # must equal the exact brute-force answer EVEN under corpus
+        # multi-assign — this is what pins the q>1 dedup (without it, a
+        # pair surfacing through several shared cells would occupy
+        # several rn slots and push true neighbors out of the top-k).
+        from pyspark.sql import Window
+
+        from join_example_spark.operators.similarity import DOT_SQL, ivf_topk
+        from join_example_spark.sources.readers import read_table
+
+        emb = read_table(spark, SF, "embeddings")
+        c = 16
+        got = ivf_topk(
+            emb, n_centroids=c, k=3, nprobe=c, corpus_assign=4
+        ).collect()
+
+        probes = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("vec_p")
+        )
+        cands = emb.select(
+            F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vec_c")
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), F.col("cand_id")
+        )
+        truth = (
+            cands.crossJoin(F.broadcast(probes))
+            .where(F.col("probe_id") != F.col("cand_id"))
+            .select(
+                "probe_id",
+                "cand_id",
+                F.round(
+                    F.expr(DOT_SQL.format(a="vec_p", b="vec_c")), 4
+                ).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .collect()
+        )
+        got_set = {(r["probe_id"], r["rn"], r["cand_id"], r["sim"]) for r in got}
+        true_set = {
+            (r["probe_id"], r["rn"], r["cand_id"], r["sim"]) for r in truth
+        }
+        assert got_set == true_set
+
+    def test_corpus_assign_partial_probe_emits_no_duplicate_slots(self, spark):
+        # At a partial probe budget the q>1 screen is approximate, but
+        # each (probe, rn) slot must still be unique and every emitted
+        # sim must be the exact rounded dot of a real pair.
+        from join_example_spark.operators.similarity import ivf_topk
+        from join_example_spark.sources.readers import read_table
+
+        emb = read_table(spark, SF, "embeddings")
+        rows = ivf_topk(
+            emb, n_centroids=16, k=3, nprobe=2, corpus_assign=4
+        ).collect()
+        slots = [(r["probe_id"], r["rn"]) for r in rows]
+        assert len(slots) == len(set(slots))
+        pairs = [(r["probe_id"], r["cand_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+
+    def test_default_plan_unchanged(self, spark):
+        # corpus_assign=1 must produce the identical result set to the
+        # pre-dial operator (declared queries ride this path; their
+        # driver-green proofs stay valid without --reprove).
+        from join_example_spark.operators.similarity import ivf_topk
+        from join_example_spark.sources.readers import read_table
+
+        emb = read_table(spark, SF, "embeddings")
+        a = ivf_topk(emb, n_centroids=16, k=3, nprobe=2).collect()
+        b = ivf_topk(emb, n_centroids=16, k=3, nprobe=2, corpus_assign=1).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 class TestRatioRecallAudit:
     def test_declared_and_oracled(self):
         reg = load_all()
