@@ -34,12 +34,17 @@ def _log(msg: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle-partition dial (default = core count). Overridable for
+    # A/B-ing the per-stage scheduling floor at fixture SFs — results are
+    # partition-count-invariant (the determinism sweep pins that), only
+    # wall-clock moves.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 
     from join_example_spark.conf import build_local_session
     from join_example_spark.registry import load_all
 
     spark = build_local_session(
-        app_name="join_example_spark-bench", cores=cpus, shuffle_partitions=int(cpus)
+        app_name="join_example_spark-bench", cores=cpus, shuffle_partitions=shuffle
     )
     spark.sparkContext.setLogLevel("ERROR")
 
