@@ -116,6 +116,71 @@ class TestImi095Notch:
             adaptive_imi_dials(128000, target_recall=0.99)
 
 
+class TestRatioContractsOnPlantedNegativeGeometry:
+    def test_randomized_negative_geometries_keep_both_contracts(
+        self, spark, tmp_path
+    ):
+        # The ADVICE-r10 bug class: the family's screening bounds silently
+        # assumed nonnegative neighbor sims. This property test feeds the
+        # DECLARED plans (via a synthetic embeddings.parquet fixture dir)
+        # seeded raw-Gaussian sets — dots go negative aggressively at
+        # these sizes — and asserts the two contracts the round-11 clamp
+        # makes theorems: precision_exact always (accepted rows carry
+        # exact flat truth through the lossless sim>0 shortlist), and
+        # accept_recall == 1.0 whenever every probe escalated (the
+        # escalate-all regime makes the verify path's losslessness fully
+        # observable). Would have caught the unclamped-bound bug on any
+        # seed whose winner rides a negative backward top-4.
+        import math
+        import random
+
+        from join_example_spark.registry import load_all
+
+        reg = load_all()
+        for seed in (7, 23, 101):
+            rnd = random.Random(seed)
+            rows = []
+            # probes at ids 0,100,...,400 (the % 100 == 0 split), corpus
+            # ids scattered in between — 5 probes + 55 candidates.
+            ids = [p * 100 for p in range(5)] + [
+                i for i in range(1, 500) if i % 100 != 0
+            ][:55]
+            for vid in ids:
+                v = [rnd.gauss(0.0, 1.0) for _ in range(64)]
+                n = math.sqrt(sum(x * x for x in v))
+                rows.append(
+                    (vid, [float(x / n) for x in v], f"l{vid % 3}")
+                )
+            d = tmp_path / f"geo{seed}"
+            d.mkdir()
+            spark.createDataFrame(
+                rows, "vec_id bigint, embedding array<float>, label string"
+            ).write.parquet(str(d / "embeddings.parquet"))
+
+            audit = (
+                reg["q_llm_mine_margin_ratio_recall"].fn(spark, str(d)).collect()
+            )
+            assert len(audit) == 1
+            r = audit[0]
+            assert r["precision_exact"] is True, (seed, r)
+            if r["n_escalated"] == r["n_probes"]:
+                assert r["accept_recall"] == 1.0, (seed, r)
+            # Deterministic seeds -> pin the measured outcomes so a
+            # regression in EITHER direction (fabricated accepts, or a
+            # shortlist/escalation miss) fails loudly. Measured: seed 7
+            # accepts nothing (no-fabrication case, 92 negative top-4
+            # slots); seeds 23/101 accept 2 of 5 probes with recall 1.0
+            # through partial escalation (76/80 negative slots) — the
+            # one-sided screen escalated exactly the flat-accepting
+            # probes despite the negative geometry.
+            expected = {7: (0, None), 23: (2, 1.0), 101: (2, 1.0)}[seed]
+            assert (r["n_true_accepts"], r["accept_recall"]) == expected, (
+                seed,
+                r,
+            )
+            assert r["n_ivf_accepts"] == r["n_true_accepts"], (seed, r)
+
+
 class TestSymmetrizedTopkOptIn:
     def test_corpus_assign_full_probe_is_brute_force_complete(self, spark):
         # With nprobe = n_centroids every probe sees every cell, so top-k
