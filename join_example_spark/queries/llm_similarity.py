@@ -173,6 +173,71 @@ def q_llm_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_sim_ivf_sym",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_DUCK_DOT.format(a="e.embedding", b="c.cvec")}, 4) DESC,
+                        c.cent_id) AS arn
+    FROM embeddings e CROSS JOIN cents c
+), ccells AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 2
+), pcells AS (
+    SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE arn <= 2
+), pairs AS (
+    SELECT p.vec_id AS probe_id,
+           c.vec_id AS cand_id,
+           MIN(c.cell) AS cell,
+           MAX(ROUND({_DUCK_DOT.format(a="p.embedding", b="c.embedding")}, 4)) AS sim
+    FROM pcells p
+    JOIN ccells c
+      ON p.cell = c.cell
+     AND p.vec_id % 100 = 0
+     AND p.vec_id <> c.vec_id
+    GROUP BY p.vec_id, c.vec_id
+)
+SELECT probe_id, CAST(cell AS BIGINT) AS cell, cand_id, sim, rn
+FROM (
+    SELECT probe_id, cell, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+    FROM pairs
+)
+WHERE rn <= 3
+""",
+    note="SYMMETRIZED IVF top-3 (round 11): corpus multi-assign q=2 AND "
+    "probe dial p=2 — the SAME q*p=4 candidate volume as "
+    "q_llm_sim_ivf_probe's asymmetric (1, 4), redistributed per the "
+    "round-10 coverage argument (SCALE §3.14: at the 64x tier the "
+    "symmetric split wins +4.6pp top-1 recall at matched volume; q=2 "
+    "already beats probe-doubling). A pair can surface through both "
+    "shared cells, so pairs dedup via GROUP BY (probe, cand) with "
+    "MIN(cell) reported and MAX(sim) (exact-equal copies) — mirrored "
+    "literally in the oracle twin. This drives the round-11 "
+    "ivf_topk(..., corpus_assign=q) opt-in through the driver gate "
+    "(the default-1 path stays pinned by the asymmetric siblings). At "
+    "100 TB: index rows x2 (storage, not compute), one extra narrow "
+    "dedup shuffle keyed by (probe, cand)",
+    tags=("llm", "similarity", "approx"),
+)
+def q_llm_sim_ivf_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        n_centroids=16,
+        k=3,
+        probe_pred="vec_id % 100 = 0",
+        nprobe=2,
+        corpus_assign=2,
+    )
+
+
+@register(
     "q_llm_ann_recall_nprobe",
     oracle=f"""
 WITH cents AS (

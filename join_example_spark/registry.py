@@ -70,14 +70,15 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (3: q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_ratio_recall),
+#: Ordering: never-proven/replanned first (4: q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_ratio_recall, q_llm_sim_ivf_sym),
 #: then ascending latest-driver-green round, name-ordered within a
 #: round. Latest-green histogram: r6x39, r7x47, r8x50, r9x49, r10x48.
-#: Head-50 composition: newx3, r6x39, r7x8. Derived from CORRECTNESS_r{4..10}.json.
+#: Head-50 composition: newx4, r6x39, r7x7. Derived from CORRECTNESS_r{4..10}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_mine_margin_ratio_baseline",
     "q_llm_mine_margin_ratio_ivf",
     "q_llm_mine_margin_ratio_recall",
+    "q_llm_sim_ivf_sym",
     "q_join_right",
     "q_join_semi",
     "q_llm_bpe_pairs",
