@@ -408,16 +408,26 @@ GROUP BY 1, 2
     "literally (rsd=0.01, measured error <= 0.7% at every SF). The live "
     "twin stream_windowed_distinct runs the SAME HLL expression under a "
     "watermark and its equivalence test exploits HLL's commutativity: "
-    "streaming estimates EQUAL the batch estimates exactly",
+    "streaming estimates EQUAL the batch estimates exactly. Plan shape "
+    "(round 11): TWO-LEVEL aggregate -- dedup on (window, type, user) "
+    "with a per-user event count, then count/sum/HLL over the deduped "
+    "rows -- instead of countDistinct-beside-regular-aggs, whose "
+    "expand-based plan measured 3.9-4.7 s vs 1.2 s at sf0.1 for "
+    "bit-identical output (HLL registers depend only on the SET of "
+    "values, so the estimate is unchanged by pre-dedup). Also the "
+    "100 TB-correct shape: the expand plan doubles shuffle volume",
     tags=("streaming", "agg", "approx"),
 )
 def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
+    per_user = events.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type", "user_id"
+    ).agg(F.count(F.lit(1)).alias("_n"))
     return (
-        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        per_user.groupBy("w", "event_type")
         .agg(
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("_n").cast("bigint").alias("n_events"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_hll"),
         )
         .select(

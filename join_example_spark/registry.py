@@ -70,15 +70,16 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (4: q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_ratio_recall, q_llm_sim_ivf_sym),
+#: Ordering: never-proven/replanned first (5: q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_ratio_recall, q_llm_sim_ivf_sym, q_stream_distinct_users),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r6x39, r7x47, r8x50, r9x49, r10x48.
-#: Head-50 composition: newx4, r6x39, r7x7. Derived from CORRECTNESS_r{4..10}.json.
+#: round. Latest-green histogram: r6x39, r7x47, r8x50, r9x48, r10x48.
+#: Head-50 composition: newx5, r6x39, r7x6. Derived from CORRECTNESS_r{4..10}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_mine_margin_ratio_baseline",
     "q_llm_mine_margin_ratio_ivf",
     "q_llm_mine_margin_ratio_recall",
     "q_llm_sim_ivf_sym",
+    "q_stream_distinct_users",
     "q_join_right",
     "q_join_semi",
     "q_llm_bpe_pairs",
@@ -258,7 +259,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_set_intersect_all",
     "q_set_union_distinct",
     "q_sort_limit",
-    "q_stream_distinct_users",
     "q_win_ntile_percent",
     "q_win_rank",
     "q_win_running",
