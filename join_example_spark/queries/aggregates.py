@@ -128,16 +128,24 @@ GROUP BY event_type
     "fixture SF (5% tolerance is a >7-sigma margin), so a red driver row "
     "here means the HLL estimate genuinely broke, loudly. At 100 TB the "
     "exact anchor drops out and approx_count_distinct stands alone — "
-    "mergeable, one pass, bounded memory",
+    "mergeable, one pass, bounded memory. Plan shape (round 11): "
+    "TWO-LEVEL aggregate (dedup on (type, user) with per-user counts, "
+    "then count/sum/HLL over deduped rows) instead of "
+    "countDistinct-beside-regular-aggs — the expand-based plan measured "
+    "1.8-2.5 s vs 1.0 s at sf0.1 for bit-identical output (HLL depends "
+    "only on the value SET), and halves shuffle volume at scale",
     tags=("agg", "approx"),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
     return (
-        events.groupBy("event_type")
+        per_user.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("_n").cast("bigint").alias("n_events"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_hll"),
         )
         .select(

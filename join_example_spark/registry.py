@@ -70,11 +70,12 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (5: q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_ratio_recall, q_llm_sim_ivf_sym, q_stream_distinct_users),
+#: Ordering: never-proven/replanned first (6: q_agg_approx_distinct, q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_ratio_recall, q_llm_sim_ivf_sym, q_stream_distinct_users),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r6x39, r7x47, r8x50, r9x48, r10x48.
-#: Head-50 composition: newx5, r6x39, r7x6. Derived from CORRECTNESS_r{4..10}.json.
+#: round. Latest-green histogram: r6x39, r7x47, r8x49, r9x48, r10x48.
+#: Head-50 composition: newx6, r6x39, r7x5. Derived from CORRECTNESS_r{4..10}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_agg_approx_distinct",
     "q_llm_mine_margin_ratio_baseline",
     "q_llm_mine_margin_ratio_ivf",
     "q_llm_mine_margin_ratio_recall",
@@ -166,7 +167,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_win_share",
     "q_zorder_layout",
-    "q_agg_approx_distinct",
     "q_agg_approx_topk",
     "q_agg_bitwise",
     "q_cohort_retention",
