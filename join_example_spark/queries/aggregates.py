@@ -131,9 +131,12 @@ GROUP BY event_type
     "mergeable, one pass, bounded memory. Plan shape (round 11): "
     "TWO-LEVEL aggregate (dedup on (type, user) with per-user counts, "
     "then count/sum/HLL over deduped rows) instead of "
-    "countDistinct-beside-regular-aggs — the expand-based plan measured "
-    "1.8-2.5 s vs 1.0 s at sf0.1 for bit-identical output (HLL depends "
-    "only on the value SET), and halves shuffle volume at scale",
+    "countDistinct-beside-regular-aggs — the expand-based plan was "
+    "~2x slower at sf0.1 (family envelope 1.5-3.0 s vs 1.8-2.5 s; "
+    "medians, not cool draws) for bit-identical output (HLL depends "
+    "only on the value SET; outer count(user_id) drops the NULL-user "
+    "group exactly like COUNT(DISTINCT)), and halves shuffle volume "
+    "at scale",
     tags=("agg", "approx"),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +147,12 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_user.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            # count(user_id), not count(1): a NULL user_id forms its own
+            # per-user group, and COUNT(DISTINCT user_id) / HLL both ignore
+            # NULLs — count(col) drops that group so the equivalence is
+            # unconditional, not contingent on fixture non-nullability
+            # (ADVICE r11).
+            F.count(F.col("user_id")).cast("bigint").alias("n_users"),
             F.sum("_n").cast("bigint").alias("n_events"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_hll"),
         )

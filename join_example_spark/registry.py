@@ -70,61 +70,13 @@ def register(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (6: q_agg_approx_distinct, q_llm_mine_margin_ratio_baseline, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_ratio_recall, q_llm_sim_ivf_sym, q_stream_distinct_users),
+#: Ordering: never-proven/replanned first (2: q_agg_approx_distinct, q_stream_distinct_users),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r6x39, r7x47, r8x49, r9x48, r10x48.
-#: Head-50 composition: newx6, r6x39, r7x5. Derived from CORRECTNESS_r{4..10}.json.
+#: round. Latest-green histogram: r7x42, r8x49, r9x48, r10x48, r11x48.
+#: Head-50 composition: newx2, r7x42, r8x6. Derived from CORRECTNESS_r{4..11}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_approx_distinct",
-    "q_llm_mine_margin_ratio_baseline",
-    "q_llm_mine_margin_ratio_ivf",
-    "q_llm_mine_margin_ratio_recall",
-    "q_llm_sim_ivf_sym",
     "q_stream_distinct_users",
-    "q_join_right",
-    "q_join_semi",
-    "q_llm_bpe_pairs",
-    "q_llm_cluster_dbscan",
-    "q_llm_dedup_cluster",
-    "q_llm_dedup_cluster_star",
-    "q_llm_dedup_containment",
-    "q_llm_dedup_cosine_lossless",
-    "q_llm_dedup_editdist",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_minhash_exact",
-    "q_llm_dedup_near",
-    "q_llm_dedup_semantic_exact",
-    "q_llm_embed_near",
-    "q_llm_fingerprint",
-    "q_llm_kmeans_converged",
-    "q_llm_lang_filter",
-    "q_llm_langid",
-    "q_llm_mix_epochs",
-    "q_llm_pipeline",
-    "q_llm_quality",
-    "q_llm_quality_auc",
-    "q_llm_quality_calibration",
-    "q_llm_search_hybrid",
-    "q_llm_select_dsir",
-    "q_llm_shard_plan",
-    "q_llm_sim_ivf",
-    "q_llm_sim_topk",
-    "q_llm_text_stats",
-    "q_llm_tfidf",
-    "q_llm_tokens",
-    "q_llm_zipf",
-    "q_multimodal_decode",
-    "q_orders_basket",
-    "q_orders_rfm",
-    "q_supplier_pareto",
-    "q_ts_autocorr",
-    "q_ts_changepoint",
-    "q_ts_seasonal",
-    "q_agg_any_all",
-    "q_agg_distinct",
-    "q_agg_filter_clause",
-    "q_agg_global",
-    "q_agg_groupingsets",
     "q_agg_having",
     "q_agg_mode",
     "q_agg_rollup",
@@ -312,6 +264,54 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_trend",
     "q_ts_twap",
     "q_win_sliding_distinct_hll",
+    "q_agg_any_all",
+    "q_agg_distinct",
+    "q_agg_filter_clause",
+    "q_agg_global",
+    "q_agg_groupingsets",
+    "q_join_right",
+    "q_join_semi",
+    "q_llm_bpe_pairs",
+    "q_llm_cluster_dbscan",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_cluster_star",
+    "q_llm_dedup_containment",
+    "q_llm_dedup_cosine_lossless",
+    "q_llm_dedup_editdist",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_minhash_exact",
+    "q_llm_dedup_near",
+    "q_llm_dedup_semantic_exact",
+    "q_llm_embed_near",
+    "q_llm_fingerprint",
+    "q_llm_kmeans_converged",
+    "q_llm_lang_filter",
+    "q_llm_langid",
+    "q_llm_mine_margin_ratio_baseline",
+    "q_llm_mine_margin_ratio_ivf",
+    "q_llm_mine_margin_ratio_recall",
+    "q_llm_mix_epochs",
+    "q_llm_pipeline",
+    "q_llm_quality",
+    "q_llm_quality_auc",
+    "q_llm_quality_calibration",
+    "q_llm_search_hybrid",
+    "q_llm_select_dsir",
+    "q_llm_shard_plan",
+    "q_llm_sim_ivf",
+    "q_llm_sim_ivf_sym",
+    "q_llm_sim_topk",
+    "q_llm_text_stats",
+    "q_llm_tfidf",
+    "q_llm_tokens",
+    "q_llm_zipf",
+    "q_multimodal_decode",
+    "q_orders_basket",
+    "q_orders_rfm",
+    "q_supplier_pareto",
+    "q_ts_autocorr",
+    "q_ts_changepoint",
+    "q_ts_seasonal",
 )
 
 
