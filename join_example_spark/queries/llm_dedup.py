@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from join_example_spark.operators.dedup import length_bucket_pairs
 from join_example_spark.operators.sampling import id_hash_sql
-from join_example_spark.registry import register
+from join_example_spark.registry import register, register_library
 from join_example_spark.sources.readers import read_table
 
 
@@ -855,7 +855,7 @@ def q_llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "q_llm_dedup_semantic_exact",
     oracle=f"""
 WITH RECURSIVE
@@ -901,7 +901,11 @@ WHERE rn = 1
     "max-norm election tail. Kept as the recall yardstick the approximate "
     "paths are audited against; the 8x stress probe measures its edge gen "
     "at 64x pair growth (SCALE.md §3.2), which is exactly why it is NOT "
-    "the default — use q_llm_dedup_semantic (multi-probe IVF) instead",
+    "the default — use q_llm_dedup_semantic (multi-probe IVF) instead. "
+    "RETIRED from the declared suite round 12 (suite-budget composition; "
+    "~4 s envelope median bought no new coverage — it was driver-green "
+    "r4-r11 and its parity proof is preserved verbatim by the library "
+    "oracle mirror in tests/test_round12_ops.py)",
     tags=("llm", "dedup", "similarity", "graph", "baseline"),
 )
 def q_llm_dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,7 @@ from join_example_spark.operators.similarity import (
     ivf_topk,
     lsh_ann_pairs,
 )
-from join_example_spark.registry import register
+from join_example_spark.registry import register, register_library
 from join_example_spark.sources.readers import read_table
 
 # DuckDB-side dot product: identical sequential left-fold in DOUBLE.
@@ -1164,7 +1164,7 @@ def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "q_llm_sim_pq_rerank_baseline",
     oracle=f"""
 WITH {_PQ_CTES},
@@ -1220,7 +1220,11 @@ SELECT probe_id, cand_id, sim, rn FROM (
     "production default is q_llm_sim_ivfpq, whose IVF cell restriction "
     "makes a CONSTANT shortlist=32 sufficient (in-cell candidate sets "
     "are small and centroid-homogeneous). Unit test pins exact-top-1 "
-    "membership in the re-ranked top-3 at n=500 and n=2000",
+    "membership in the re-ranked top-3 at n=500 and n=2000. RETIRED "
+    "from the declared suite round 12 (suite-budget composition; "
+    "driver-green r4-r11, the ~3 s envelope median bought no new "
+    "coverage — parity proof preserved verbatim by the library oracle "
+    "mirror in tests/test_round12_ops.py)",
     tags=("llm", "similarity", "approx", "baseline"),
 )
 def q_llm_sim_pq_rerank_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:

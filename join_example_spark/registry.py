@@ -42,6 +42,15 @@ class QuerySpec:
 #: name -> spec, in registration order.
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: Library (non-declared) specs: operators kept with their oracle twins and
+#: unit-pinned parity proofs, but NOT exposed to the driver/bench surface.
+#: Round 12 introduced this tier to retire redundant quadratic ground-truth
+#: baselines from the declared suite (suite-budget composition, VERDICT r11
+#: task 2) without losing their oracle-certified losslessness evidence —
+#: tests/test_round12_ops.py mirrors each library spec exactly like the
+#: declared mirror does.
+LIBRARY: dict[str, QuerySpec] = {}
+
 
 def register(
     name: str,
@@ -60,6 +69,24 @@ def register(
     return deco
 
 
+def register_library(
+    name: str,
+    oracle: str | None = None,
+    note: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a library operator (oracle-pinned in tests, not
+    part of the declared driver/bench suite)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in LIBRARY or name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        LIBRARY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, note=note, tags=tags)
+        return fn
+
+    return deco
+
+
 #: Driver-facing verification order. Each round's driver check consumes
 #: exactly the first ~50 registry entries, so ordering is load-bearing:
 #: queries that still need a driver CORRECTNESS row on the CURRENT fixture
@@ -72,7 +99,7 @@ def register(
 #: hand-edit; the tool regenerates comment AND tuple together)
 #: Ordering: never-proven/replanned first (2: q_agg_approx_distinct, q_stream_distinct_users),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r7x42, r8x49, r9x48, r10x48, r11x48.
+#: round. Latest-green histogram: r7x42, r8x49, r9x48, r10x47, r11x47.
 #: Head-50 composition: newx2, r7x42, r8x6. Derived from CORRECTNESS_r{4..11}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_approx_distinct",
@@ -248,7 +275,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_mix_temperature",
     "q_llm_sample_weighted",
     "q_llm_sim_imipq",
-    "q_llm_sim_pq_rerank_baseline",
     "q_llm_split_leakage_safe",
     "q_project_rename",
     "q_resample_locf",
@@ -281,7 +307,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_exact",
     "q_llm_dedup_minhash_exact",
     "q_llm_dedup_near",
-    "q_llm_dedup_semantic_exact",
     "q_llm_embed_near",
     "q_llm_fingerprint",
     "q_llm_kmeans_converged",
@@ -343,3 +368,10 @@ def load_all() -> dict[str, QuerySpec]:
     rank = {name: i for i, name in enumerate(DRIVER_PRIORITY)}
     ordered = sorted(REGISTRY, key=lambda n: rank.get(n, -1))
     return {name: REGISTRY[name] for name in ordered}
+
+
+def load_library() -> dict[str, QuerySpec]:
+    """Import every query module and return the library (non-declared)
+    specs — oracle-pinned in tests, invisible to the driver/bench."""
+    load_all()
+    return dict(LIBRARY)

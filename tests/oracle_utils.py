@@ -143,10 +143,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
 
 
 def run_compare(spark, name: str, sf_dir: str) -> list[str]:
-    """Run declared query `name` on Spark and its oracle on DuckDB; compare."""
-    from join_example_spark.registry import load_all
+    """Run declared query `name` on Spark and its oracle on DuckDB; compare.
 
-    spec = load_all()[name]
+    Falls back to the library (non-declared) registry so retired baselines
+    keep their oracle-parity pins (round 12)."""
+    from join_example_spark.registry import load_all, load_library
+
+    spec = load_all().get(name) or load_library()[name]
     assert spec.oracle is not None, f"{name} is rows-only"
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     con = duckdb_connection(sf_dir)

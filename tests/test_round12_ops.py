@@ -1,0 +1,81 @@
+"""Round-12 pins.
+
+1. Library-tier oracle mirrors: the two quadratic ground-truth baselines
+   retired from the declared suite (suite-budget composition, VERDICT r11
+   task 2) keep their FULL DuckDB-oracle parity proof here — same
+   normalization as the driver, both fixture SFs — so retirement costs
+   zero evidence. Driver history: both were green r4–r11.
+2. Registry-tier invariants for the new library registry (disjointness,
+   oracle presence).
+3. NULL-user regression pins for the two-level count-distinct rewrites
+   (ADVICE r11): outer count(user_id) must match COUNT(DISTINCT user_id)
+   even when NULL user_ids exist.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_utils import run_compare
+
+RETIRED_BASELINES = [
+    "q_llm_dedup_semantic_exact",
+    "q_llm_sim_pq_rerank_baseline",
+]
+
+
+@pytest.mark.parametrize("name", RETIRED_BASELINES)
+def test_library_baseline_mirror_smoke(spark, name):
+    problems = run_compare(spark, name, SF_SMOKE)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", RETIRED_BASELINES)
+def test_library_baseline_mirror_sf001(spark, name):
+    problems = run_compare(spark, name, SF_ORACLE)
+    assert not problems, problems
+
+
+def test_library_registry_invariants():
+    from join_example_spark.registry import load_all, load_library
+
+    declared = load_all()
+    lib = load_library()
+    # the retirees live in exactly one tier
+    for name in RETIRED_BASELINES:
+        assert name in lib and name not in declared, name
+    # disjoint namespaces, every library spec keeps its oracle twin
+    assert not set(lib) & set(declared)
+    for spec in lib.values():
+        assert spec.oracle is not None, f"{spec.name} lost its oracle"
+
+
+def test_two_level_distinct_null_user(spark):
+    """ADVICE r11: the two-level HLL rewrite's outer count must be
+    count(user_id), not count(1) — a NULL user_id forms its own per-user
+    group and would otherwise inflate n_users vs the NULL-excluding
+    COUNT(DISTINCT user_id) / HLL twins. Pin with a crafted frame."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("click", 1), ("click", 1), ("click", 2), ("click", None), ("view", None)],
+        "event_type string, user_id int",
+    )
+    per_user = df.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.col("user_id")).cast("bigint").alias("n_users"),
+            F.sum("_n").cast("bigint").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("hll"),
+        )
+        .collect()
+    )
+    rows = {r["event_type"]: r for r in out}
+    # click: users {1,2} (NULL excluded), 4 events total (NULL included)
+    assert rows["click"]["n_users"] == 2 and rows["click"]["n_events"] == 4
+    assert rows["click"]["hll"] == 2  # HLL ignores NULLs too
+    # view: only a NULL user — 0 distinct users, 1 event
+    assert rows["view"]["n_users"] == 0 and rows["view"]["n_events"] == 1
+    assert rows["view"]["hll"] == 0

@@ -78,7 +78,10 @@ def main() -> None:
         .getOrCreate()
     )
     ensure_session_confs(spark)
-    reg = load_all()
+    from join_example_spark.registry import load_library
+
+    # Library (retired-baseline) specs stay probeable alongside declared ones.
+    reg = {**load_library(), **load_all()}
 
     os.makedirs(PROBE_DIR, exist_ok=True)
 
