@@ -1897,7 +1897,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.select(F.col("v").alias("vec_id"), "core_deg")
 
 
-@register(
+@register_library(
     "q_llm_mine_margin_baseline",
     oracle=f"""
 WITH probes AS (
@@ -1941,7 +1941,11 @@ FROM best2
     "is the exact ground truth the family's audits compare against; the "
     "family DEFAULT is q_llm_mine_margin_ivf, which routes the probe "
     "side through the multi-probe IVF front end exactly as the dedup "
-    "family does",
+    "family does. RETIRED from the declared suite round 12 (suite-"
+    "budget composition): this exact plan still executes INSIDE the "
+    "declared q_llm_mine_margin_recall every round (flat_acc side), "
+    "and the oracle-parity proof is preserved verbatim by the library "
+    "mirror in tests/test_round12_ops.py",
     tags=("llm", "similarity", "search"),
 )
 def q_llm_mine_margin_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,7 +2376,7 @@ def q_llm_mine_margin_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "q_llm_mine_margin_ratio_baseline",
     oracle=f"""
 WITH fwd AS (
@@ -2444,7 +2448,11 @@ FROM rk WHERE rn = 1
     "corpus, exactly the bitext-mining setup. SCALE-BASELINE BY DESIGN "
     "(the probes x corpus crossJoin, executed once and localCheckpointed "
     "against the three-consumer branch split — the round-5 lesson); the "
-    "family scale default is q_llm_mine_margin_ratio_ivf",
+    "family scale default is q_llm_mine_margin_ratio_ivf. RETIRED from "
+    "the declared suite round 12 (suite-budget composition): this exact "
+    "plan still executes INSIDE the declared q_llm_mine_margin_ratio_"
+    "recall every round (flat_acc side), and the oracle-parity proof is "
+    "preserved verbatim by the library mirror in tests/test_round12_ops.py",
     tags=("llm", "similarity", "search"),
 )
 def q_llm_mine_margin_ratio_baseline(

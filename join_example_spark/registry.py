@@ -99,7 +99,7 @@ def register_library(
 #: hand-edit; the tool regenerates comment AND tuple together)
 #: Ordering: never-proven/replanned first (2: q_agg_approx_distinct, q_stream_distinct_users),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r7x42, r8x49, r9x48, r10x47, r11x47.
+#: round. Latest-green histogram: r7x42, r8x49, r9x47, r10x47, r11x46.
 #: Head-50 composition: newx2, r7x42, r8x6. Derived from CORRECTNESS_r{4..11}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_approx_distinct",
@@ -219,7 +219,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_ngram",
     "q_llm_dedup_semantic_incr",
     "q_llm_kmeans_iter",
-    "q_llm_mine_margin_baseline",
     "q_llm_mix_sources",
     "q_llm_pack_chunks",
     "q_llm_pii_redact",
@@ -312,7 +311,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_kmeans_converged",
     "q_llm_lang_filter",
     "q_llm_langid",
-    "q_llm_mine_margin_ratio_baseline",
     "q_llm_mine_margin_ratio_ivf",
     "q_llm_mine_margin_ratio_recall",
     "q_llm_mix_epochs",
@@ -375,3 +373,10 @@ def load_library() -> dict[str, QuerySpec]:
     specs — oracle-pinned in tests, invisible to the driver/bench."""
     load_all()
     return dict(LIBRARY)
+
+
+def load_full() -> dict[str, QuerySpec]:
+    """Library + declared specs in one dict (test/tool convenience —
+    NEVER the driver surface; names are disjoint by construction)."""
+    declared = load_all()
+    return {**LIBRARY, **declared}

@@ -19,7 +19,9 @@ these pin the structural contracts a silent edit would break first:
 
 from __future__ import annotations
 
-from join_example_spark.registry import load_all
+# load_full: the margin flat-truth baselines these pins exercise moved
+# to the library tier in round 12 (declared + library, disjoint names)
+from join_example_spark.registry import load_full
 
 SF = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
@@ -53,7 +55,7 @@ class TestMarginScreenDials:
 
         assert MARGIN_ESC_MARGIN == 0.04
         assert MARGIN_ESC_FLOOR == 0.29
-        reg = load_all()
+        reg = load_full()
         sql = reg["q_llm_mine_margin_ivf"].oracle
         assert ">= 0.04" in sql and ">= 0.29" in sql
         assert "arn <= 4" in sql and "arn <= 5" in sql
@@ -66,7 +68,7 @@ class TestGrayZoneEscalation:
         # flat truth row — including escalated-but-REJECTED rows (their
         # estimates are replaced by exact values, which is what makes the
         # final accepted flag exact at the 0.05/0.3 thresholds).
-        reg = load_all()
+        reg = load_full()
         flat = {
             r["probe_id"]: r
             for r in reg["q_llm_mine_margin_baseline"].fn(spark, SF01).collect()
@@ -89,7 +91,7 @@ class TestGrayZoneEscalation:
         # GROUP BY dedup exists to prevent). margin == 0.0 from two
         # DISTINCT equally-similar candidates remains legal; the oracle
         # mirror certifies values, this pins the row-shape.
-        reg = load_all()
+        reg = load_full()
         rows = reg["q_llm_mine_margin_ivf"].fn(spark, SF).collect()
         assert len(rows) == len({r["probe_id"] for r in rows})
         for r in rows:
@@ -104,7 +106,7 @@ class TestGrayZoneEscalation:
         # outside the q=4/p=5 cell overlap at this SF, so 0.5 is the
         # current measured point — pin it as the floor so a screen
         # regression (0 accepts) still fails loudly.
-        reg = load_all()
+        reg = load_full()
         flat_acc = {
             r["probe_id"]: r["best_id"]
             for r in reg["q_llm_mine_margin_baseline"].fn(spark, SF01).collect()
@@ -126,7 +128,7 @@ class TestGrayZoneEscalation:
         # q_llm_mine_margin_recall (round 10): single-row audit; the
         # precision_exact boolean IS the verify-the-positives contract
         # and must hold at every SF; hits can never exceed either count.
-        reg = load_all()
+        reg = load_full()
         for sf in (SF, SF01):
             row = reg["q_llm_mine_margin_recall"].fn(spark, sf).collect()
             assert len(row) == 1
@@ -181,7 +183,7 @@ class TestCalibrated095Dial:
 
 class TestRatioMarginFamily:
     def test_family_declared_and_oracled(self):
-        reg = load_all()
+        reg = load_full()
         for name in (
             "q_llm_mine_margin_ratio_baseline",
             "q_llm_mine_margin_ratio_ivf",
@@ -196,7 +198,7 @@ class TestRatioMarginFamily:
         # cross-plan check the oracle mirror cannot see (both twins use
         # the same lossless shortlist; a shortlist soundness bug would
         # cancel out there, not here).
-        reg = load_all()
+        reg = load_full()
         for sf in (SF, SF01):
             flat = {
                 r["probe_id"]: r
@@ -219,7 +221,7 @@ class TestRatioMarginFamily:
         # small-n ratios sit well above 1.05), which weakens the oracle's
         # boolean certification — re-derive it from the emitted values so
         # a sign-flip in either gate fails loudly.
-        reg = load_all()
+        reg = load_full()
         for name in (
             "q_llm_mine_margin_ratio_baseline",
             "q_llm_mine_margin_ratio_ivf",

@@ -22,6 +22,11 @@ from tests.oracle_utils import run_compare
 RETIRED_BASELINES = [
     "q_llm_dedup_semantic_exact",
     "q_llm_sim_pq_rerank_baseline",
+    # the margin flat truths: their plans still execute INSIDE the declared
+    # recall audits every round; these pins keep their per-probe row-level
+    # oracle proofs (the audits only certify aggregated accept stats)
+    "q_llm_mine_margin_baseline",
+    "q_llm_mine_margin_ratio_baseline",
 ]
 
 

@@ -12,14 +12,16 @@ from __future__ import annotations
 
 import pytest
 
-from join_example_spark.registry import load_all
+# load_full: the margin flat-truth baselines these pins exercise moved
+# to the library tier in round 12 (declared + library, disjoint names)
+from join_example_spark.registry import load_full
 
 SF = "/root/testdata/sf0.001"
 
 
 class TestMineMarginFamily:
     def test_family_is_declared_and_oracled(self):
-        reg = load_all()
+        reg = load_full()
         for name in ("q_llm_mine_margin_baseline", "q_llm_mine_margin_ivf"):
             assert name in reg
             assert reg[name].oracle is not None
@@ -32,7 +34,7 @@ class TestMineMarginFamily:
         # best survived candidate generation). A violation means the IVF
         # path scored a pair the flat path didn't — impossible unless the
         # probe/corpus split or the rounding drifted between the twins.
-        reg = load_all()
+        reg = load_full()
         flat = {
             r["probe_id"]: r
             for r in reg["q_llm_mine_margin_baseline"]
@@ -54,7 +56,7 @@ class TestMineMarginFamily:
         # sf0.01: the smallest fixture with a NON-EMPTY ivf-accepted set
         # (sf0.001 has 0 — this pin would be vacuous there).
         sf01 = "/root/testdata/sf0.01"
-        reg = load_all()
+        reg = load_full()
         flat = {
             r["probe_id"]: r
             for r in reg["q_llm_mine_margin_baseline"].fn(spark, sf01).collect()
@@ -72,7 +74,7 @@ class TestMineMarginFamily:
     def test_ivf_never_emits_single_candidate_probes(self, spark):
         # margin is undefined below 2 candidates; the declared filter must
         # keep every emitted margin/accepted non-null on both engines.
-        reg = load_all()
+        reg = load_full()
         rows = reg["q_llm_mine_margin_ivf"].fn(spark, SF).collect()
         for r in rows:
             assert r["margin"] is not None
