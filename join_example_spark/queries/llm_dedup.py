@@ -212,6 +212,96 @@ def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_domain_cap",
+    oracle="""
+WITH raw AS (
+    SELECT doc_id, n_chars,
+           CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http' ELSE 'Http' END
+           || '://'
+           || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN UPPER(source) ELSE source END
+           || '.Example.COM'
+           || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0 THEN '//docs/' ELSE '/docs/' END
+           || CAST(doc_id % 20 AS VARCHAR)
+           || CASE WHEN doc_id % 8 = 0 THEN '/index.html'
+                   WHEN doc_id % 8 = 4 THEN '/' ELSE '' END
+           || CASE doc_id % 5
+                WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                            || '&ref=r' || CAST(doc_id % 2 AS VARCHAR)
+                WHEN 1 THEN '?ref=r' || CAST(doc_id % 2 AS VARCHAR)
+                            || '&id=' || CAST(doc_id % 5 AS VARCHAR)
+                WHEN 2 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                            || '&utm_medium=m&ref=r' || CAST(doc_id % 2 AS VARCHAR)
+                ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                     || '&ref=r' || CAST(doc_id % 2 AS VARCHAR)
+              END
+           || CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END AS url
+    FROM documents
+),
+hosts AS (
+    SELECT doc_id, n_chars,
+           regexp_replace(regexp_replace(
+               LOWER(split_part(split_part(url, '://', 2), '/', 1)),
+               ':80$', ''), '^www\\.', '') AS host
+    FROM raw
+),
+ranked AS (
+    SELECT doc_id, n_chars, host,
+           ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY n_chars DESC, doc_id) AS host_rank,
+           COUNT(*) OVER (PARTITION BY host) AS host_total
+    FROM hosts
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       host,
+       CAST(host_rank AS BIGINT) AS host_rank,
+       CAST(host_total AS BIGINT) AS host_total
+FROM ranked
+WHERE host_rank <= 12
+""",
+    note="per-domain quota capping — the web-corpus balancing step that "
+    "runs right after URL canonicalization (C4/RefinedWeb-style: no "
+    "single host may dominate the corpus): extract the canonical host "
+    "(the q_llm_dedup_url pipeline's host rules), rank each host's "
+    "documents by a deterministic quality proxy (n_chars DESC, doc_id "
+    "tiebreak — the unique-key rule under every row_number), keep the "
+    "top 12 per host, and carry host_total so the output also audits "
+    "how much each domain was cut. One window over a map-side derived "
+    "key: at 100 TB this is a single shuffle on host (the natural "
+    "partition key; per-host groups are exactly the skew the cap "
+    "EXISTS to bound, and hosts exceeding executor memory are the rows "
+    "the cap drops anyway — rank<=K truncation composes with a "
+    "pre-aggregated per-host count for a two-pass skew-safe variant)",
+    tags=("llm", "sampling", "dedup"),
+)
+def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = _URL_CANON_SQL
+    hosts = (
+        docs.select("doc_id", "n_chars", F.expr(_URL_SYNTH_SQL).alias("url"))
+        .withColumn("authority", F.expr(c["authority"]))
+        .withColumn("host", F.expr(c["host"]))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("host")
+    return (
+        hosts.withColumn("host_rank", F.row_number().over(w))
+        .withColumn("host_total", F.count(F.lit(1)).over(wc))
+        .where(F.col("host_rank") <= 12)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "host",
+            F.col("host_rank").cast("bigint").alias("host_rank"),
+            F.col("host_total").cast("bigint").alias("host_total"),
+        )
+    )
+
+
+@register(
     "q_llm_dedup_near",
     oracle="""
 WITH toks AS (

@@ -97,13 +97,14 @@ def register_library(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (3: q_agg_approx_distinct, q_llm_dedup_url, q_stream_distinct_users),
+#: Ordering: never-proven/replanned first (4: q_agg_approx_distinct, q_llm_dedup_url, q_llm_domain_cap, q_stream_distinct_users),
 #: then ascending latest-driver-green round, name-ordered within a
 #: round. Latest-green histogram: r7x42, r8x49, r9x47, r10x47, r11x46.
-#: Head-50 composition: newx3, r7x42, r8x5. Derived from CORRECTNESS_r{4..11}.json.
+#: Head-50 composition: newx4, r7x42, r8x4. Derived from CORRECTNESS_r{4..11}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_approx_distinct",
     "q_llm_dedup_url",
+    "q_llm_domain_cap",
     "q_stream_distinct_users",
     "q_agg_having",
     "q_agg_mode",
