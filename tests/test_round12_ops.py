@@ -56,6 +56,81 @@ def test_library_registry_invariants():
         assert spec.oracle is not None, f"{spec.name} lost its oracle"
 
 
+def test_url_canonicalization_planted_cases(spark):
+    """Explicit expectations (not oracle-relative) for the canonicalizer:
+    each rule exercised by a handcrafted URL."""
+    from pyspark.sql import functions as F
+
+    from join_example_spark.queries.llm_dedup import _URL_CANON_SQL
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Ex.COM:80/a//b/index.html?utm_source=x&b=2&a=1#f",
+         "http://ex.com/a/b?a=1&b=2"),
+        ("http://ex.com/a/", "http://ex.com/a"),
+        ("Http://ex.com:80/a", "http://ex.com/a"),
+        ("http://www.ex.com/a?utm_medium=m", "http://ex.com/a"),
+        ("http://ex.com/index.html", "http://ex.com"),
+        # :80 stripping is anchored to the END of the authority — a host
+        # merely containing '80' must survive
+        ("http://ex80.com/a", "http://ex80.com/a"),
+        # only utm_* params drop; sort is binary ascii
+        ("http://ex.com/a?z=1&A=2", "http://ex.com/a?A=2&z=1"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    c = _URL_CANON_SQL
+    out = (
+        df.withColumn("scheme", F.expr(c["scheme"]))
+        .withColumn("authority", F.expr(c["authority"]))
+        .withColumn("pathq", F.expr(c["pathq"]))
+        .withColumn("host", F.expr(c["host"]))
+        .withColumn("path", F.expr(c["path"]))
+        .withColumn("qs", F.expr(c["qs"]))
+        .select("url", F.expr(c["canonical_url"]).alias("canon"))
+        .collect()
+    )
+    got = {r["url"]: r["canon"] for r in out}
+    for raw, want in cases:
+        assert got[raw] == want, f"{raw!r}: got {got[raw]!r}, want {want!r}"
+
+
+def test_url_canonicalization_is_fixpoint(spark):
+    """Canonicalizing a canonical URL is the identity — the property that
+    makes the dedup key stable under repeated ingestion."""
+    from pyspark.sql import functions as F
+
+    from join_example_spark.queries.llm_dedup import (
+        _URL_CANON_SQL,
+        _URL_SYNTH_SQL,
+    )
+    from join_example_spark.sources.readers import read_table
+
+    c = _URL_CANON_SQL
+
+    def canon(df):
+        return (
+            df.withColumn("scheme", F.expr(c["scheme"]))
+            .withColumn("authority", F.expr(c["authority"]))
+            .withColumn("pathq", F.expr(c["pathq"]))
+            .withColumn("host", F.expr(c["host"]))
+            .withColumn("path", F.expr(c["path"]))
+            .withColumn("qs", F.expr(c["qs"]))
+            .select("doc_id", F.expr(c["canonical_url"]).alias("url"))
+        )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    raw = docs.select("doc_id", F.expr(_URL_SYNTH_SQL).alias("url"))
+    once = canon(raw)
+    twice = canon(once)
+    diff = (
+        once.withColumnRenamed("url", "u1")
+        .join(twice.withColumnRenamed("url", "u2"), "doc_id")
+        .where(F.col("u1") != F.col("u2"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_two_level_distinct_null_user(spark):
     """ADVICE r11: the two-level HLL rewrite's outer count must be
     count(user_id), not count(1) — a NULL user_id forms its own per-user
