@@ -75,7 +75,13 @@ CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http' ELSE 'Http' END
 #: construction, so Spark's replace-all vs DuckDB's replace-first default
 #: never diverges (the oracle still passes 'g' where a run could repeat);
 #: split_part returns '' past the last part on BOTH engines; array_sort /
-#: list_sort are binary-ascending on ASCII params.
+#: list_sort are binary-ascending on ASCII params. Literal dots are written
+#: as engine-neutral character classes '[.]', NEVER '\\.' — Spark (with the
+#: default escapedStringLiterals=false) strips the backslash from a SQL
+#: string literal so '\\.' reaches the regex engine as '.' (any char), while
+#: DuckDB's standard literals keep it: textual sharing of the SQL does NOT
+#: guarantee identical parsing where escape semantics differ (ADVICE r12 —
+#: the stripped form canonicalized http://wwwx.com/a to http://.com/a).
 _URL_CANON_SQL = {
     "scheme": "lower(split_part(url, '://', 1))",
     "authority": "split_part(split_part(url, '://', 2), '/', 1)",
@@ -86,12 +92,12 @@ _URL_CANON_SQL = {
     ),
     "host": (
         "regexp_replace(regexp_replace(lower(authority), ':80$', ''), "
-        "'^www\\.', '')"
+        "'^www[.]', '')"
     ),
     "path": (
         "regexp_replace(regexp_replace(regexp_replace("
         "split_part(pathq, '?', 1), '/{2,}', '/'), "
-        "'/index\\.html$', '/'), '/$', '')"
+        "'/index[.]html$', '/'), '/$', '')"
     ),
     "qs": (
         "array_join(array_sort(filter(split("
@@ -147,10 +153,10 @@ canon AS (
     SELECT doc_id,
            scheme,
            regexp_replace(regexp_replace(LOWER(authority), ':80$', ''),
-                          '^www\\.', '') AS host,
+                          '^www[.]', '') AS host,
            regexp_replace(regexp_replace(regexp_replace(
                split_part(pathq, '?', 1), '/{2,}', '/', 'g'),
-               '/index\\.html$', '/'), '/$', '') AS path,
+               '/index[.]html$', '/'), '/$', '') AS path,
            array_to_string(list_sort(list_filter(
                str_split(CASE WHEN pathq LIKE '%?%'
                               THEN split_part(pathq, '?', 2)
@@ -243,7 +249,7 @@ hosts AS (
     SELECT doc_id, n_chars,
            regexp_replace(regexp_replace(
                LOWER(split_part(split_part(url, '://', 2), '/', 1)),
-               ':80$', ''), '^www\\.', '') AS host
+               ':80$', ''), '^www[.]', '') AS host
     FROM raw
 ),
 ranked AS (
@@ -268,12 +274,24 @@ WHERE host_rank <= 12
     "documents by a deterministic quality proxy (n_chars DESC, doc_id "
     "tiebreak — the unique-key rule under every row_number), keep the "
     "top 12 per host, and carry host_total so the output also audits "
-    "how much each domain was cut. One window over a map-side derived "
-    "key: at 100 TB this is a single shuffle on host (the natural "
-    "partition key; per-host groups are exactly the skew the cap "
-    "EXISTS to bound, and hosts exceeding executor memory are the rows "
-    "the cap drops anyway — rank<=K truncation composes with a "
-    "pre-aggregated per-host count for a two-pass skew-safe variant)",
+    "how much each domain was cut. TWO-PASS SKEW-SAFE plan (round 13, "
+    "VERDICT r12 task 5): a pathological host is the exact skew the "
+    "cap exists to bound, so the naive single window on host would "
+    "funnel that host's entire row set through one window partition. "
+    "Instead (a) host_total comes from a hash aggregate (map-side "
+    "partial combine — each reducer sees one row per host per mapper, "
+    "skew-immune by construction), and (b) the top-K runs salted: a "
+    "row_number over (host, pmod(doc_id, 32)) keeps each shard's top "
+    "12, bounding every window partition at ~1/32 of the worst host, "
+    "then the exact final row_number ranks the <=32*12 survivors per "
+    "host. Result-invariant: any global top-12 row is also top-12 "
+    "within its shard, so the survivor union contains the global "
+    "top-12 (planted-skew equivalence pinned in "
+    "tests/test_round13_ops.py). Oracle unchanged — it states the "
+    "single-window semantics; both scans prune to (doc_id, n_chars, "
+    "source), and at 100 TB the totals pass is a near-free counted "
+    "scan while the cap pass never builds a partition bigger than "
+    "max(host)/32",
     tags=("llm", "sampling", "dedup"),
 )
 def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,18 +303,44 @@ def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars", F.expr(_URL_SYNTH_SQL).alias("url"))
         .withColumn("authority", F.expr(c["authority"]))
         .withColumn("host", F.expr(c["host"]))
+        .select("doc_id", "n_chars", "host")
+    )
+    return domain_cap_plan(hosts, cap=12, salts=32)
+
+
+def domain_cap_plan(hosts: DataFrame, cap: int, salts: int) -> DataFrame:
+    """Skew-safe per-host top-``cap``: salted partial top-K, exact final
+    rank, hash-aggregated totals. ``hosts`` must carry (doc_id, n_chars,
+    host). Factored out so the planted-skew test can drive it with an
+    adversarial host distribution (tests/test_round13_ops.py)."""
+    from pyspark.sql import Window
+
+    totals = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("host_total")
+    )
+    w_salt = Window.partitionBy("host", "salt").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    survivors = (
+        hosts.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts)).cast("int"))
+        .withColumn("salt_rank", F.row_number().over(w_salt))
+        .where(F.col("salt_rank") <= cap)
+        .drop("salt", "salt_rank")
     )
     w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    wc = Window.partitionBy("host")
     return (
-        hosts.withColumn("host_rank", F.row_number().over(w))
-        .withColumn("host_total", F.count(F.lit(1)).over(wc))
-        .where(F.col("host_rank") <= 12)
+        survivors.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= cap)
+        # no broadcast hint: totals is one row per DISTINCT host (~1e8 on a
+        # web-scale corpus — too big to broadcast); both join inputs are
+        # host-capped (<=cap rows vs 1 row per host) so the shuffle join is
+        # skew-free, and AQE still auto-broadcasts at small SFs.
+        .join(totals, "host")
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             "host",
             F.col("host_rank").cast("bigint").alias("host_rank"),
-            F.col("host_total").cast("bigint").alias("host_total"),
+            F.col("host_total").alias("host_total"),
         )
     )
 

@@ -97,61 +97,13 @@ def register_library(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (4: q_agg_approx_distinct, q_llm_dedup_url, q_llm_domain_cap, q_stream_distinct_users),
+#: Ordering: never-proven/replanned first (2: q_llm_dedup_url, q_llm_domain_cap),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r7x42, r8x49, r9x47, r10x47, r11x46.
-#: Head-50 composition: newx4, r7x42, r8x4. Derived from CORRECTNESS_r{4..11}.json.
+#: round. Latest-green histogram: r8x45, r9x47, r10x47, r11x46, r12x48.
+#: Head-50 composition: newx2, r8x45, r9x3. Derived from CORRECTNESS_r{4..12}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_agg_approx_distinct",
     "q_llm_dedup_url",
     "q_llm_domain_cap",
-    "q_stream_distinct_users",
-    "q_agg_having",
-    "q_agg_mode",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_explode_pos",
-    "q_fn_array",
-    "q_fn_bitwise",
-    "q_fn_codec",
-    "q_fn_cond",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_nulls",
-    "q_fn_regex",
-    "q_fn_string",
-    "q_fn_struct",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_exists_correlated",
-    "q_join_salted",
-    "q_llm_ann_recall",
-    "q_llm_dedup_fuzzy",
-    "q_llm_dedup_keep_best",
-    "q_llm_pq_quantize",
-    "q_llm_sim_imi",
-    "q_llm_sim_ivfpq",
-    "q_llm_sim_pq_adc",
-    "q_multimodal_prune",
-    "q_outlier_iqr",
-    "q_pivot",
-    "q_recursive_chain",
-    "q_scalar_correlated",
-    "q_scalar_subquery",
-    "q_snapshot_diff",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_tpch_q4",
-    "q_unpivot",
-    "q_win_share",
-    "q_zorder_layout",
-    "q_agg_approx_topk",
-    "q_agg_bitwise",
-    "q_cohort_retention",
-    "q_event_transitions",
     "q_funnel_stages",
     "q_join_asof",
     "q_join_asof_left",
@@ -337,6 +289,54 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_autocorr",
     "q_ts_changepoint",
     "q_ts_seasonal",
+    "q_agg_approx_distinct",
+    "q_agg_approx_topk",
+    "q_agg_bitwise",
+    "q_agg_having",
+    "q_agg_mode",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_cohort_retention",
+    "q_event_transitions",
+    "q_explode_pos",
+    "q_fn_array",
+    "q_fn_bitwise",
+    "q_fn_codec",
+    "q_fn_cond",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_nulls",
+    "q_fn_regex",
+    "q_fn_string",
+    "q_fn_struct",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_exists_correlated",
+    "q_join_salted",
+    "q_llm_ann_recall",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_keep_best",
+    "q_llm_pq_quantize",
+    "q_llm_sim_imi",
+    "q_llm_sim_ivfpq",
+    "q_llm_sim_pq_adc",
+    "q_multimodal_prune",
+    "q_outlier_iqr",
+    "q_pivot",
+    "q_recursive_chain",
+    "q_scalar_correlated",
+    "q_scalar_subquery",
+    "q_snapshot_diff",
+    "q_stream_distinct_users",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_tpch_q4",
+    "q_unpivot",
+    "q_win_share",
+    "q_zorder_layout",
 )
 
 

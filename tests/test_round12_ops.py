@@ -74,6 +74,12 @@ def test_url_canonicalization_planted_cases(spark):
         # :80 stripping is anchored to the END of the authority — a host
         # merely containing '80' must survive
         ("http://ex80.com/a", "http://ex80.com/a"),
+        # the www-strip dot is a LITERAL '[.]' (ADVICE r12: '\\.' in a Spark
+        # string literal loses its backslash and matched ANY char) — a host
+        # merely starting with 'www' must survive unchanged
+        ("http://wwwx.com/a", "http://wwwx.com/a"),
+        # same class for the /index[.]html rule: 'indexZhtml' is not a match
+        ("http://ex.com/indexZhtml", "http://ex.com/indexZhtml"),
         # only utm_* params drop; sort is binary ascii
         ("http://ex.com/a?z=1&A=2", "http://ex.com/a?A=2&z=1"),
     ]
