@@ -18,7 +18,7 @@ from join_example_spark.operators.similarity import (
     lsh_ann_pairs,
 )
 from join_example_spark.registry import register, register_library
-from join_example_spark.sources.readers import read_table
+from join_example_spark.sources.readers import read_table, table_row_count
 
 # DuckDB-side dot product: identical sequential left-fold in DOUBLE.
 _DUCK_DOT = (
@@ -302,8 +302,8 @@ def q_llm_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Scalar plan-build action, same class as the CC convergence witness.
-    n = emb.count()
+    # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
+    n = table_row_count(sf_dir, "embeddings")
     n_centroids = int(math.ceil(math.sqrt(n)))
     # The derived dial == 5 at every fixture SF (so the arn <= 5 oracle
     # pins exactly this operating point); past n ~ 2025 it grows with
@@ -504,7 +504,7 @@ def q_llm_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SF (the oracle pins exactly that operating point); past it they grow
     # to hold the probed product-cell fraction, so this audit measures the
     # SAME schedule the production IMI variant runs (SCALE.md §3.10b).
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")
     c_per_half = imi_c_per_half(n)
     d_p, d_t = adaptive_imi_dials(n)
     cand = (
@@ -1233,8 +1233,8 @@ def q_llm_sim_pq_rerank_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.similarity import pq_adc_rerank_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Scalar plan-build action, same class as the CC convergence witness.
-    shortlist = max(64, int(math.ceil(emb.count() / 4.0)))
+    # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
+    shortlist = max(64, int(math.ceil(table_row_count(sf_dir, "embeddings") / 4.0)))
     return pq_adc_rerank_topk(
         emb, k=3, shortlist=shortlist, probe_pred="vec_id % 100 = 0"
     )
@@ -1318,10 +1318,22 @@ SELECT probe_id, cand_id, sim, rn FROM (
     tags=("llm", "similarity", "approx"),
 )
 def q_llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from join_example_spark.operators.similarity import ivfpq_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(emb, k=3, nprobe=3, shortlist=32, probe_pred="vec_id % 100 = 0")
+    # Size the coarse quantizer from footer metadata (cached, no scan) so
+    # the operator's default emb.count() plan-build job never runs here.
+    n_centroids = int(math.ceil(math.sqrt(table_row_count(sf_dir, "embeddings"))))
+    return ivfpq_topk(
+        emb,
+        k=3,
+        n_centroids=n_centroids,
+        nprobe=3,
+        shortlist=32,
+        probe_pred="vec_id % 100 = 0",
+    )
 
 
 @register(
@@ -1386,8 +1398,8 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.similarity import ivf_cells
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Scalar plan-build action, same class as the CC convergence witness.
-    n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
+    n_centroids = int(math.ceil(math.sqrt(table_row_count(sf_dir, "embeddings"))))
     cents = (
         emb.orderBy("vec_id")
         .limit(n_centroids)
@@ -2119,8 +2131,8 @@ def q_llm_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Scalar plan-build action (same class as the CC convergence witness).
-    n = emb.count()
+    # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
+    n = table_row_count(sf_dir, "embeddings")
     n_centroids = int(math.ceil(math.sqrt(n)))
     q_assign, nprobe = margin_screen_dials(n)
     corpus = (
@@ -2703,8 +2715,8 @@ def _ratio_ivf_plan(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataF
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Scalar plan-build action (same class as the CC convergence witness).
-    n = emb.count()
+    # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
+    n = table_row_count(sf_dir, "embeddings")
     n_centroids = int(math.ceil(math.sqrt(n)))
     q_assign, nprobe = margin_screen_dials(n)
     corpus = (

@@ -115,6 +115,44 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(_path(sf_dir, name))
 
 
+#: (sf_dir, table) -> exact row count, from parquet footer metadata.
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    no data scan, no Spark job, cached per (sf_dir, table) for the session.
+
+    Round 13 (VERDICT r12 task 4): the √n/∛n index-sizing dials in the ANN
+    family previously ran ``emb.count()`` at plan-build time — a full-scan
+    Spark job per query EXECUTION. Parquet writers record num_rows in every
+    file footer, so the same exact integer is available driver-side for the
+    cost of a metadata read, once. At 100 TB the equivalent is catalog
+    statistics (or the same footer read over the manifest), still never a
+    scan; counts of DERIVED dataframes (identity reps, contraction loops)
+    are real jobs and stay on DataFrame.count().
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (sf_dir.rstrip("/"), name)
+    if key not in _ROW_COUNT_CACHE:
+        path = _path(sf_dir, name)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    pq.read_metadata(os.path.join(root, f)).num_rows
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            _ROW_COUNT_CACHE[key] = total
+        else:
+            _ROW_COUNT_CACHE[key] = pq.read_metadata(path).num_rows
+    return _ROW_COUNT_CACHE[key]
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register fixture tables as temp views (for ``spark.sql`` paths)."""
     for name in names:

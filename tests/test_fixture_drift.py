@@ -258,6 +258,57 @@ def test_documents_embeddings_row_counts_pinned():
         )
 
 
+def test_events_user_id_never_null():
+    """Round-13 pin (VERDICT r12 task 3): the two-level count-distinct
+    rewrites (q_agg_approx_distinct, q_stream_distinct_users) use
+    ``count(user_id)`` as the exact per-key distinct count — correct for
+    NULLs by SQL semantics, but the surrounding determinism notes (and the
+    HLL exact-anchor certification) assume the fixture's user_id column is
+    fully populated. A regenerated fixture that starts shipping NULL
+    user_ids would quietly change every per-user metric's denominator;
+    fail here instead."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        (nulls,) = con.execute(
+            f"SELECT COUNT(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/events.parquet') "
+            f"WHERE user_id IS NULL"
+        ).fetchone()
+        con.close()
+        assert nulls == 0, f"{sf}: events.user_id grew {nulls} NULLs"
+
+
+def test_primary_keys_unique():
+    """Round-13 pin (VERDICT r12 task 3): every unique-key tiebreak rule in
+    SURVEY §5.3 (LIMIT/row_number total orders, keep-lowest-id dedup, asof
+    uniqueness) leans on these columns being genuinely unique. Duplicated
+    keys after a fixture regeneration would make tie-broken outputs
+    nondeterministic BETWEEN engines while staying plausible within each —
+    the worst drift mode. Fail here, loudly, at every SF."""
+    import duckdb
+
+    keys = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+    }
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        for table, key in keys.items():
+            (n, nd) = con.execute(
+                f"SELECT COUNT(*), COUNT(DISTINCT {key}) FROM "
+                f"read_parquet('/root/testdata/{sf}/{table}.parquet')"
+            ).fetchone()
+            assert n == nd, f"{sf}/{table}.{key}: {n} rows, {nd} distinct"
+        con.close()
+
+
 def test_events_ts_value_domain_pinned(spark):
     """Round-9 pin (r8 verdict stretch #8): the events table's TIME DOMAIN,
     not just its encoding. Every windowed/sessionized/gap-filled query's

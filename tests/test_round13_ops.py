@@ -55,6 +55,54 @@ def test_domain_cap_planted_skew_equivalence(spark):
         assert got == want, f"salts={salts} diverged from single-window semantics"
 
 
+def test_table_row_count_footer_cache():
+    """table_row_count reads parquet FOOTER metadata (exact), and caches:
+    a second call for the same (sf_dir, table) must not re-open the file."""
+    import pyarrow.parquet as pq
+
+    from join_example_spark.sources import readers
+
+    readers._ROW_COUNT_CACHE.clear()
+    want = pq.read_metadata("/root/testdata/sf0.001/embeddings.parquet").num_rows
+    assert readers.table_row_count("/root/testdata/sf0.001", "embeddings") == want
+    # trailing-slash normalization shares the cache entry
+    assert ("/root/testdata/sf0.001", "embeddings") in readers._ROW_COUNT_CACHE
+    orig = pq.read_metadata
+    try:
+        def boom(*a, **k):
+            raise AssertionError("cache miss: re-read footer")
+        pq.read_metadata = boom
+        assert readers.table_row_count("/root/testdata/sf0.001/", "embeddings") == want
+    finally:
+        pq.read_metadata = orig
+
+
+def test_ann_plan_build_runs_no_scan_jobs(spark, monkeypatch):
+    """Round-13 pin (VERDICT r12 task 4): the ANN-family index-sizing dials
+    come from cached footer metadata — BUILDING these plans must launch
+    zero DataFrame.count() actions (previously each execution paid a
+    full-scan count job)."""
+    from pyspark.sql import DataFrame
+
+    from join_example_spark.registry import load_full
+
+    def boom(self):
+        raise AssertionError("plan-build ran a DataFrame.count() action")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    full = load_full()
+    for name in (
+        "q_llm_ann_recall_nprobe",
+        "q_llm_imi_recall",
+        "q_llm_sim_pq_rerank_baseline",
+        "q_llm_sim_ivfpq",
+        "q_llm_embed_outliers",
+        "q_llm_mine_margin_ivf",
+    ):
+        df = full[name].fn(spark, "/root/testdata/sf0.001")
+        assert df.columns  # plan built, no action ran
+
+
 def test_domain_cap_salt_stage_bounds_partitions(spark):
     """The property that makes the plan skew-safe: after the salted stage,
     no (host) group exceeds salts*cap rows — the final window never sees
