@@ -140,6 +140,16 @@ def main() -> None:
     for name, first in suspects[:8]:
         if redraw_budget <= 0:
             break
+        # ADVICE r12: don't start a redraw that could blow the budget by a
+        # full query duration — if even repeating the first draw wouldn't
+        # fit the remaining budget, skip it (the budget stays a hard cap
+        # instead of a symbolic one).
+        if first > redraw_budget:
+            _log(
+                f"redraw {name} SKIPPED (first draw {first}s exceeds "
+                f"remaining budget {round(redraw_budget, 1)}s)"
+            )
+            continue
         t0 = time.perf_counter()
         try:
             df = registry[name].fn(spark, sf_dir)
@@ -198,7 +208,12 @@ def main() -> None:
     # Round-9 artifact-flow addition: write the noise-adjudicated diff vs
     # the latest recorded driver bench so the round-open ritual (and the
     # judge) reads adjudicated deltas instead of raw pairs. Best-effort —
-    # a diff failure must never cost the round its bench JSON.
+    # a diff failure must never cost the round its bench JSON. Round 13
+    # (VERDICT r12 task 2): the diff now also adjudicates the suite TOTAL
+    # against the same-code envelope totals (hot-session vs code-regression
+    # signature), and the verdict rides in the compact stdout payload so
+    # the driver artifact itself carries the session-noise adjudication.
+    total_verdict = "no_envelope"
     try:
         import glob as _glob
         import re as _re
@@ -213,6 +228,7 @@ def main() -> None:
             base = rounds[-1]
             diff = compute_diff(qmap(base), timings)
             diff["vs"] = os.path.basename(base)
+            total_verdict = diff.get("total_adjudication", "no_envelope")
             # Ordering fingerprint of THIS run (the old run's ordering is
             # whatever DRIVER_PRIORITY was that round — rotation shifts
             # per-query suite position, a known noise source at
@@ -240,6 +256,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "n_redraws": len(redraws),
+                "total_verdict": total_verdict,
                 "detail_file": "bench_full.json",
             },
             separators=(",", ":"),

@@ -1735,7 +1735,7 @@ labels AS (
 )"""
 
 
-@register(
+@register_library(
     "q_llm_dedup_semantic_imi",
     oracle=f"""
 WITH RECURSIVE
@@ -1775,7 +1775,13 @@ WHERE rn = 1
     "the FIXED T=8 dial's probed fraction shrinks as n^(-2/3) and pair "
     "recall falls to 0.21 vs IVF-nprobe=5's 0.37 — matched recall at "
     "that n needs T~36, which pays off only where assignment dots "
-    "dominate (shuffle-bound clusters), not on local CPU",
+    "dominate (shuffle-bound clusters), not on local CPU. LIBRARY tier "
+    "since round 13 (suite-budget composition, VERDICT r12 task 1): of "
+    "the three semantic-dedup siblings it is the non-default one, and "
+    "its IMI posture stays independently driver-audited via "
+    "q_llm_imi_recall + q_llm_sim_imi/q_llm_sim_imipq. Full "
+    "oracle-parity proof preserved at both fixture SFs in "
+    "tests/test_round13_ops.py; driver history green r5-r12",
     tags=("llm", "dedup", "similarity", "graph", "approx"),
 )
 def q_llm_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2919,7 +2919,7 @@ def q_llm_mine_margin_ratio_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
+@register_library(
     "q_llm_mine_margin_ratio_recall",
     oracle=f"""
 WITH {_RATIO_IVF_CTES},
@@ -3011,7 +3011,14 @@ FROM agg
     "form certifies the audit machinery cross-engine at fixture scale. "
     "Count ratios are int64->double (correctly rounded both engines) "
     "with ROUND(x, 6) far from half-ulp boundaries at fixture "
-    "cardinalities",
+    "cardinalities. LIBRARY tier since round 13 (suite-budget "
+    "composition, VERDICT r12 task 1): at ~7.1 s envelope median it was "
+    "the single heaviest declared query; its flat-truth half was "
+    "already library-mirrored (q_llm_mine_margin_ratio_baseline) and "
+    "the shipped screen stays driver-audited via "
+    "q_llm_mine_margin_ratio_ivf. Full oracle-parity proof preserved "
+    "at both fixture SFs in tests/test_round13_ops.py; driver history "
+    "green r11-r12",
     tags=("llm", "similarity", "approx"),
 )
 def q_llm_mine_margin_ratio_recall(

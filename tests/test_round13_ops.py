@@ -12,8 +12,46 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_utils import run_compare
+
+#: Round-13 library-tier retirees (suite-budget composition, VERDICT r12
+#: task 1): the two heaviest declared queries by envelope median (~13 s
+#: combined). Same protocol as the round-12 retirement: decorator swap,
+#: full oracle-parity proof preserved HERE at both fixture SFs, rotation
+#: regenerated, SURVEY §2.11 status L. Their postures stay driver-audited
+#: by siblings: the ratio screen via q_llm_mine_margin_ratio_ivf, the IMI
+#: index via q_llm_imi_recall / q_llm_sim_imi / q_llm_sim_imipq.
+RETIRED_R13 = [
+    "q_llm_mine_margin_ratio_recall",
+    "q_llm_dedup_semantic_imi",
+]
+
+
+@pytest.mark.parametrize("name", RETIRED_R13)
+def test_r13_library_mirror_smoke(spark, name):
+    problems = run_compare(spark, name, SF_SMOKE)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", RETIRED_R13)
+def test_r13_library_mirror_sf001(spark, name):
+    problems = run_compare(spark, name, SF_ORACLE)
+    assert not problems, problems
+
+
+def test_r13_retirees_in_library_tier_only():
+    from join_example_spark.registry import load_all, load_library
+
+    declared = load_all()
+    lib = load_library()
+    for name in RETIRED_R13:
+        assert name in lib and name not in declared, name
+        assert lib[name].oracle is not None, f"{name} lost its oracle"
 
 
 def _naive_domain_cap(hosts, cap: int):
@@ -53,6 +91,40 @@ def test_domain_cap_planted_skew_equivalence(spark):
     for salts in (1, 5, 32):
         got = sorted(map(tuple, domain_cap_plan(hosts, cap=12, salts=salts).collect()))
         assert got == want, f"salts={salts} diverged from single-window semantics"
+
+
+def test_total_adjudication_separates_hot_session_from_regression():
+    """Round-13 pin (VERDICT r12 task 2): the suite-total adjudicator must
+    read DIFFUSE inflation (every query a little slow, none clearing its
+    own envelope) as a hot session, and CONCENTRATED excess (flagged
+    queries carrying the overshoot) as a suspected code regression."""
+    from tools.compare_bench import adjudicate_total, compute_diff
+
+    n = 100
+    old = {f"q{i}": 1.0 for i in range(n)}
+    env = {f"q{i}": {"spread_pct": 30, "median": 1.0} for i in range(n)}
+    env_totals = [100.0, 102.0, 105.0]
+
+    # uniform +30%: total 130 > envelope max 105, but no per-query row
+    # clears the 1 s absolute floor -> diffuse -> hot session
+    hot = compute_diff(old, {q: 1.3 for q in old}, env=env, env_totals=env_totals)
+    assert hot["total_adjudication"] == "hot_session_suspected"
+    assert hot["outside_envelope"] == []
+
+    # one query +30 s, rest unchanged: the flagged row carries the whole
+    # excess -> code regression
+    new = dict(old)
+    new["q0"] = 31.0
+    reg = compute_diff(old, new, env=env, env_totals=env_totals)
+    assert reg["total_adjudication"] == "code_regression_suspected"
+    assert [r["query"] for r in reg["outside_envelope"]] == ["q0"]
+
+    # inside the same-code envelope: nothing to explain
+    ok = compute_diff(old, {q: 1.02 for q in old}, env=env, env_totals=env_totals)
+    assert ok["total_adjudication"] == "within_envelope"
+
+    # no envelope recorded -> explicit no_envelope, never a false verdict
+    assert adjudicate_total(500.0, [], 0.0) == "no_envelope"
 
 
 def test_table_row_count_footer_cache():

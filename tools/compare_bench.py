@@ -49,14 +49,57 @@ def load_envelope() -> dict:
         return {}
 
 
+def load_envelope_totals() -> list[float]:
+    try:
+        with open(os.path.join(REPO, "BENCH_VARIANCE.json")) as fh:
+            return json.load(fh).get("totals_sec", [])
+    except (OSError, ValueError):
+        return []
+
+
+def adjudicate_total(
+    new_total: float, env_totals: list[float], flagged_excess: float
+) -> str:
+    """Classify a suite TOTAL against the same-code envelope totals
+    (round 13, VERDICT r12 task 2): the host's own noise floor moves
+    between sessions (same-code totals spanned 227.6-343.9 s), so a
+    total breach alone must not read as a plan regression.
+
+    - ``within_envelope``   — total <= max same-code total; nothing to explain.
+    - ``code_regression_suspected`` — total exceeds the envelope max AND at
+      least half the excess is concentrated in the per-query rows that
+      individually cleared their own noise envelopes (the flagged set) —
+      localized slowdowns the envelope can't absolve.
+    - ``hot_session_suspected``     — total exceeds the envelope max but the
+      excess is DIFFUSE (sub-flag inflation across many queries) — the
+      uniform-inflation signature of a hot session (SCALE §3.11/§3.16),
+      not a plan change.
+    """
+    if not env_totals:
+        return "no_envelope"
+    if new_total <= max(env_totals):
+        return "within_envelope"
+    excess = new_total - max(env_totals)
+    return (
+        "code_regression_suspected"
+        if flagged_excess >= 0.5 * excess
+        else "hot_session_suspected"
+    )
+
+
 def compute_diff(
-    old: dict[str, float], new: dict[str, float], env: dict | None = None
+    old: dict[str, float],
+    new: dict[str, float],
+    env: dict | None = None,
+    env_totals: list[float] | None = None,
 ) -> dict:
     """The adjudicated diff as data: common-set totals plus only the
     per-query rows that clear BOTH the envelope percentage and the 1 s
     absolute floor. Pure function so bench.py can emit it per-run."""
     if env is None:
         env = load_envelope()
+    if env_totals is None:
+        env_totals = load_envelope_totals()
     common = sorted(set(old) & set(new))
     tot_old = round(sum(old[q] for q in common), 3)
     tot_new = round(sum(new[q] for q in common), 3)
@@ -76,6 +119,8 @@ def compute_diff(
                 }
             )
     flagged.sort(key=lambda r: abs(r["new_sec"] - r["old_sec"]), reverse=True)
+    new_total = round(sum(new.values()), 3)
+    flagged_excess = sum(max(r["new_sec"] - r["old_sec"], 0.0) for r in flagged)
     return {
         "n_common": len(common),
         "common_total_old_sec": tot_old,
@@ -84,6 +129,9 @@ def compute_diff(
         "outside_envelope": flagged,
         "new_only": sorted(set(new) - set(old)),
         "dropped": sorted(set(old) - set(new)),
+        "new_total_sec": new_total,
+        "envelope_totals_sec": env_totals,
+        "total_adjudication": adjudicate_total(new_total, env_totals, flagged_excess),
     }
 
 
@@ -96,6 +144,11 @@ def main() -> None:
         f"common set: {d['n_common']} queries, "
         f"{d['common_total_old_sec']:.1f}s -> {d['common_total_new_sec']:.1f}s "
         f"({d['ratio']:.2f}x)"
+    )
+    print(
+        f"total adjudication: {d['total_adjudication']} "
+        f"(new total {d['new_total_sec']:.1f}s vs same-code envelope "
+        f"{d['envelope_totals_sec']})"
     )
     if not d["outside_envelope"]:
         print("no per-query delta exceeds the measured noise envelope")
