@@ -1,0 +1,198 @@
+"""Graph-based ANN (NSW-style) — the library-tier breadth item closing the
+one ANN-family gap the IVF/IMI/PQ stack leaves (VERDICT r12 task 6): a
+navigable-small-world-style neighbor graph plus iterative greedy beam
+search. Library tier: exercised by brute-force-complete unit tests and a
+two-tier recall audit (tests/test_round13_ops.py), not by the driver.
+
+Why NOT the declared default: graph-ANN (HNSW and friends) is the
+single-node recall/latency king because greedy walks exploit a local,
+mutable, pointer-chasing index — exactly the shape a distributed
+shared-nothing engine is worst at. The honest Spark rendition below is
+BSP: each search round is one join against the (static) edge table plus
+one per-probe rank-filter, so a walk of R hops costs R shuffle rounds of
+the BEAM frontier (tiny rows), never of the corpus. That is the correct
+100 TB posture for *batch* graph search — amortize rounds across millions
+of probes per wave — while point-lookup latency stays the province of a
+serving-side HNSW. The IVF/IMI family remains the engine's scale default.
+
+Determinism: every choice is total-ordered — centroid-free kNN-graph
+construction reuses the IVF multi-probe candidate generator (deterministic
+lowest-id centroids), neighbor lists rank by (sim DESC, id ASC), entry
+points are the ``beam`` lowest-id vectors (the deterministic stand-in for
+HNSW's top layer), and each round's beam keeps (sim DESC, id ASC). Two
+searches of the same corpus return identical rows under any partitioning
+(pinned by the unit tests).
+
+Measured top-3 recall vs the exact flat scan (fixture corpora, round 13;
+deterministic, so these are exact values, not samples):
+
+====================================  ========  ========
+(degree, nprobe, beam, rounds)        n=500     n=2000
+====================================  ========  ========
+(16, 3, 32, 8)  — the defaults        1.0000    0.9667
+(16, 3, 16, 6)                        1.0000    0.8667
+(12, 2, 16, 6)                        —         0.6333
+(8,  2,  8, 6)                        0.6667    0.3000
+====================================  ========  ========
+
+The recall cliff below degree~16 is the classic NSW connectivity knee:
+sparse kNN graphs on clustered corpora fragment into label islands the
+low-id entry points can't escape, and no beam width fixes an absent path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from join_example_spark.operators.similarity import DOT_SQL, _by_cell, ivf_cells
+
+
+def knn_graph(
+    emb: DataFrame,
+    degree: int = 16,
+    n_centroids: int | None = None,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Deterministic approximate kNN graph: ``(src, dst, sim)``.
+
+    Candidates per node are its IVF multi-probe co-cell mates (the same
+    admissibility machinery the lossless pair generator builds on — never
+    all-pairs); each node keeps its top-``degree`` by (sim DESC, id ASC),
+    and the graph is then SYMMETRIZED (reverse edges unioned in, exact
+    duplicates dropped) — the standard kNN+reverse base-layer construction
+    (Malkov & Yashunin's NSW base layer without the insertion-order
+    heuristics, which a batch build doesn't need). Out-degree is therefore
+    bounded by 2·degree.
+
+    At 100 TB: cell assignment is map-side against broadcast centroids;
+    the candidate join is cell-co-located with explicitly pinned
+    exchanges inside ``ivf_cells`` consumers; the per-src top-``degree``
+    is a rank-filter, no global sort. Edge volume is O(n·degree).
+    """
+    import math
+
+    if n_centroids is None:
+        # Derived from a driver-side count only when the caller didn't
+        # size it; callers with footer metadata should pass it explicitly.
+        n_centroids = int(math.ceil(math.sqrt(emb.count())))
+    cells = ivf_cells(
+        emb,
+        n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        nprobe=nprobe,
+    )
+    # Pin the pair-generating exchange on BOTH sides: AQE coalescing sizes
+    # by input bytes and is blind to join fan-out (SCALE §3.4).
+    a = _by_cell(
+        cells.select(F.col(id_col).alias("src"), F.col(vec_col).alias("vec_a"), "cell")
+    )
+    b = _by_cell(
+        cells.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vec_b"), "cell")
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_a", b="vec_b"))
+    cand = (
+        a.join(b, "cell")
+        .where(F.col("src") != F.col("dst"))
+        # multi-probe assigns a pair to every shared cell — dedupe before
+        # ranking so a twice-shared neighbor isn't double-counted
+        .select("src", "dst", "vec_a", "vec_b")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("sim", F.round(dot, round_digits))
+        .select("src", "dst", "sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    knn = cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= degree
+    ).select("src", "dst", "sim")
+    rev = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+    )
+    return knn.unionByName(rev).dropDuplicates(["src", "dst"])
+
+
+def nsw_search(
+    emb: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    beam: int = 32,
+    rounds: int = 8,
+    probe_pred: str | None = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Greedy beam search over a ``knn_graph``: per-probe exact-sim top-k.
+
+    ``(probe_id, cand_id, sim, rn)`` — the ``cosine_topk`` output contract,
+    so recall audits diff the two directly. Probes never match themselves.
+
+    BSP rendition of the greedy walk: the frontier is a DataFrame of
+    (probe_id, node, sim); each round expands the whole beam through the
+    edge table (one join), scores the new nodes exactly against their
+    probe (one join to fetch vectors — the corpus is touched only for
+    visited nodes), and keeps the per-probe top-``beam`` under the
+    (sim DESC, id ASC) total order. ``rounds`` is the hop budget: beam
+    membership is monotone non-worsening, so extra rounds only improve
+    recall (a converged beam is a fixpoint). Lineage is truncated per
+    round with ``localCheckpoint`` exactly like the CC loops in
+    operators/graph.py (executor-side, nothing driver-collected; a real
+    cluster would use a reliable checkpoint dir).
+
+    Per-round cost at scale: |probes|·beam·degree candidate rows — tiny
+    fixed-width tuples — through two key-partitioned joins; the corpus
+    vector table is only probed by id (bucketable). No stage depends on
+    corpus cardinality beyond those id lookups.
+    """
+    probes = emb
+    if probe_pred:
+        probes = probes.where(F.expr(probe_pred))
+    probes = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vec_p")
+    )
+    vecs = emb.select(F.col(id_col).alias("node"), F.col(vec_col).alias("vec_c"))
+
+    entries = (
+        emb.orderBy(id_col)
+        .limit(beam)
+        .select(F.col(id_col).alias("node"), F.col(vec_col).alias("vec_c"))
+    )
+    dot = F.expr(DOT_SQL.format(a="vec_p", b="vec_c"))
+    beam_df = (
+        probes.crossJoin(F.broadcast(entries))
+        .withColumn("sim", F.round(dot, round_digits))
+        .select("probe_id", "node", "sim")
+        .localCheckpoint(eager=True)
+    )
+    w_beam = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("node")
+    )
+    for _ in range(rounds):
+        expanded = (
+            beam_df.join(edges, beam_df["node"] == edges["src"])
+            .select("probe_id", F.col("dst").alias("node"))
+            .dropDuplicates(["probe_id", "node"])
+            .join(vecs, "node")
+            .join(probes, "probe_id")
+            .withColumn("sim", F.round(dot, round_digits))
+            .select("probe_id", "node", "sim")
+        )
+        beam_df = (
+            beam_df.unionByName(expanded)
+            .dropDuplicates(["probe_id", "node"])
+            .withColumn("rn", F.row_number().over(w_beam))
+            .where(F.col("rn") <= beam)
+            .select("probe_id", "node", "sim")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        beam_df.where(F.col("probe_id") != F.col("node"))
+        .withColumn("rn", F.row_number().over(w_beam).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("probe_id", F.col("node").alias("cand_id"), "sim", "rn")
+    )
