@@ -149,6 +149,12 @@ def nsw_search(
     vector table is only probed by id (bucketable). No stage depends on
     corpus cardinality beyond those id lookups.
     """
+    # The edge table is consumed once per round: materialize it ONCE
+    # (executor-side, nothing driver-collected) or every per-round
+    # checkpoint action re-executes the whole graph build — the
+    # multi-consumer re-execution trap (SCALE §3.4). Results unchanged
+    # (re-pinned), wall time drops with the rounds budget.
+    edges = edges.localCheckpoint(eager=True)
     probes = emb
     if probe_pred:
         probes = probes.where(F.expr(probe_pred))
