@@ -122,7 +122,7 @@ def nsw_search(
     k: int = 3,
     beam: int = 32,
     rounds: int = 8,
-    probe_pred: str | None = "vec_id % 100 = 0",
+    probe_pred: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
@@ -131,34 +131,42 @@ def nsw_search(
 
     ``(probe_id, cand_id, sim, rn)`` — the ``cosine_topk`` output contract,
     so recall audits diff the two directly. Probes never match themselves.
+    ``probe_pred=None`` follows the ANN-FAMILY convention (see
+    ``cosine_topk``'s docstring): it templates the default
+    ``{id_col} % 100 = 0`` probe split — pass ``"true"`` explicitly to
+    search every row as a probe.
 
-    BSP rendition of the greedy walk: the frontier is a DataFrame of
-    (probe_id, node, sim); each round expands the whole beam through the
-    edge table (one join), scores the new nodes exactly against their
-    probe (one join to fetch vectors — the corpus is touched only for
-    visited nodes), and keeps the per-probe top-``beam`` under the
-    (sim DESC, id ASC) total order. ``rounds`` is the hop budget: beam
-    membership is monotone non-worsening, so extra rounds only improve
-    recall (a converged beam is a fixpoint). Lineage is truncated per
-    round with ``localCheckpoint`` exactly like the CC loops in
-    operators/graph.py (executor-side, nothing driver-collected; a real
-    cluster would use a reliable checkpoint dir).
+    BSP rendition of the greedy walk with FRONTIER-ONLY expansion: each
+    round expands only the nodes newly admitted to a probe's beam (one
+    join against the static edge table), anti-joins away candidates
+    already scored for that probe, exact-scores only the genuinely fresh
+    ones (one id-join into the corpus), and keeps the per-probe
+    top-``beam`` under the (sim DESC, id ASC) total order. Expanding only
+    the frontier is outcome-identical to re-expanding the whole beam
+    (a node's expansion always yields the same scored set — re-expansion
+    adds nothing after the dedupe) while cutting per-round scoring from
+    beam·degree to |new admits|·degree; a converged beam has an empty
+    frontier and later rounds are no-ops. ``rounds`` is the hop budget:
+    beam membership is monotone non-worsening, so extra rounds only
+    improve recall. Lineage is truncated per round with
+    ``localCheckpoint`` exactly like the CC loops in operators/graph.py
+    (executor-side, nothing driver-collected; a real cluster would use a
+    reliable checkpoint dir).
 
-    Per-round cost at scale: |probes|·beam·degree candidate rows — tiny
-    fixed-width tuples — through two key-partitioned joins; the corpus
-    vector table is only probed by id (bucketable). No stage depends on
-    corpus cardinality beyond those id lookups.
+    Per-round cost at scale: |frontier|·degree candidate rows — tiny
+    fixed-width tuples — through key-partitioned joins; the corpus vector
+    table is only probed by id (bucketable). No stage depends on corpus
+    cardinality beyond those id lookups.
     """
+    if probe_pred is None:
+        probe_pred = f"{id_col} % 100 = 0"
     # The edge table is consumed once per round: materialize it ONCE
     # (executor-side, nothing driver-collected) or every per-round
     # checkpoint action re-executes the whole graph build — the
     # multi-consumer re-execution trap (SCALE §3.4). Results unchanged
     # (re-pinned), wall time drops with the rounds budget.
     edges = edges.localCheckpoint(eager=True)
-    probes = emb
-    if probe_pred:
-        probes = probes.where(F.expr(probe_pred))
-    probes = probes.select(
+    probes = emb.where(F.expr(probe_pred)).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vec_p")
     )
     vecs = emb.select(F.col(id_col).alias("node"), F.col(vec_col).alias("vec_c"))
@@ -178,24 +186,40 @@ def nsw_search(
     w_beam = Window.partitionBy("probe_id").orderBy(
         F.col("sim").desc(), F.col("node")
     )
+    # frontier: beam members not yet expanded; scored: every (probe, node)
+    # whose exact sim was ever computed (beam-evicted nodes stay in it so
+    # they are never re-scored). Both are tiny fixed-width id-pair tables.
+    frontier = beam_df
+    scored = beam_df.select("probe_id", "node")
     for _ in range(rounds):
-        expanded = (
-            beam_df.join(edges, beam_df["node"] == edges["src"])
+        fresh = (
+            frontier.join(edges, frontier["node"] == edges["src"])
             .select("probe_id", F.col("dst").alias("node"))
             .dropDuplicates(["probe_id", "node"])
+            .join(scored, ["probe_id", "node"], "left_anti")
             .join(vecs, "node")
             .join(probes, "probe_id")
             .withColumn("sim", F.round(dot, round_digits))
             .select("probe_id", "node", "sim")
+            .localCheckpoint(eager=True)
         )
-        beam_df = (
-            beam_df.unionByName(expanded)
-            .dropDuplicates(["probe_id", "node"])
+        scored = scored.unionByName(
+            fresh.select("probe_id", "node")
+        ).localCheckpoint(eager=True)
+        new_beam = (
+            beam_df.unionByName(fresh)
             .withColumn("rn", F.row_number().over(w_beam))
             .where(F.col("rn") <= beam)
             .select("probe_id", "node", "sim")
             .localCheckpoint(eager=True)
         )
+        # newly admitted = in the new beam but never expanded; the old
+        # frontier is expanded now, and everything in the old beam beyond
+        # it was expanded in an earlier round.
+        frontier = new_beam.join(
+            beam_df.select("probe_id", "node"), ["probe_id", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        beam_df = new_beam
     return (
         beam_df.where(F.col("probe_id") != F.col("node"))
         .withColumn("rn", F.row_number().over(w_beam).cast("bigint"))

@@ -308,6 +308,30 @@ def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_cap_plan(hosts, cap=12, salts=32)
 
 
+def domain_cap_naive_plan(hosts: DataFrame, cap: int) -> DataFrame:
+    """The single-window reference semantics the oracle states — kept as
+    the ONE shared correctness anchor for both the planted-skew
+    equivalence test (tests/test_round13_ops.py) and the skew A/B tool
+    (tools/domain_cap_skew_ab.py). Never the shipped plan: the window on
+    host funnels a pathological host through one partition (measured
+    11.9x slower at a planted 16M-row 90%-one-host tier, SCALE §3.18)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("host")
+    return (
+        hosts.withColumn("host_rank", F.row_number().over(w))
+        .withColumn("host_total", F.count(F.lit(1)).over(wc))
+        .where(F.col("host_rank") <= cap)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "host",
+            F.col("host_rank").cast("bigint").alias("host_rank"),
+            F.col("host_total").cast("bigint").alias("host_total"),
+        )
+    )
+
+
 def domain_cap_plan(hosts: DataFrame, cap: int, salts: int) -> DataFrame:
     """Skew-safe per-host top-``cap``: salted partial top-K, exact final
     rank, hash-aggregated totals. ``hosts`` must carry (doc_id, n_chars,
@@ -331,11 +355,20 @@ def domain_cap_plan(hosts: DataFrame, cap: int, salts: int) -> DataFrame:
     return (
         survivors.withColumn("host_rank", F.row_number().over(w))
         .where(F.col("host_rank") <= cap)
-        # no broadcast hint: totals is one row per DISTINCT host (~1e8 on a
+        # No broadcast hint: totals is one row per DISTINCT host (~1e8 on a
         # web-scale corpus — too big to broadcast); both join inputs are
         # host-capped (<=cap rows vs 1 row per host) so the shuffle join is
         # skew-free, and AQE still auto-broadcasts at small SFs.
-        .join(totals, "host")
+        # NULL-SAFE join (round-13 review): groupBy and Window both treat
+        # NULL hosts as one group, but a plain equi-join would DROP them —
+        # diverging from the single-window oracle on any fixture that ever
+        # ships a NULL source. eqNullSafe keeps the plans row-identical on
+        # that geometry too (pinned with a planted NULL host).
+        .join(
+            totals.withColumnRenamed("host", "t_host"),
+            F.col("host").eqNullSafe(F.col("t_host")),
+        )
+        .drop("t_host")
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             "host",

@@ -97,11 +97,13 @@ def register_library(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (0: none),
+#: Ordering: never-proven/replanned first (2: q_llm_dedup_url, q_llm_domain_cap),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r8x45, r9x47, r10x46, r11x45, r12x50.
-#: Head-50 composition: r8x45, r9x5. Derived from CORRECTNESS_r{4..12}.json.
+#: round. Latest-green histogram: r8x45, r9x47, r10x46, r11x45, r12x48.
+#: Head-50 composition: newx2, r8x45, r9x3. Derived from CORRECTNESS_r{4..12}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_llm_dedup_url",
+    "q_llm_domain_cap",
     "q_funnel_stages",
     "q_join_asof",
     "q_join_asof_left",
@@ -314,8 +316,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_ann_recall",
     "q_llm_dedup_fuzzy",
     "q_llm_dedup_keep_best",
-    "q_llm_dedup_url",
-    "q_llm_domain_cap",
     "q_llm_pq_quantize",
     "q_llm_sim_imi",
     "q_llm_sim_ivfpq",

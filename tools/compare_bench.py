@@ -58,33 +58,57 @@ def load_envelope_totals() -> list[float]:
 
 
 def adjudicate_total(
-    new_total: float, env_totals: list[float], flagged_excess: float
-) -> str:
-    """Classify a suite TOTAL against the same-code envelope totals
-    (round 13, VERDICT r12 task 2): the host's own noise floor moves
-    between sessions (same-code totals spanned 227.6-343.9 s), so a
-    total breach alone must not read as a plan regression.
+    new: dict[str, float], env: dict, env_totals: list[float]
+) -> dict:
+    """Classify a suite TOTAL against the same-code envelope (round 13,
+    VERDICT r12 task 2): the host's own noise floor moves between sessions
+    (same-code totals spanned 227.6-343.9 s), so a total breach alone must
+    not read as a plan regression.
+
+    Both sides of the comparison come from the ENVELOPE — the only
+    complete per-query baseline (the recorded BENCH_r{N}.json payloads are
+    stdout-truncated to the ~60 most expensive queries, so an old-vs-new
+    common set would be blind to regressions in the other ~170; round-13
+    review finding). Verdicts:
 
     - ``within_envelope``   — total <= max same-code total; nothing to explain.
     - ``code_regression_suspected`` — total exceeds the envelope max AND at
-      least half the excess is concentrated in the per-query rows that
-      individually cleared their own noise envelopes (the flagged set) —
-      localized slowdowns the envelope can't absolve.
-    - ``hot_session_suspected``     — total exceeds the envelope max but the
-      excess is DIFFUSE (sub-flag inflation across many queries) — the
-      uniform-inflation signature of a hot session (SCALE §3.11/§3.16),
-      not a plan change.
+      least half the excess is CONCENTRATED in queries individually
+      drawing > 2x their own envelope median (the same suspect rule the
+      redraw stage uses) — localized slowdowns noise can't absolve.
+    - ``hot_session_suspected``     — the excess is DIFFUSE (sub-2x
+      inflation across many queries) — the uniform-inflation signature of
+      a hot session (SCALE §3.11/§3.16), not a plan change.
+
+    ``unrecorded_sec`` reports time spent in queries with no envelope row
+    (new queries on an add-only round): that time inflates the total but
+    can never be attributed, so a large value means "regenerate the
+    envelope before trusting this verdict".
     """
     if not env_totals:
-        return "no_envelope"
-    if new_total <= max(env_totals):
-        return "within_envelope"
-    excess = new_total - max(env_totals)
-    return (
+        return {"verdict": "no_envelope"}
+    total = round(sum(new.values()), 3)
+    out: dict = {"new_total_sec": total, "envelope_max_sec": max(env_totals)}
+    if total <= max(env_totals):
+        out["verdict"] = "within_envelope"
+        return out
+    excess = total - max(env_totals)
+    concentrated = sum(
+        t - env[q]["median"]
+        for q, t in new.items()
+        if env.get(q, {}).get("median") and t > 2.0 * env[q]["median"]
+    )
+    out["excess_sec"] = round(excess, 3)
+    out["concentrated_excess_sec"] = round(concentrated, 3)
+    out["unrecorded_sec"] = round(
+        sum(t for q, t in new.items() if not env.get(q, {}).get("median")), 3
+    )
+    out["verdict"] = (
         "code_regression_suspected"
-        if flagged_excess >= 0.5 * excess
+        if concentrated >= 0.5 * excess
         else "hot_session_suspected"
     )
+    return out
 
 
 def compute_diff(
@@ -119,8 +143,7 @@ def compute_diff(
                 }
             )
     flagged.sort(key=lambda r: abs(r["new_sec"] - r["old_sec"]), reverse=True)
-    new_total = round(sum(new.values()), 3)
-    flagged_excess = sum(max(r["new_sec"] - r["old_sec"], 0.0) for r in flagged)
+    adjudication = adjudicate_total(new, env, env_totals)
     return {
         "n_common": len(common),
         "common_total_old_sec": tot_old,
@@ -129,9 +152,10 @@ def compute_diff(
         "outside_envelope": flagged,
         "new_only": sorted(set(new) - set(old)),
         "dropped": sorted(set(old) - set(new)),
-        "new_total_sec": new_total,
+        "new_total_sec": round(sum(new.values()), 3),
         "envelope_totals_sec": env_totals,
-        "total_adjudication": adjudicate_total(new_total, env_totals, flagged_excess),
+        "total_adjudication": adjudication["verdict"],
+        "total_adjudication_detail": adjudication,
     }
 
 

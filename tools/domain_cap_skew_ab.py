@@ -40,25 +40,6 @@ def skewed_hosts(spark, n_rows: int):
     )
 
 
-def naive_plan(hosts, cap: int):
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    wc = Window.partitionBy("host")
-    return (
-        hosts.withColumn("host_rank", F.row_number().over(w))
-        .withColumn("host_total", F.count(F.lit(1)).over(wc))
-        .where(F.col("host_rank") <= cap)
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "host",
-            F.col("host_rank").cast("bigint").alias("host_rank"),
-            F.col("host_total").cast("bigint").alias("host_total"),
-        )
-    )
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
@@ -66,7 +47,10 @@ def main() -> None:
     args = ap.parse_args()
 
     from join_example_spark.conf import build_local_session
-    from join_example_spark.queries.llm_dedup import domain_cap_plan
+    from join_example_spark.queries.llm_dedup import (
+        domain_cap_naive_plan,
+        domain_cap_plan,
+    )
 
     spark = build_local_session(
         app_name="domain-cap-skew-ab", cores="32", shuffle_partitions=32
@@ -74,7 +58,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     hosts = skewed_hosts(spark, args.rows)
-    a = naive_plan(hosts, cap=12)
+    a = domain_cap_naive_plan(hosts, cap=12)
     b = domain_cap_plan(hosts, cap=12, salts=32)
 
     # correctness first: the plans must be row-identical on this geometry
