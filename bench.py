@@ -137,8 +137,11 @@ def main() -> None:
         reverse=True,
     )
     redraw_budget = 45.0
-    for name, first in suspects[:8]:
-        if redraw_budget <= 0:
+    for name, first in suspects:
+        # cap counts EXECUTED redraws — a budget-skipped suspect must not
+        # consume a slot that a cheaper suspect further down could use
+        # (round-13 review)
+        if len(redraws) >= 8 or redraw_budget <= 0:
             break
         # ADVICE r12: don't start a redraw that could blow the budget by a
         # full query duration — if even repeating the first draw wouldn't
@@ -205,15 +208,38 @@ def main() -> None:
             indent=1,
         )
 
+    # Round 13 (VERDICT r12 task 2): adjudicate the suite TOTAL against the
+    # same-code envelope (hot-session vs code-regression signature); the
+    # verdict rides in the compact stdout payload so the driver artifact
+    # itself carries the session-noise adjudication. Needs only the
+    # envelope — NOT a prior BENCH_r{N}.json baseline (round-13 review: a
+    # fresh checkout must still classify a breach).
+    total_verdict = "no_envelope"
+    try:
+        from tools.compare_bench import (
+            adjudicate_total,
+            load_envelope,
+            load_envelope_totals,
+        )
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_VARIANCE.json")) as f:
+            _env_sf = json.load(f).get("sf")
+        if _env_sf == sf_val:
+            total_verdict = adjudicate_total(
+                timings, load_envelope(), load_envelope_totals()
+            )["verdict"]
+        else:
+            # envelope measured at a different SF — a cross-SF total
+            # comparison would always read as within/hot nonsense
+            total_verdict = f"no_envelope_at_sf_{sf_val}"
+    except Exception as exc:  # noqa: BLE001 — never cost the bench JSON
+        _log(f"total adjudication failed (ignored): {exc}")
+
     # Round-9 artifact-flow addition: write the noise-adjudicated diff vs
     # the latest recorded driver bench so the round-open ritual (and the
     # judge) reads adjudicated deltas instead of raw pairs. Best-effort —
-    # a diff failure must never cost the round its bench JSON. Round 13
-    # (VERDICT r12 task 2): the diff now also adjudicates the suite TOTAL
-    # against the same-code envelope totals (hot-session vs code-regression
-    # signature), and the verdict rides in the compact stdout payload so
-    # the driver artifact itself carries the session-noise adjudication.
-    total_verdict = "no_envelope"
+    # a diff failure must never cost the round its bench JSON.
     try:
         import glob as _glob
         import re as _re
@@ -228,7 +254,6 @@ def main() -> None:
             base = rounds[-1]
             diff = compute_diff(qmap(base), timings)
             diff["vs"] = os.path.basename(base)
-            total_verdict = diff.get("total_adjudication", "no_envelope")
             # Ordering fingerprint of THIS run (the old run's ordering is
             # whatever DRIVER_PRIORITY was that round — rotation shifts
             # per-query suite position, a known noise source at

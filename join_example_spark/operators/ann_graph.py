@@ -99,12 +99,14 @@ def knn_graph(
     cand = (
         a.join(b, "cell")
         .where(F.col("src") != F.col("dst"))
-        # multi-probe assigns a pair to every shared cell — dedupe before
-        # ranking so a twice-shared neighbor isn't double-counted
-        .select("src", "dst", "vec_a", "vec_b")
+        # Score BEFORE deduping: multi-probe assigns a pair to every
+        # shared cell, but the duplicate rows carry identical sims, so
+        # deduping the narrow (src, dst, sim) tuples (~24 B) instead of
+        # rows holding both vectors (~512 B) keeps the dedup exchange
+        # narrow — the same narrow-shuffle rationale as the ivf_cells
+        # rewrite — at the cost of an extra dot fold per duplicate cell.
+        .select("src", "dst", F.round(dot, round_digits).alias("sim"))
         .dropDuplicates(["src", "dst"])
-        .withColumn("sim", F.round(dot, round_digits))
-        .select("src", "dst", "sim")
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
     knn = cand.withColumn("rn", F.row_number().over(w)).where(
@@ -203,6 +205,11 @@ def nsw_search(
             .select("probe_id", "node", "sim")
             .localCheckpoint(eager=True)
         )
+        # convergence early-exit: an empty frontier expansion means every
+        # beam is a fixpoint — remaining rounds would be no-op jobs
+        # (isEmpty on the just-checkpointed tiny table is one cheap action)
+        if fresh.isEmpty():
+            break
         scored = scored.unionByName(
             fresh.select("probe_id", "node")
         ).localCheckpoint(eager=True)

@@ -140,12 +140,17 @@ def table_row_count(sf_dir: str, name: str) -> int:
     if key not in _ROW_COUNT_CACHE:
         path = _path(sf_dir, name)
         if os.path.isdir(path):
+            # Match Spark's file-index semantics: paths whose basename
+            # starts with '_' or '.' (_temporary, _spark_metadata, hidden
+            # files) are INVISIBLE to the scan, so they must not count
+            # here either or the dial n diverges from what read_table sees.
             total = 0
-            for root, _dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 total += sum(
                     pq.read_metadata(os.path.join(root, f)).num_rows
                     for f in files
-                    if f.endswith(".parquet")
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
                 )
             _ROW_COUNT_CACHE[key] = total
         else:

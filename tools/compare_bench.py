@@ -84,6 +84,15 @@ def adjudicate_total(
     (new queries on an add-only round): that time inflates the total but
     can never be attributed, so a large value means "regenerate the
     envelope before trusting this verdict".
+
+    KNOWN LIMIT (round-13 review): very hot sessions also produce
+    LOCALIZED >2x-median spikes (round 12 measured 10x single-query
+    inflations), and the redraw stage debiases at most 8 of them — so a
+    pathologically hot run with many residual spikes can still read as
+    code_regression_suspected. That is why the verdict says *suspected*:
+    per SCALE §3.17, a conviction requires a cool-session reproduction;
+    ``n_concentrated`` is emitted so a reader can spot the
+    many-small-contributors signature of that case.
     """
     if not env_totals:
         return {"verdict": "no_envelope"}
@@ -93,13 +102,15 @@ def adjudicate_total(
         out["verdict"] = "within_envelope"
         return out
     excess = total - max(env_totals)
-    concentrated = sum(
-        t - env[q]["median"]
+    hot_rows = {
+        q: t - env[q]["median"]
         for q, t in new.items()
         if env.get(q, {}).get("median") and t > 2.0 * env[q]["median"]
-    )
+    }
+    concentrated = sum(hot_rows.values())
     out["excess_sec"] = round(excess, 3)
     out["concentrated_excess_sec"] = round(concentrated, 3)
+    out["n_concentrated"] = len(hot_rows)
     out["unrecorded_sec"] = round(
         sum(t for q, t in new.items() if not env.get(q, {}).get("median")), 3
     )

@@ -26,9 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def skewed_hosts(spark, n_rows: int):
-    """90% of rows on one mega-host; the rest spread over 10k hosts.
-    n_chars = doc_id % 9973 plants heavy ties so the doc_id tiebreak (and
-    therefore the full sort, not a cheap top-k shortcut) is exercised."""
+    """90% of rows on one mega-host; the remaining 10% spread over 1000
+    distinct cold hosts (ids ending in 9 -> id % 10000 takes the 1000
+    values ending in 9, ~n/10000 rows each). n_chars = doc_id % 9973
+    plants heavy ties so the doc_id tiebreak (and therefore the full
+    sort, not a cheap top-k shortcut) is exercised."""
     from pyspark.sql import functions as F
 
     return spark.range(n_rows).select(
