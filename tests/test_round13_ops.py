@@ -275,6 +275,30 @@ def test_table_row_count_footer_cache():
         pq.read_metadata = orig
 
 
+def test_table_row_count_directory_skips_hidden_paths(tmp_path):
+    """The directory branch must match Spark's file-index semantics:
+    basenames starting with '_' or '.' (_temporary leftovers,
+    _spark_metadata, hidden files) are invisible to the scan and must not
+    count (round-13 review: a phantom n would silently resize the ANN
+    dials away from the oracle-pinned operating point)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from join_example_spark.sources import readers
+
+    d = tmp_path / "t.parquet"
+    (d / "_temporary").mkdir(parents=True)
+    pq.write_table(pa.table({"x": list(range(7))}), d / "part-0.parquet")
+    pq.write_table(pa.table({"x": list(range(5))}), d / "part-1.parquet")
+    # all three of these must be ignored
+    pq.write_table(pa.table({"x": list(range(99))}), d / "_temporary" / "part-9.parquet")
+    pq.write_table(pa.table({"x": list(range(50))}), d / "_committed.parquet")
+    pq.write_table(pa.table({"x": list(range(31))}), d / ".hidden.parquet")
+
+    readers._ROW_COUNT_CACHE.clear()
+    assert readers.table_row_count(str(tmp_path), "t") == 12
+
+
 def test_ann_plan_build_runs_no_scan_jobs(spark, monkeypatch):
     """Round-13 pin (VERDICT r12 task 4): the ANN-family index-sizing dials
     come from cached footer metadata — BUILDING these plans must launch
