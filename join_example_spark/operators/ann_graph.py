@@ -38,6 +38,22 @@ deterministic, so these are exact values, not samples):
 The recall cliff below degree~16 is the classic NSW connectivity knee:
 sparse kNN graphs on clustered corpora fragment into label islands the
 low-id entry points can't escape, and no beam width fixes an absent path.
+
+Fixed dials decay with corpus growth exactly like fixed-nprobe IVF
+(SCALE §3.7b); measured at the rotation-enlarged 16k DISTINCT tier
+(50 probes, top-3 vs flat truth):
+
+====================================  ========  =========  =========
+(degree, nprobe, beam, rounds)        recall    build (s)  search (s)
+====================================  ========  =========  =========
+(16, 3, 32, 8)  — the n=2k defaults   0.7333    21.0       10.6
+(16, 3, 64, 12)                       0.8267    18.5       12.6
+(24, 4, 64, 12)                       0.9400    27.8       11.3
+====================================  ========  =========  =========
+
+Degree (graph connectivity) is the binding dial, beam/rounds secondary —
+callers growing a corpus should scale ``degree`` ~log(n) first, the
+graph-ANN analogue of the adaptive IVF nprobe schedule.
 """
 
 from __future__ import annotations
