@@ -127,11 +127,14 @@ def main() -> None:
             _env = json.load(f).get("queries", {})
     except Exception:  # noqa: BLE001 — no envelope, no redraws
         _env = {}
+    # presence test, not truthiness (ADVICE r13): a 0.0 envelope median is
+    # a real row and must stay eligible for redraws/attribution
     suspects = sorted(
         (
             (name, t)
             for name, t in timings.items()
-            if _env.get(name, {}).get("median") and t > 2.0 * _env[name]["median"]
+            if _env.get(name, {}).get("median") is not None
+            and t > 2.0 * _env[name]["median"]
         ),
         key=lambda nt: nt[1] - 2.0 * _env[nt[0]]["median"],
         reverse=True,
@@ -215,6 +218,17 @@ def main() -> None:
     # envelope — NOT a prior BENCH_r{N}.json baseline (round-13 review: a
     # fresh checkout must still classify a breach).
     total_verdict = "no_envelope"
+    # Envelope SF read once: BOTH the stdout verdict and the bench_diff
+    # adjudication below must skip when the bench ran at a different SF
+    # than the envelope was measured at (ADVICE r13: the diff path
+    # previously adjudicated cross-SF totals unconditionally).
+    _env_sf = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_VARIANCE.json")) as f:
+            _env_sf = json.load(f).get("sf")
+    except Exception:  # noqa: BLE001 — no envelope file at all
+        _env_sf = None
     try:
         from tools.compare_bench import (
             adjudicate_total,
@@ -222,9 +236,6 @@ def main() -> None:
             load_envelope_totals,
         )
 
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_VARIANCE.json")) as f:
-            _env_sf = json.load(f).get("sf")
         if _env_sf == sf_val:
             total_verdict = adjudicate_total(
                 timings, load_envelope(), load_envelope_totals()
@@ -252,7 +263,14 @@ def main() -> None:
         )
         if rounds:
             base = rounds[-1]
-            diff = compute_diff(qmap(base), timings)
+            if _env_sf == sf_val:
+                diff = compute_diff(qmap(base), timings)
+            else:
+                # cross-SF run: the envelope's per-query spreads and totals
+                # don't apply — adjudicate with an empty envelope so
+                # total_adjudication honestly reads no_envelope instead of
+                # a cross-SF regression verdict (ADVICE r13)
+                diff = compute_diff(qmap(base), timings, env={}, env_totals=[])
             diff["vs"] = os.path.basename(base)
             # Ordering fingerprint of THIS run (the old run's ordering is
             # whatever DRIVER_PRIORITY was that round — rotation shifts

@@ -144,13 +144,18 @@ def table_row_count(sf_dir: str, name: str) -> int:
             # starts with '_' or '.' (_temporary, _spark_metadata, hidden
             # files) are INVISIBLE to the scan, so they must not count
             # here either or the dial n diverges from what read_table sees.
+            # No extension filter (ADVICE r13): Spark's file index reads
+            # every non-hidden file regardless of suffix, so an
+            # extension-less part file must count here too (a non-parquet
+            # stray makes BOTH sides fail loudly — read_metadata here, the
+            # scan there — which is the agreement we want).
             total = 0
             for root, dirs, files in os.walk(path):
                 dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 total += sum(
                     pq.read_metadata(os.path.join(root, f)).num_rows
                     for f in files
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                    if not f.startswith(("_", "."))
                 )
             _ROW_COUNT_CACHE[key] = total
         else:

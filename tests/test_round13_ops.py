@@ -290,13 +290,16 @@ def test_table_row_count_directory_skips_hidden_paths(tmp_path):
     (d / "_temporary").mkdir(parents=True)
     pq.write_table(pa.table({"x": list(range(7))}), d / "part-0.parquet")
     pq.write_table(pa.table({"x": list(range(5))}), d / "part-1.parquet")
+    # extension-less part file: Spark's file index reads every non-hidden
+    # file regardless of suffix, so it must count here too (ADVICE r13)
+    pq.write_table(pa.table({"x": list(range(4))}), d / "part-2")
     # all three of these must be ignored
     pq.write_table(pa.table({"x": list(range(99))}), d / "_temporary" / "part-9.parquet")
     pq.write_table(pa.table({"x": list(range(50))}), d / "_committed.parquet")
     pq.write_table(pa.table({"x": list(range(31))}), d / ".hidden.parquet")
 
     readers._ROW_COUNT_CACHE.clear()
-    assert readers.table_row_count(str(tmp_path), "t") == 12
+    assert readers.table_row_count(str(tmp_path), "t") == 16
 
 
 def test_ann_plan_build_runs_no_scan_jobs(spark, monkeypatch):

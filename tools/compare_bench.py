@@ -102,17 +102,25 @@ def adjudicate_total(
         out["verdict"] = "within_envelope"
         return out
     excess = total - max(env_totals)
+    # presence test, not truthiness (ADVICE r13): a recorded median of 0.0
+    # is a real envelope row — truthiness exempted such queries from
+    # attribution and miscounted them into unrecorded_sec
     hot_rows = {
         q: t - env[q]["median"]
         for q, t in new.items()
-        if env.get(q, {}).get("median") and t > 2.0 * env[q]["median"]
+        if env.get(q, {}).get("median") is not None and t > 2.0 * env[q]["median"]
     }
     concentrated = sum(hot_rows.values())
     out["excess_sec"] = round(excess, 3)
     out["concentrated_excess_sec"] = round(concentrated, 3)
     out["n_concentrated"] = len(hot_rows)
     out["unrecorded_sec"] = round(
-        sum(t for q, t in new.items() if not env.get(q, {}).get("median")), 3
+        sum(
+            t
+            for q, t in new.items()
+            if env.get(q, {}).get("median") is None
+        ),
+        3,
     )
     out["verdict"] = (
         "code_regression_suspected"
