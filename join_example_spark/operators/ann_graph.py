@@ -41,7 +41,10 @@ low-id entry points can't escape, and no beam width fixes an absent path.
 
 Fixed dials decay with corpus growth exactly like fixed-nprobe IVF
 (SCALE §3.7b); measured at the rotation-enlarged 16k DISTINCT tier
-(50 probes, top-3 vs flat truth):
+(50 probes, top-3 vs flat truth; regenerate with
+``tools/nsw_dial_sweep.py`` — recalls are deterministic exact values,
+build/search seconds are box-load-sensitive and quoted from an idle
+round-13 session):
 
 ====================================  ========  =========  =========
 (degree, nprobe, beam, rounds)        recall    build (s)  search (s)
@@ -54,6 +57,11 @@ Fixed dials decay with corpus growth exactly like fixed-nprobe IVF
 Degree (graph connectivity) is the binding dial, beam/rounds secondary —
 callers growing a corpus should scale ``degree`` ~log(n) first, the
 graph-ANN analogue of the adaptive IVF nprobe schedule.
+:func:`adaptive_nsw_dials` (round 14) ships that schedule: identical to
+the defaults at every fixture SF, landing exactly on the measured
+(24, 4, 64, 12) point at 16k — re-measured through the committed sweep
+tool: recall 0.9667 at n=2k, 0.9400 at n=16k under the adaptive dial
+(tests/test_round14_ops.py pins both tiers).
 """
 
 from __future__ import annotations
@@ -62,6 +70,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from join_example_spark.operators.similarity import DOT_SQL, _by_cell, ivf_cells
+
+#: Measured calibration anchors for :func:`adaptive_nsw_dials` — exact
+#: values of the deterministic pipeline, regenerable with
+#: ``tools/nsw_dial_sweep.py`` (50-probe protocol at the 8x tier):
+#: at N0 the defaults (16, 3, 32, 8) measure top-3 recall 0.9667; at N1
+#: (24, 4, 64, 12) measures 0.9400 while the fixed defaults decay to
+#: 0.7333. Degree is the binding dial (the connectivity knee), so the
+#: schedule grows it linearly in log n — +8 per 8x (the measured
+#: 16 → 24 hop) — with the secondary beam/rounds dials stepped once per
+#: 8x hop alongside it.
+NSW_CALIB_N0 = 2_000
+NSW_CALIB_N1 = 16_000
+
+
+def adaptive_nsw_dials(
+    n: int, target_recall: float | None = None
+) -> tuple[int, int, int, int]:
+    """Derive the NSW dials ``(degree, nprobe, beam, rounds)`` from the
+    corpus size — the graph-family twin of ``adaptive_nprobe`` /
+    ``adaptive_imi_dials`` (operators/similarity.py), closing the round-13
+    finding that the fixed defaults decay 0.9667 → 0.7333 from the 2k to
+    the 16k tier while (24, 4, 64, 12) restores 0.94.
+
+    Schedule: at ``n <= 2000`` (every fixture SF) the audited defaults are
+    returned unchanged — identical plans and recall pins. Beyond the
+    anchor, ``degree`` grows linearly in log n (+8/3 per doubling, landing
+    exactly on the measured (24, …) point at 16k), and the secondary dials
+    (nprobe, beam, rounds) step once per 8x hop: (3, 32, 8) → (4, 64, 12)
+    at 16k, continuing the same arithmetic/geometric steps beyond.
+    Both anchor recalls are MEASURED (see ``NSW_CALIB_N0/N1``); degrees at
+    intermediate n interpolate the log-slope monotonically (recall between
+    anchors is bounded below by neither — unmeasured, but beam membership
+    is monotone in every dial, so more degree/beam/rounds never hurts);
+    points beyond 16k EXTRAPOLATE the slope unmeasured — run
+    ``tools/nsw_dial_sweep.py`` at the target tier before relying on them
+    (the IVF family's 128k tier took its own sweep for the same reason).
+
+    ``target_recall``: only 0.90 is calibrated (both measured anchors land
+    above it: 0.9667 / 0.9400); ``None`` means the same schedule. Other
+    targets raise until swept — the honest refusal idiom shared with
+    ``adaptive_imi_dials``.
+    """
+    import math
+
+    if target_recall is not None and abs(target_recall - 0.90) > 1e-9:
+        raise ValueError(
+            "only target_recall=0.90 is calibrated for the NSW schedule "
+            "(measured 0.9667 / 0.9400 at the 2k / 16k anchors); sweep "
+            "other targets with tools/nsw_dial_sweep.py before shipping"
+        )
+    if n <= NSW_CALIB_N0:
+        return 16, 3, 32, 8
+    doublings = math.log2(n / NSW_CALIB_N0)
+    degree = 16 + int(math.ceil(8.0 * doublings / 3.0))
+    steps = int(math.ceil(doublings / 3.0))  # one step per measured 8x hop
+    return degree, 3 + steps, 32 * (2**steps), 8 + 4 * steps
 
 
 def knn_graph(

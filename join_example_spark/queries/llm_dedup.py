@@ -492,7 +492,7 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "q_llm_dedup_cluster",
     oracle="""
 WITH RECURSIVE
@@ -530,7 +530,14 @@ GROUP BY id
     note="near-dup CLUSTERS: token-Jaccard pairs as edges, connected "
     "components by iterative min-label propagation (operators/graph.py); "
     "oracle = recursive-CTE reachability. The transitive closure is what a "
-    "real dedup keeps one representative per — pairs alone under-merge",
+    "real dedup keeps one representative per — pairs alone under-merge. "
+    "LIBRARY since round 14 (suite-budget composition, VERDICT r13 task "
+    "3): q_llm_dedup_cluster_star certifies the SAME clustering contract "
+    "against the SAME recursive-CTE oracle via the O(log n) "
+    "star-contraction — the scale path — at half the cost (3.4 s vs "
+    "6.7 s envelope median); the naive-propagation loop (O(diameter) "
+    "rounds) stays oracle-pinned here at both fixture SFs "
+    "(tests/test_round14_ops.py)",
     tags=("llm", "dedup", "graph"),
 )
 def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from join_example_spark.operators.sampling import str_hash_sql as _str_hash_sql
 from join_example_spark.operators.text import (
     BPE_PATTERN,
     langid_expr,
@@ -832,4 +833,92 @@ def q_llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (np_.cast("double") / nd.cast("double")).alias("base_rate"),
         )
         .orderBy("bin")
+    )
+
+
+# Model-based quality scoring (round 14, VERDICT r13 task 5): the one
+# curation modality the heuristic signals (TTR, entropy, surprisal) don't
+# cover — a LINEAR CLASSIFIER over hashed bag-of-tokens features, the
+# fastText shape RefinedWeb/FineWeb-style pipelines run as their "quality
+# classifier" gate. The weights here are FROZEN integer-quantized
+# pseudo-weights derived affinely from the bucket id (a deterministic
+# stand-in for a trained model — the engine's job is the scoring plan, not
+# the training); a real deployment swaps the 8192-row generated table for
+# its learned int8-quantized weight table and nothing else changes.
+_QM_BUCKETS = 8192
+_QM_A = 2_654_435_761  # Knuth multiplicative constant (same as id_hash)
+_QM_B = 17
+_QM_P = 1_000_003
+
+
+@register(
+    "q_llm_quality_model",
+    oracle=f"""
+WITH weights AS (
+    SELECT CAST(f AS BIGINT) AS f,
+           CAST(((f * {_QM_A} + {_QM_B}) % {_QM_P}) % 128 - 64 AS BIGINT) AS w
+    FROM range({_QM_BUCKETS}) t(f)
+), toks AS (
+    SELECT doc_id, unnest(str_split(LOWER(TRIM(text)), ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+), hashed AS (
+    SELECT doc_id, {_str_hash_sql("tok")} % {_QM_BUCKETS} AS f
+    FROM toks
+), scored AS (
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(w.w) AS BIGINT) AS score_raw
+    FROM hashed h JOIN weights w USING (f)
+    GROUP BY h.doc_id
+)
+SELECT doc_id, n_toks, score_raw,
+       CAST(score_raw AS DOUBLE) / CAST(n_toks AS DOUBLE) AS margin,
+       CAST(score_raw AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 0.0 AS keep
+FROM scored
+""",
+    note="model-based quality classifier (fastText shape): tokens hash "
+    "into 8192 buckets with the portable char fold, a generated frozen "
+    "integer weight table (affine of the bucket id, range [-64, 63] — "
+    "the int8-quantized stand-in for trained weights) is BROADCAST-joined "
+    "to the token stream, and each document's score is the exact int64 "
+    "SUM of its token weights; margin = score_raw/n_toks is one IEEE "
+    "division of exactly-converted int64s (bit-stable both engines, "
+    "round-6 pattern), keep = margin >= 0.0 (literal threshold both "
+    "sides). No sigmoid — exp() is not cross-engine-portable and the "
+    "keep decision is monotone in the margin anyway. Scale shape: "
+    "feature hash is map-side, the weight join is a broadcast of a "
+    "model-sized (not corpus-sized) table, the doc rollup is one doc_id "
+    "shuffle — at 100 TB the weight table is the learned model "
+    "(~2M buckets x int8, a few MB) and the plan is unchanged",
+    tags=("llm", "text", "quality", "ml", "model"),
+)
+def q_llm_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from join_example_spark.operators.sampling import str_hash
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    weights = spark.range(_QM_BUCKETS).select(
+        F.col("id").alias("f"),
+        F.expr(f"CAST(((id * {_QM_A} + {_QM_B}) % {_QM_P}) % 128 - 64 AS BIGINT)").alias(
+            "w"
+        ),
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(LOWER(TRIM(text)), ' ')")).alias("tok"),
+    ).select("doc_id", (str_hash("tok") % _QM_BUCKETS).alias("f"))
+    scored = (
+        hashed.join(F.broadcast(weights), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("w").cast("bigint").alias("score_raw"),
+        )
+    )
+    margin = F.col("score_raw").cast("double") / F.col("n_toks").cast("double")
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "score_raw",
+        margin.alias("margin"),
+        (margin >= 0.0).alias("keep"),
     )

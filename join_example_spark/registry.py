@@ -97,61 +97,12 @@ def register_library(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (2: q_llm_dedup_url, q_llm_domain_cap),
+#: Ordering: never-proven/replanned first (1: q_llm_quality_model),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r8x45, r9x47, r10x46, r11x45, r12x48.
-#: Head-50 composition: newx2, r8x45, r9x3. Derived from CORRECTNESS_r{4..12}.json.
+#: round. Latest-green histogram: r9x44, r10x46, r11x44, r12x48, r13x50.
+#: Head-50 composition: newx1, r10x5, r9x44. Derived from CORRECTNESS_r{4..13}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_llm_dedup_url",
-    "q_llm_domain_cap",
-    "q_funnel_stages",
-    "q_join_asof",
-    "q_join_asof_left",
-    "q_join_asof_tolerance",
-    "q_join_ktable",
-    "q_join_range_bucketed",
-    "q_llm_bigram_surprisal",
-    "q_llm_char_entropy",
-    "q_llm_dedup_block_audit",
-    "q_llm_dedup_incremental",
-    "q_llm_dedup_minhash",
-    "q_llm_dedup_simhash",
-    "q_llm_dedup_simhash_exact",
-    "q_llm_embed_quantize",
-    "q_llm_quality_gate",
-    "q_llm_sim_knn_scale",
-    "q_profile_skew",
-    "q_resample_gapfill",
-    "q_scan_count",
-    "q_scan_json_props",
-    "q_scd2_intervals",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_stream_dedup",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_time_rollup",
-    "q_tpch_q1",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_win_first_last",
-    "q_win_lead_lag",
-    "q_win_time_range",
-    "q_agg_approx_percentile",
-    "q_agg_cube",
-    "q_agg_group",
+    "q_llm_quality_model",
     "q_agg_latest_per_key",
     "q_agg_percentile",
     "q_audience_overlap_hll",
@@ -251,7 +202,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_llm_bpe_pairs",
     "q_llm_cluster_dbscan",
-    "q_llm_dedup_cluster",
     "q_llm_dedup_cluster_star",
     "q_llm_dedup_containment",
     "q_llm_dedup_cosine_lossless",
@@ -335,6 +285,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_win_share",
     "q_zorder_layout",
+    "q_agg_approx_percentile",
+    "q_agg_cube",
+    "q_agg_group",
+    "q_funnel_stages",
+    "q_join_asof",
+    "q_join_asof_left",
+    "q_join_asof_tolerance",
+    "q_join_ktable",
+    "q_join_range_bucketed",
+    "q_llm_bigram_surprisal",
+    "q_llm_char_entropy",
+    "q_llm_dedup_block_audit",
+    "q_llm_dedup_incremental",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_exact",
+    "q_llm_dedup_url",
+    "q_llm_domain_cap",
+    "q_llm_embed_quantize",
+    "q_llm_quality_gate",
+    "q_llm_sim_knn_scale",
+    "q_profile_skew",
+    "q_resample_gapfill",
+    "q_scan_count",
+    "q_scan_json_props",
+    "q_scd2_intervals",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_time_rollup",
+    "q_tpch_q1",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_win_first_last",
+    "q_win_lead_lag",
+    "q_win_time_range",
 )
 
 
