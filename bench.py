@@ -240,7 +240,7 @@ def main() -> None:
             total_verdict = adjudicate_total(
                 timings, load_envelope(), load_envelope_totals()
             )["verdict"]
-        else:
+        elif _env_sf is not None:
             # envelope measured at a different SF — a cross-SF total
             # comparison would always read as within/hot nonsense
             total_verdict = f"no_envelope_at_sf_{sf_val}"

@@ -100,9 +100,11 @@ def adaptive_nsw_dials(
     (nprobe, beam, rounds) step once per 8x hop: (3, 32, 8) → (4, 64, 12)
     at 16k, continuing the same arithmetic/geometric steps beyond.
     Both anchor recalls are MEASURED (see ``NSW_CALIB_N0/N1``); degrees at
-    intermediate n interpolate the log-slope monotonically (recall between
-    anchors is bounded below by neither — unmeasured, but beam membership
-    is monotone in every dial, so more degree/beam/rounds never hurts);
+    intermediate n interpolate the log-slope monotonically — recall there
+    is UNMEASURED (extra ``rounds`` are provably recall-monotone, extra
+    degree/beam are empirically so at every measured point, but a fixed
+    beam admits eviction effects in principle, so the anchors bound the
+    dial schedule, not the recall curve between them);
     points beyond 16k EXTRAPOLATE the slope unmeasured — run
     ``tools/nsw_dial_sweep.py`` at the target tier before relying on them
     (the IVF family's 128k tier took its own sweep for the same reason).
