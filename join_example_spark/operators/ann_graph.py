@@ -73,13 +73,17 @@ from join_example_spark.operators.similarity import DOT_SQL, _by_cell, ivf_cells
 
 #: Measured calibration anchors for :func:`adaptive_nsw_dials` — exact
 #: values of the deterministic pipeline, regenerable with
-#: ``tools/nsw_dial_sweep.py`` (50-probe protocol at the 8x tier):
+#: ``tools/nsw_dial_sweep.py`` (50-probe protocol at the enlarged tiers):
 #: at N0 the defaults (16, 3, 32, 8) measure top-3 recall 0.9667; at N1
 #: (24, 4, 64, 12) measures 0.9400 while the fixed defaults decay to
 #: 0.7333. Degree is the binding dial (the connectivity knee), so the
 #: schedule grows it linearly in log n — +8 per 8x (the measured
 #: 16 → 24 hop) — with the secondary beam/rounds dials stepped once per
-#: 8x hop alongside it.
+#: 8x hop alongside it. The schedule's EXTRAPOLATION was then measured
+#: one octave further (round 14, 32x tier, n=64k): the adaptive landing
+#: (30, 5, 128, 16) holds recall at 0.96 while the frozen 16k dial
+#: decays to 0.86 — the log-slope holds through 64k; beyond that it
+#: extrapolates unmeasured.
 NSW_CALIB_N0 = 2_000
 NSW_CALIB_N1 = 16_000
 
@@ -105,9 +109,12 @@ def adaptive_nsw_dials(
     degree/beam are empirically so at every measured point, but a fixed
     beam admits eviction effects in principle, so the anchors bound the
     dial schedule, not the recall curve between them);
-    points beyond 16k EXTRAPOLATE the slope unmeasured — run
-    ``tools/nsw_dial_sweep.py`` at the target tier before relying on them
-    (the IVF family's 128k tier took its own sweep for the same reason).
+    the extrapolation past 16k is MEASURED at the next octave — at
+    n=64k the schedule's (30, 5, 128, 16) landing holds recall at 0.96
+    while the frozen 16k dial decays to 0.86 — and unmeasured beyond
+    64k: run ``tools/nsw_dial_sweep.py`` at the target tier before
+    relying on it further out (the IVF family's 128k tier took its own
+    sweep for the same reason).
 
     ``target_recall``: only 0.90 is calibrated (both measured anchors land
     above it: 0.9667 / 0.9400); ``None`` means the same schedule. Other

@@ -66,6 +66,10 @@ class TestAdaptiveNswDials:
         # the measured 16k landing (tools/nsw_dial_sweep.py: recall 0.9400)
         assert adaptive_nsw_dials(16_000) == (24, 4, 64, 12)
         assert adaptive_nsw_dials(16_000, target_recall=0.90) == (24, 4, 64, 12)
+        # the measured next-octave landing (32x tier sweep: recall 0.96 vs
+        # the frozen 16k dial's 0.86 — SCALE 3.19 extrapolation test; too
+        # heavy to re-run in the suite, the sweep tool regenerates it)
+        assert adaptive_nsw_dials(64_000) == (30, 5, 128, 16)
 
     def test_monotone_in_n(self):
         from join_example_spark.operators.ann_graph import adaptive_nsw_dials
