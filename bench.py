@@ -121,22 +121,39 @@ def main() -> None:
     # redraws (a hot confirmatory draw measured 7 suspects, cap 6 left one
     # unredrawn), ~45 s of redraw wall budget, worst offenders first.
     redraws: dict[str, dict[str, float]] = {}
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    # Envelope read ONCE, SF-gated for EVERY consumer (ADVICE r14: the
+    # redraw/suspects stage previously compared run timings against the
+    # sf0.1 envelope medians unconditionally, so a bench at a larger SF
+    # would flag nearly every query as a suspect and burn the 45 s redraw
+    # budget against meaningless medians). _env_sf also gates the stdout
+    # verdict and bench_diff adjudication below.
+    _env_sf = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_VARIANCE.json")) as f:
-            _env = json.load(f).get("queries", {})
+            _env_doc = json.load(f)
+        _env_sf = _env_doc.get("sf")
+        _env = _env_doc.get("queries", {}) if _env_sf == sf_val else {}
     except Exception:  # noqa: BLE001 — no envelope, no redraws
         _env = {}
     # presence test, not truthiness (ADVICE r13): a 0.0 envelope median is
-    # a real row and must stay eligible for redraws/attribution
+    # a real row and must stay eligible for redraws/attribution. Median
+    # floored at 0.05 s (ADVICE r14, mirrored in compare_bench's
+    # concentrated-excess rule) so a sub-rounding-resolution envelope row
+    # isn't unconditionally suspect.
     suspects = sorted(
         (
             (name, t)
             for name, t in timings.items()
             if _env.get(name, {}).get("median") is not None
-            and t > 2.0 * _env[name]["median"]
+            and t > 2.0 * max(_env[name]["median"], 0.05)
         ),
-        key=lambda nt: nt[1] - 2.0 * _env[nt[0]]["median"],
+        key=lambda nt: nt[1] - 2.0 * max(_env[nt[0]]["median"], 0.05),
         reverse=True,
     )
     redraw_budget = 45.0
@@ -178,11 +195,6 @@ def main() -> None:
         _log(f"spark.stop() failed (ignored): {exc}")
 
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
 
     # Per-query timings are context-sensitive to SUITE ORDER (the registry
     # iterates in DRIVER_PRIORITY order, which rotates every round), so an
@@ -218,17 +230,10 @@ def main() -> None:
     # envelope — NOT a prior BENCH_r{N}.json baseline (round-13 review: a
     # fresh checkout must still classify a breach).
     total_verdict = "no_envelope"
-    # Envelope SF read once: BOTH the stdout verdict and the bench_diff
-    # adjudication below must skip when the bench ran at a different SF
-    # than the envelope was measured at (ADVICE r13: the diff path
-    # previously adjudicated cross-SF totals unconditionally).
-    _env_sf = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_VARIANCE.json")) as f:
-            _env_sf = json.load(f).get("sf")
-    except Exception:  # noqa: BLE001 — no envelope file at all
-        _env_sf = None
+    # _env_sf was read (once, with the redraw-stage envelope) above: BOTH
+    # the stdout verdict and the bench_diff adjudication below must skip
+    # when the bench ran at a different SF than the envelope was measured
+    # at (ADVICE r13; redraw gate ADVICE r14).
     try:
         from tools.compare_bench import (
             adjudicate_total,

@@ -79,7 +79,9 @@ from join_example_spark.operators.similarity import DOT_SQL, _by_cell, ivf_cells
 #: 0.7333. Degree is the binding dial (the connectivity knee), so the
 #: schedule grows it linearly in log n — +8 per 8x (the measured
 #: 16 → 24 hop) — with the secondary beam/rounds dials stepped once per
-#: 8x hop alongside it. The schedule's EXTRAPOLATION was then measured
+#: STARTED 8x hop alongside it (ceiling semantics: the first step fires
+#: immediately past the anchor — recall-safe, cost front-loaded; see the
+#: function docstring). The schedule's EXTRAPOLATION was then measured
 #: one octave further (round 14, 32x tier, n=64k): the adaptive landing
 #: (30, 5, 128, 16) holds recall at 0.96 while the frozen 16k dial
 #: decays to 0.86 — the log-slope holds through 64k; beyond that it
@@ -101,8 +103,16 @@ def adaptive_nsw_dials(
     returned unchanged — identical plans and recall pins. Beyond the
     anchor, ``degree`` grows linearly in log n (+8/3 per doubling, landing
     exactly on the measured (24, …) point at 16k), and the secondary dials
-    (nprobe, beam, rounds) step once per 8x hop: (3, 32, 8) → (4, 64, 12)
-    at 16k, continuing the same arithmetic/geometric steps beyond.
+    (nprobe, beam, rounds) step once per STARTED 8x hop — ceiling
+    semantics, deliberate: the first step fires IMMEDIATELY past the
+    anchor (n=2001 already pays the full 16k-tier (4, 64, 12)
+    beam/rounds cost), not at 16k, so the entire 2k–16k interval runs at
+    the next tier's secondary dials. That front-loads cost but keeps
+    every mid-interval corpus at-or-above both measured anchors'
+    settings (the dials are recall-monotone, so rounding UP is the
+    recall-safe direction; callers sizing mid-interval corpora who care
+    about the beam/rounds cost should sweep their own tier). Each later
+    started 8x hop continues the same arithmetic/geometric steps.
     Both anchor recalls are MEASURED (see ``NSW_CALIB_N0/N1``); degrees at
     intermediate n interpolate the log-slope monotonically — recall there
     is UNMEASURED (extra ``rounds`` are provably recall-monotone, extra

@@ -1,0 +1,69 @@
+"""Round-15 pins: ADVICE r14 fixes (envelope-median floor in the suspect
+rule, cross-SF redraw gate), the q_llm_dedup_semantic_ivf library-tier
+retirement mirror, and the bigram-upgraded quality model (added in this
+round's later commits)."""
+
+from __future__ import annotations
+
+
+def test_concentrated_excess_floors_zero_median():
+    """ADVICE r14: a query whose recorded envelope median is exactly 0.0
+    must NOT auto-classify as concentrated hot excess (t > 2*0.0 is every
+    positive draw) — the suspect rule floors the median at 0.05 s, so a
+    breached total carried by sub-resolution rows reads as a hot session,
+    not a code regression."""
+    from tools.compare_bench import adjudicate_total
+
+    n = 150
+    env = {f"q{i}": {"spread_pct": 30, "median": 0.0} for i in range(n)}
+    env_totals = [10.0, 10.5, 11.0]
+    # every query draws 0.09 s: above 2*0.0 but below the floored 2*0.05
+    # bar -> diffuse excess -> hot session, never a regression conviction
+    new = {f"q{i}": 0.09 for i in range(n)}
+    out = adjudicate_total(new, env, env_totals)
+    assert out["verdict"] == "hot_session_suspected"
+    assert out["n_concentrated"] == 0
+
+    # a genuinely slow row against a 0.0 median still convicts: 9 s of a
+    # ~9.9 s excess is concentrated even under the floor
+    new2 = {f"q{i}": 0.09 for i in range(n)}
+    new2["q0"] = 12.0
+    out2 = adjudicate_total(new2, env, env_totals)
+    assert out2["verdict"] == "code_regression_suspected"
+    assert out2["n_concentrated"] == 1
+
+
+def test_bench_redraw_envelope_is_sf_gated():
+    """ADVICE r14: bench.py's redraw/suspects stage must compare run
+    timings against the envelope only when the bench SF matches the
+    envelope SF — source-level pin (the stage reads _env from the same
+    SF-gated read as the verdict/diff stages)."""
+    import re
+
+    src = open("bench.py").read()
+    # the envelope queries are zeroed when the envelope SF differs
+    assert re.search(
+        r'_env = _env_doc\.get\("queries", \{\}\) if _env_sf == sf_val else \{\}',
+        src,
+    ), "redraw-stage envelope read lost its SF gate"
+    # exactly one BENCH_VARIANCE.json read in bench.py (redraw + verdict +
+    # diff all share it) — a second unconditional read would reintroduce
+    # the cross-SF bug
+    assert src.count('"BENCH_VARIANCE.json"') == 1
+
+
+def test_nsw_secondary_dials_step_immediately_past_anchor():
+    """ADVICE r14 (doc honesty): the secondary NSW dials use CEILING
+    semantics — the full next-tier (nprobe, beam, rounds) fires at
+    n = anchor+1, not at 16k. Pin the behavior the docstring now
+    documents so a future 'fix' to floor semantics is a conscious
+    recalibration, not drive-by."""
+    from join_example_spark.operators.ann_graph import adaptive_nsw_dials
+
+    assert adaptive_nsw_dials(2000) == (16, 3, 32, 8)
+    d, p, b, r = adaptive_nsw_dials(2001)
+    assert (p, b, r) == (4, 64, 12)  # full 16k-tier secondaries immediately
+    assert d == 17  # degree interpolates the log-slope, not a jump
+    assert adaptive_nsw_dials(16_000) == (24, 4, 64, 12)
+    assert adaptive_nsw_dials(64_000) == (30, 5, 128, 16)
+    assert adaptive_nsw_dials(128_000) == (32, 5, 128, 16)

@@ -104,11 +104,17 @@ def adjudicate_total(
     excess = total - max(env_totals)
     # presence test, not truthiness (ADVICE r13): a recorded median of 0.0
     # is a real envelope row — truthiness exempted such queries from
-    # attribution and miscounted them into unrecorded_sec
+    # attribution and miscounted them into unrecorded_sec. The median is
+    # FLOORED at 0.05 s in the suspect rule (ADVICE r14): a
+    # sub-rounding-resolution envelope row (median exactly 0.0) would
+    # otherwise satisfy t > 2*0.0 unconditionally and count its full draw
+    # as concentrated excess — tipping a breached total toward
+    # code_regression_suspected on noise alone.
     hot_rows = {
         q: t - env[q]["median"]
         for q, t in new.items()
-        if env.get(q, {}).get("median") is not None and t > 2.0 * env[q]["median"]
+        if env.get(q, {}).get("median") is not None
+        and t > 2.0 * max(env[q]["median"], 0.05)
     }
     concentrated = sum(hot_rows.values())
     out["excess_sec"] = round(excess, 3)
