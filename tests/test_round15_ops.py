@@ -52,6 +52,28 @@ def test_bench_redraw_envelope_is_sf_gated():
     assert src.count('"BENCH_VARIANCE.json"') == 1
 
 
+def test_env_probe_runs_and_matches_code_assumptions():
+    """tools/env_probe.py (VERDICT r14 task 5) must run cleanly and its
+    findings must agree with the code paths the engine actually takes:
+    streaming uses applyInPandasWithState iff transformWithState is
+    unusable, and demos use file sources iff no Kafka jar is present.
+    If this test ever fails on those two asserts, the ENVIRONMENT
+    changed — re-evaluate the gated paths, don't patch the test."""
+    from tools.env_probe import run_probes
+
+    doc = run_probes()
+    assert set(doc) == {
+        "probed_at", "reference", "protobuf", "kafka_jar", "network",
+        "versions",
+    }
+    # engine-relevant invariants the code is currently shaped around:
+    assert doc["protobuf"]["transform_with_state_usable"] is False
+    assert doc["kafka_jar"]["kafka_connector_present"] is False
+    # reference probe is structural (empty or not, it must report)
+    assert isinstance(doc["reference"].get("file_count", 0), int)
+    assert doc["versions"]["pyspark"].startswith("4.")
+
+
 def test_nsw_secondary_dials_step_immediately_past_anchor():
     """ADVICE r14 (doc honesty): the secondary NSW dials use CEILING
     semantics — the full next-tier (nprobe, beam, rounds) fires at
