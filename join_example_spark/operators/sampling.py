@@ -47,6 +47,20 @@ def id_hash_sql(col: str, p: int = HASH_P) -> str:
     return f"(((({col} % {p}) + {p}) % {p} * {a_mod} + {_HASH_B}) % {p})"
 
 
+def str_hash_expr(operand: str, p: int = HASH_P) -> str:
+    """Spark-SQL TEXT of :func:`str_hash` for an arbitrary operand
+    expression — usable inside higher-order-function lambdas (e.g.
+    ``transform(t, x -> {str_hash_expr('x')} % m)``), where a ``Column``
+    can't reach. Same fold + mix as :func:`str_hash` (which delegates
+    here), twin of :func:`str_hash_sql`."""
+    fold = (
+        f"aggregate(split({operand}, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {p})"
+    )
+    h = f"({fold})"
+    return f"(({h} * {h}) % {p} * 31 + {h}) % {p}"
+
+
 def str_hash(col: str, p: int = HASH_P) -> Column:
     """Portable polynomial char-fold hash of a string column, in [0, p).
 
@@ -57,12 +71,7 @@ def str_hash(col: str, p: int = HASH_P) -> Column:
     breaks the progression. Intermediates stay < 31*p + p (~3e7), far
     inside int64 under ANSI checking.
     """
-    fold = (
-        f"aggregate(split({col}, ''), CAST(0 AS BIGINT),"
-        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {p})"
-    )
-    h = f"({fold})"
-    return F.expr(f"(({h} * {h}) % {p} * 31 + {h}) % {p}")
+    return F.expr(str_hash_expr(col, p))
 
 
 def str_hash_sql(col: str, p: int = HASH_P) -> str:

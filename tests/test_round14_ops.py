@@ -151,13 +151,19 @@ def _py_str_hash(s: str, p: int = 1_000_003) -> int:
 
 
 def test_quality_model_python_twin(spark):
-    """Third-implementation check: per-doc (n_toks, score_raw, keep) from
-    pure Python over the raw fixture text must equal the Spark plan's
-    output for a deterministic sample of documents."""
+    """Third-implementation check: per-doc (n_toks, n_bigrams, score_raw,
+    keep) from pure Python over the raw fixture text must equal the Spark
+    plan's output for a deterministic sample of documents. Round 15
+    (VERDICT r14 task 4): the model gained fastText-style token-BIGRAM
+    features — unigrams hash into [0, 8192), adjacent-token bigrams into
+    [8192, 16384), one weight table over the doubled space."""
     import pyarrow.parquet as pq
 
     from join_example_spark.queries.llm_text import _QM_A, _QM_B, _QM_BUCKETS, _QM_P
     from join_example_spark.registry import load_all
+
+    def _w(f: int) -> int:
+        return ((f * _QM_A + _QM_B) % _QM_P) % 128 - 64
 
     tbl = pq.read_table(
         f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"]
@@ -170,11 +176,13 @@ def test_quality_model_python_twin(spark):
         toks = text.strip().lower().split(" ")
         score = 0
         for t in toks:
-            f = _py_str_hash(t) % _QM_BUCKETS
-            score += ((f * _QM_A + _QM_B) % _QM_P) % 128 - 64
-        want[doc_id] = (len(toks), score, score >= 0)
+            score += _w(_py_str_hash(t) % _QM_BUCKETS)
+        for a, b in zip(toks, toks[1:]):
+            score += _w(_QM_BUCKETS + _py_str_hash(a + " " + b) % _QM_BUCKETS)
+        n_bigrams = max(len(toks) - 1, 0)
+        want[doc_id] = (len(toks), n_bigrams, score, score >= 0)
     got = {
-        r.doc_id: (r.n_toks, r.score_raw, r.keep)
+        r.doc_id: (r.n_toks, r.n_bigrams, r.score_raw, r.keep)
         for r in load_all()["q_llm_quality_model"]
         .fn(spark, SF_SMOKE)
         .where(F.col("doc_id") % 25 == 0)
