@@ -1618,7 +1618,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "q_llm_dedup_semantic_ivf",
     oracle=f"""
 WITH RECURSIVE
@@ -1700,7 +1700,14 @@ WHERE rn = 1
     "star-contraction + max-norm election tail as q_llm_dedup_semantic; "
     "clusters differ from the exact path only where an edge crosses IVF "
     "cells — the recall trade every ANN index makes, measured by "
-    "q_llm_ann_recall",
+    "q_llm_ann_recall. LIBRARY tier since round 15 (suite-budget "
+    "composition, VERDICT r14 task 1): the cheap-dial (nprobe=1) "
+    "sibling of the declared multi-probe default — the semantic-edge "
+    "machinery it shares with q_llm_dedup_semantic and "
+    "q_llm_split_leakage_safe executed 3x per suite run; the nprobe "
+    "dial's recall curve stays driver-audited via "
+    "q_llm_ann_recall_nprobe, and full oracle parity is preserved at "
+    "both fixture SFs in tests/test_round15_ops.py",
     tags=("llm", "dedup", "similarity", "graph", "approx"),
 )
 def q_llm_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

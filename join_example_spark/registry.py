@@ -99,59 +99,10 @@ def register_library(
 #: hand-edit; the tool regenerates comment AND tuple together)
 #: Ordering: never-proven/replanned first (1: q_llm_quality_model),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r9x44, r10x46, r11x44, r12x48, r13x50.
-#: Head-50 composition: newx1, r10x5, r9x44. Derived from CORRECTNESS_r{4..13}.json.
+#: round. Latest-green histogram: r10x40, r11x44, r12x48, r13x50, r14x49.
+#: Head-50 composition: newx1, r10x40, r11x9. Derived from CORRECTNESS_r{4..14}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_quality_model",
-    "q_agg_latest_per_key",
-    "q_agg_percentile",
-    "q_audience_overlap_hll",
-    "q_dq_constraints",
-    "q_dq_robust_mad",
-    "q_dq_stats_drift",
-    "q_dq_volume_anomaly",
-    "q_filter_branch",
-    "q_fn_json",
-    "q_fn_map",
-    "q_gaps_islands",
-    "q_incremental_agg",
-    "q_join_theta_range",
-    "q_limit_offset",
-    "q_llm_ann_recall_nprobe",
-    "q_llm_chunk_overlap",
-    "q_llm_decontaminate",
-    "q_llm_decontaminate_semantic",
-    "q_llm_dedup_ngram",
-    "q_llm_dedup_semantic_incr",
-    "q_llm_kmeans_iter",
-    "q_llm_mix_sources",
-    "q_llm_pack_chunks",
-    "q_llm_pii_redact",
-    "q_llm_repetition",
-    "q_llm_sample_hash",
-    "q_llm_sample_stratified",
-    "q_llm_sim_ivf_probe",
-    "q_llm_source_token_cap",
-    "q_llm_split_assign",
-    "q_llm_train_pipeline",
-    "q_multimodal_frames",
-    "q_profile_columns",
-    "q_scan_parquet",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect_all",
-    "q_set_union_distinct",
-    "q_sort_limit",
-    "q_win_ntile_percent",
-    "q_win_rank",
-    "q_win_running",
-    "q_win_sliding_distinct",
-    "q_win_topk_per_group",
-    "q_events_attribution",
-    "q_filter_pred",
-    "q_flagship_daily_enrich",
-    "q_funnel_latency",
-    "q_graph_bfs",
     "q_graph_kcore",
     "q_graph_label_prop",
     "q_graph_pagerank",
@@ -169,7 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_decontaminate_substring",
     "q_llm_dedup_prefix",
     "q_llm_dedup_semantic",
-    "q_llm_dedup_semantic_ivf",
     "q_llm_dedup_substring",
     "q_llm_embed_outliers",
     "q_llm_imi_recall",
@@ -335,6 +285,55 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_first_last",
     "q_win_lead_lag",
     "q_win_time_range",
+    "q_agg_latest_per_key",
+    "q_agg_percentile",
+    "q_audience_overlap_hll",
+    "q_dq_constraints",
+    "q_dq_robust_mad",
+    "q_dq_stats_drift",
+    "q_dq_volume_anomaly",
+    "q_events_attribution",
+    "q_filter_branch",
+    "q_filter_pred",
+    "q_flagship_daily_enrich",
+    "q_fn_json",
+    "q_fn_map",
+    "q_funnel_latency",
+    "q_gaps_islands",
+    "q_graph_bfs",
+    "q_incremental_agg",
+    "q_join_theta_range",
+    "q_limit_offset",
+    "q_llm_ann_recall_nprobe",
+    "q_llm_chunk_overlap",
+    "q_llm_decontaminate",
+    "q_llm_decontaminate_semantic",
+    "q_llm_dedup_ngram",
+    "q_llm_dedup_semantic_incr",
+    "q_llm_kmeans_iter",
+    "q_llm_mix_sources",
+    "q_llm_pack_chunks",
+    "q_llm_pii_redact",
+    "q_llm_repetition",
+    "q_llm_sample_hash",
+    "q_llm_sample_stratified",
+    "q_llm_sim_ivf_probe",
+    "q_llm_source_token_cap",
+    "q_llm_split_assign",
+    "q_llm_train_pipeline",
+    "q_multimodal_frames",
+    "q_profile_columns",
+    "q_scan_parquet",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect_all",
+    "q_set_union_distinct",
+    "q_sort_limit",
+    "q_win_ntile_percent",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_sliding_distinct",
+    "q_win_topk_per_group",
 )
 
 

@@ -5,6 +5,45 @@ round's later commits)."""
 
 from __future__ import annotations
 
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_utils import run_compare
+
+#: Round-15 library-tier retiree (suite-budget composition, VERDICT r14
+#: task 1): the cheap-dial (nprobe=1) sibling of the declared multi-probe
+#: semantic-dedup default. The semantic-edge machinery it shares with
+#: q_llm_dedup_semantic and q_llm_split_leakage_safe executed 3x per
+#: suite run; the nprobe recall curve stays driver-audited via
+#: q_llm_ann_recall_nprobe.
+RETIRED_R15 = ["q_llm_dedup_semantic_ivf"]
+
+
+@pytest.mark.parametrize("name", RETIRED_R15)
+def test_r15_library_mirror_smoke(spark, name):
+    problems = run_compare(spark, name, SF_SMOKE)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", RETIRED_R15)
+def test_r15_library_mirror_sf001(spark, name):
+    problems = run_compare(spark, name, SF_ORACLE)
+    assert not problems, problems
+
+
+def test_r15_retirees_in_library_tier_only():
+    from join_example_spark.registry import load_all, load_library
+
+    declared = load_all()
+    lib = load_library()
+    for name in RETIRED_R15:
+        assert name in lib and name not in declared, name
+        assert lib[name].oracle is not None, f"{name} lost its oracle"
+    # the siblings that carry the declared semantic contract stay declared
+    assert "q_llm_dedup_semantic" in declared
+    assert "q_llm_split_leakage_safe" in declared
+    assert "q_llm_ann_recall_nprobe" in declared
+
 
 def test_concentrated_excess_floors_zero_median():
     """ADVICE r14: a query whose recorded envelope median is exactly 0.0
