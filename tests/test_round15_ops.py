@@ -113,6 +113,21 @@ def test_env_probe_runs_and_matches_code_assumptions():
     assert doc["versions"]["pyspark"].startswith("4.")
 
 
+def test_bench_library_pass_is_optin_and_excluded_from_total():
+    """VERDICT r14 task 6: `bench.py --library` times the library-tier
+    operators into bench_full.json's "library" section only — never the
+    driver-recorded total, stdout queries map, or envelope. Source-level
+    pin: the pass is argv-gated and sums into its own total."""
+    src = open("bench.py").read()
+    assert '"--library" in sys.argv' in src
+    assert '"library": library' in src
+    # the library pass must come AFTER the redraw stage (so redraw budget
+    # and suspects never see library draws) and write into lib_timings,
+    # not the declared `timings` map the total sums
+    assert src.index('"--library" in sys.argv') > src.index("redraw_budget")
+    assert "lib_timings[name] = round" in src
+
+
 def test_nsw_secondary_dials_step_immediately_past_anchor():
     """ADVICE r14 (doc honesty): the secondary NSW dials use CEILING
     semantics — the full next-tier (nprobe, beam, rounds) fires at
