@@ -87,8 +87,16 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     measured 2× faster at sf0.1 with bit-identical output. Spark
     ``sequence(a, b)`` DESCENDS when a > b, so the bigram build is guarded
     for n < 2.
+
+    The token array is materialized ONCE in its own projection and every
+    downstream expression references the column: interpolating the raw
+    ``split(...)`` expression put it INSIDE the bigram TRANSFORM lambda,
+    where it re-ran twice per element — O(n²) re-splitting per document
+    (round-15 lesson: lambda bodies re-evaluate inlined expressions per
+    element; the materialized alias is referenced 7×, so CollapseProject
+    cannot inline it back).
     """
-    toks = f"split(TRIM({text_col}), ' ')"
+    toks = "_rf_toks"
     # Longest equal-run of the sorted array == count of the most frequent
     # element; fold state is (prev, current run, best run).
     top_cnt = (
@@ -109,7 +117,8 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"ELSE ARRAY() END"
     )
     return (
-        df.withColumn("n_tokens", F.expr(f"CAST(SIZE({toks}) AS BIGINT)"))
+        df.withColumn("_rf_toks", F.expr(f"split(TRIM({text_col}), ' ')"))
+        .withColumn("n_tokens", F.expr(f"CAST(SIZE({toks}) AS BIGINT)"))
         .withColumn(
             "top_word_frac",
             F.expr(f"CAST({top_cnt.format(a=toks)} AS DOUBLE) / SIZE({toks})"),
@@ -124,6 +133,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .drop("_bigrams")
+        .drop("_rf_toks")
     )
 
 

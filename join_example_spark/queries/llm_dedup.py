@@ -468,17 +468,29 @@ WHERE LEN(a.grams) > 0 AND LEN(b.grams) > 0
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan-shape notes (round-15 plan audit): (1) the token array is
+    # materialized ONCE as _t — the old form interpolated the raw split
+    # INSIDE the (t, i) shingle lambda, re-splitting the whole document per
+    # element (O(n²) per doc; _t is referenced 4×, so CollapseProject
+    # cannot inline it back). (2) the old `size(grams) > 0` guard pushed
+    # below the projection by substitution and re-built the entire shingle
+    # array in the Filter; `grams` is non-empty iff the doc has >= 2
+    # tokens iff TRIM(text) contains an interior space (split on a single
+    # space makes token count = space count + 1; LOWER doesn't affect
+    # spaces; NULL text fails both predicates), so the equivalent cheap
+    # text predicate replaces it outright.
     shingles = F.expr(
-        "array_distinct(transform("
-        "  slice(split(LOWER(TRIM(text)), ' '), 1,"
-        "        greatest(size(split(LOWER(TRIM(text)), ' ')) - 1, 0)),"
-        "  (t, i) -> concat(t, ' ', split(LOWER(TRIM(text)), ' ')[i + 1])))"
+        "array_distinct(transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        "  (t, i) -> concat(t, ' ', _t[i + 1])))"
     )
     docs = (
         read_table(spark, sf_dir, "documents")
-        .where(F.col("source").isin("src0", "src1"))
+        .where(
+            F.col("source").isin("src0", "src1")
+            & F.expr("contains(TRIM(text), ' ')")
+        )
+        .withColumn("_t", F.expr("split(LOWER(TRIM(text)), ' ')"))
         .select("doc_id", "lang", "n_chars", shingles.alias("grams"))
-        .where(F.size("grams") > 0)
     )
     pairs = length_bucket_pairs(docs, payload_col="grams", width=20)
     jac = F.expr(
@@ -974,13 +986,28 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(split(t, ''), CAST(0 AS BIGINT),"
         f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P})"
     )
+    # Plan-shape note (round-15 plan audit): _mintok is an equi-join key, so
+    # Catalyst infers isnotnull(_mintok) and pushes it below the projection
+    # BY SUBSTITUTION — the entire per-char fold re-ran inside the Filter on
+    # BOTH join branches (2x the necessary hash work). _mintok is NULL iff
+    # text is NULL (split of a non-null string is never empty), and a
+    # NULL key never matches an inner join on either engine, so the explicit
+    # cheap text-IS-NOT-NULL guard drops exactly the rows the inferred
+    # filter dropped; the non-nullable coalesce (fold values are >= 0, the
+    # -1 sentinel is unreachable) then stops the inference from firing at
+    # all. Result rows are identical; the fold now runs once per branch.
     docs = (
         read_table(spark, sf_dir, "documents")
-        .where(F.col("source").isin("src0", "src1"))
+        .where(F.col("source").isin("src0", "src1") & F.col("text").isNotNull())
         .select("doc_id", "lang", "n_chars", F.expr("LOWER(TRIM(text))").alias("ntext"))
         .withColumn(
             "_mintok",
-            F.expr(f"array_min(transform(array_distinct(split(ntext, ' ')), t -> {poly}))"),
+            F.coalesce(
+                F.expr(
+                    f"array_min(transform(array_distinct(split(ntext, ' ')), t -> {poly}))"
+                ),
+                F.lit(-1).cast("bigint"),
+            ),
         )
     )
     pairs = length_bucket_pairs(docs, payload_col="ntext", width=20, extra_key_col="_mintok")
@@ -1400,6 +1427,59 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sigs(
+    spark: SparkSession, sf_dir: str, nbits: int, prime: int
+) -> DataFrame:
+    """Per-doc SimHash signature via explode + codegen vote aggregation.
+
+    Plan-shape note (round-15 plan audit): the original single-expression
+    form computed the per-token char fold INSIDE the per-bit lambda —
+    Catalyst inlines a once-referenced alias into lambda bodies, so the
+    whole token-hash array was recomputed nbits× per row — and the
+    pushed-down join-key ``isnotnull(sig)`` filter re-evaluated the entire
+    signature again below the projection: ~2·nbits× the necessary per-char
+    work. Exploding the distinct tokens evaluates the fold ONCE per
+    (doc, token) and the nbits ±1 vote sums run as a map-side-partial
+    HashAggregate (full codegen); the one added exchange carries
+    (doc_id, nbits BIGINTs) — narrow rows, linear at any scale. Vote sums
+    and bit assembly are the same integer arithmetic as before, so the
+    signature is bit-identical (mirror-pinned at both fixture SFs).
+    """
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .where((F.col("source") == "src0") & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))")
+            ).alias("t"),
+        )
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            "aggregate(split(t, ''), CAST(0 AS BIGINT),"
+            f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {prime})"
+        ).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), {i})) % 2 = 1"
+                " THEN 1 ELSE -1 END"
+            )
+        ).alias(f"v{i}")
+        for i in range(nbits)
+    ]
+    sig = " + ".join(
+        f"IF(v{i} > 0, shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
+        for i in range(nbits)
+    )
+    return (
+        hashed.groupBy("doc_id").agg(*votes).select("doc_id", F.expr(sig).alias("sig"))
+    )
+
+
 @register(
     "q_llm_dedup_simhash_exact",
     oracle=f"""
@@ -1451,29 +1531,7 @@ WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIT)) <= 3
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    poly = (
-        "aggregate(split(t, ''), CAST(0 AS BIGINT),"
-        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_MH_P})"
-    )
-    sig = (
-        "aggregate(transform(sequence(0, 15),"
-        " i -> CASE WHEN aggregate(transform(th,"
-        "          h -> CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), i)) % 2 = 1"
-        "               THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v) > 0"
-        "      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
-        " CAST(0 AS BIGINT), (a, b) -> a + b)"
-    )
-    sigs = (
-        read_table(spark, sf_dir, "documents")
-        .where((F.col("source") == "src0") & (F.length(F.trim("text")) > 0))
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(array_distinct(split(LOWER(TRIM(text)), ' ')), t -> {poly})"
-            ).alias("th"),
-        )
-        .select("doc_id", F.expr(sig).alias("sig"))
-    )
+    sigs = _simhash_sigs(spark, sf_dir, nbits=16, prime=_MH_P)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -1565,29 +1623,7 @@ WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIT)) <= 3
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    poly = (
-        "aggregate(split(t, ''), CAST(0 AS BIGINT),"
-        f" (acc, c) -> (acc * 31 + CAST(ASCII(c) AS BIGINT)) % {_SH32_P})"
-    )
-    sig = (
-        "aggregate(transform(sequence(0, 31),"
-        " i -> CASE WHEN aggregate(transform(th,"
-        "          h -> CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), i)) % 2 = 1"
-        "               THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v) > 0"
-        "      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
-        " CAST(0 AS BIGINT), (a, b) -> a + b)"
-    )
-    sigs = (
-        read_table(spark, sf_dir, "documents")
-        .where((F.col("source") == "src0") & (F.length(F.trim("text")) > 0))
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(array_distinct(split(LOWER(TRIM(text)), ' ')), t -> {poly})"
-            ).alias("th"),
-        )
-        .select("doc_id", F.expr(sig).alias("sig"))
-    )
+    sigs = _simhash_sigs(spark, sf_dir, nbits=32, prime=_SH32_P)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -1932,15 +1968,37 @@ def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    hashed = wins.select("doc_id", F.expr(_SUBSTR_FOLD_SPARK).alias("h"))
-    stats = hashed.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    # h is both the histogram groupBy key and the join-back equi-key:
+    # Catalyst infers isnotnull(h) on the join inputs and pushes it below
+    # this projection by substitution, re-running the whole per-char fold
+    # in a Filter (round-15 plan audit). w is never NULL (substring of
+    # length-guarded text via transform), and the fold is >= 0, so the
+    # non-nullable coalesce (unreachable -1 sentinel) is value-identical
+    # and stops the inference — the fold runs once per window per branch.
+    hashed = wins.select(
+        "doc_id",
+        F.coalesce(F.expr(_SUBSTR_FOLD_SPARK), F.lit(-1).cast("bigint")).alias("h"),
+    )
+    # One pass instead of two (round-15 plan audit): the old
+    # hashed-join-stats formulation referenced `hashed` twice, so the
+    # whole scan → window-explode → char-fold subplan EXECUTED twice
+    # (round-5 lesson: no DAG dedup without a checkpoint barrier). The
+    # per-(h, doc_id) rollup keeps every quantity the join computed:
+    # c = occurrences of window h in doc, nd = COUNT(*) over the rolled-up
+    # rows per h = countDistinct(doc_id), n_windows = SUM(c),
+    # n_dup_windows = SUM(c) over h-groups spanning >= 2 docs — identical
+    # output, one fold pass, and the h-window sees pre-aggregated rows.
+    from pyspark.sql import Window
+
+    per = hashed.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
     return (
-        hashed.join(stats, "h")
-        .groupBy("doc_id")
+        per.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.sum(dup).cast("bigint").alias("n_dup_windows"),
+            F.sum("c").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
         )
         .select(
             "doc_id",

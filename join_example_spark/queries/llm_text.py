@@ -954,15 +954,23 @@ def q_llm_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(GREATEST(size(t) - 1, 0) AS BIGINT)").alias("n_bigrams"),
         F.explode(F.expr(feats)).alias("tok"),
     )
+    # f is the broadcast-join key: Catalyst infers isnotnull(f) and pushes
+    # it below this projection by substitution, re-evaluating the whole
+    # char-fold mix in the Filter (2x the hash work — round-15 plan audit).
+    # f is NULL only if tok is NULL, which explode of an array of non-null
+    # concat/split elements never yields; the non-nullable coalesce (the -1
+    # sentinel is outside the weight table's [0, 16384) id range anyway)
+    # stops the inference so the hash runs exactly once per feature.
     hashed = featd.select(
         "doc_id",
         "n_toks",
         "n_bigrams",
-        (
+        F.coalesce(
             F.expr(
                 f"CASE WHEN contains(tok, ' ') THEN {_QM_BUCKETS} ELSE 0 END"
             )
-            + str_hash("tok") % _QM_BUCKETS
+            + str_hash("tok") % _QM_BUCKETS,
+            F.lit(-1).cast("bigint"),
         ).alias("f"),
     )
     scored = (

@@ -595,11 +595,22 @@ def q_llm_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
             ).alias("w")
         )
-        .select(F.expr(_SUBSTR_FOLD_SPARK).alias("h"))
+        .select(
+            # h is the (non-preserved) right-side key of the left join, so
+            # Catalyst infers isnotnull(h) and re-runs the whole char fold
+            # in a pushed-down Filter (round-15 plan audit). w is never
+            # NULL and the fold is >= 0 — the non-nullable coalesce
+            # (unreachable -1 sentinel) is value-identical and stops the
+            # inference on both sides.
+            F.coalesce(F.expr(_SUBSTR_FOLD_SPARK), F.lit(-1).cast("bigint")).alias("h")
+        )
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    trh = tr.select("doc_id", F.expr(_SUBSTR_FOLD_SPARK).alias("h"))
+    trh = tr.select(
+        "doc_id",
+        F.coalesce(F.expr(_SUBSTR_FOLD_SPARK), F.lit(-1).cast("bigint")).alias("h"),
+    )
     leaked = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
     return (
         trh.join(F.broadcast(ev), "h", "left")
@@ -837,11 +848,23 @@ def q_llm_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.sampling import str_hash
 
     docs = read_table(spark, sf_dir, "documents")
+    # f is both the histogram groupBy key and the broadcast-join key:
+    # Catalyst infers isnotnull(f) and re-runs the whole char-fold mix in
+    # a pushed-down Filter on BOTH references of `hashed` (round-15 plan
+    # audit). tok is never NULL (explode of a split array), so the
+    # non-nullable coalesce (the -1 sentinel is outside [0, 8192)) is
+    # value-identical and stops the inference.
     hashed = docs.select(
         "doc_id",
         "lang",
         F.explode(F.expr("split(LOWER(TRIM(text)), ' ')")).alias("tok"),
-    ).select("doc_id", "lang", (str_hash("tok") % _DSIR_BUCKETS).alias("f"))
+    ).select(
+        "doc_id",
+        "lang",
+        F.coalesce(
+            str_hash("tok") % _DSIR_BUCKETS, F.lit(-1).cast("bigint")
+        ).alias("f"),
+    )
     stats = hashed.groupBy("f").agg(
         (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1)
         .cast("bigint")
