@@ -745,14 +745,21 @@ def q_llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from join_example_spark.operators.dedup_prefix import prefix_filter_pairs
 
+    # The raw split is materialized once (_t0, referenced twice so
+    # CollapseProject keeps it): the old form computed split() separately
+    # for t and n_tok, and the pushed-down quality predicate then
+    # re-evaluated both split copies AGAIN in a Filter — on BOTH
+    # references of the `quality` subplan (round-15 plan audit). The
+    # substituted filter now references the _t0 column instead.
     docs = (
         read_table(spark, sf_dir, "documents")
         .where(F.col("source").isin("src0", "src1") & F.col("text").isNotNull())
+        .withColumn("_t0", F.expr("split(LOWER(TRIM(text)), ' ')"))
         .select(
             "doc_id",
             "n_chars",
-            F.expr("array_distinct(split(LOWER(TRIM(text)), ' '))").alias("t"),
-            F.expr("size(split(LOWER(TRIM(text)), ' '))").alias("n_tok"),
+            F.expr("array_distinct(_t0)").alias("t"),
+            F.expr("size(_t0)").alias("n_tok"),
         )
     )
     quality = docs.where(
