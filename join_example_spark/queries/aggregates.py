@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from join_example_spark.operators.temporal import latest_per_key
 from join_example_spark.registry import register
-from join_example_spark.sources.readers import read_table, register_temp_views
+from join_example_spark.sources.readers import (
+    fanout_repartition,
+    read_table,
+    register_temp_views,
+)
 
 
 @register(
@@ -70,7 +74,7 @@ GROUP BY l_returnflag, l_linestatus
     tags=("agg",),
 )
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").where(
+    li = fanout_repartition(read_table(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
     dec = "CAST(SUM(CAST(({e}) AS DECIMAL(25,6))) AS DOUBLE)"

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from join_example_spark.registry import register
-from join_example_spark.sources.readers import read_table, register_temp_views
+from join_example_spark.sources.readers import (
+    fanout_repartition,
+    read_table,
+    register_temp_views,
+)
 
 _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
 
@@ -54,7 +58,7 @@ GROUP BY l_returnflag, l_linestatus
     tags=("composite", "agg"),
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = read_table(spark, sf_dir, "lineitem").where(
+    l = fanout_repartition(read_table(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
     return (

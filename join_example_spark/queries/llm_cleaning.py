@@ -21,7 +21,7 @@ from join_example_spark.operators.text import (
     repetition_features,
 )
 from join_example_spark.registry import register
-from join_example_spark.sources.readers import read_table
+from join_example_spark.sources.readers import fanout_repartition, read_table
 
 
 @register(
@@ -52,7 +52,7 @@ FROM b
     tags=("llm", "text", "cleaning"),
 )
 def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fanout_repartition(read_table(spark, sf_dir, "documents"))
     return repetition_features(docs).select(
         "doc_id", "n_tokens", "top_word_frac", "top_bigram_frac"
     )
@@ -89,7 +89,7 @@ FROM red
     tags=("llm", "text", "cleaning"),
 )
 def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fanout_repartition(read_table(spark, sf_dir, "documents"))
     aug = docs.select(
         "doc_id",
         F.expr(

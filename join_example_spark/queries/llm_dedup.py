@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from join_example_spark.operators.dedup import length_bucket_pairs
 from join_example_spark.operators.sampling import id_hash_sql
 from join_example_spark.registry import register, register_library
-from join_example_spark.sources.readers import read_table
+from join_example_spark.sources.readers import fanout_repartition, read_table
 
 
 @register(
@@ -997,7 +997,7 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -1 sentinel is unreachable) then stops the inference from firing at
     # all. Result rows are identical; the fold now runs once per branch.
     docs = (
-        read_table(spark, sf_dir, "documents")
+        fanout_repartition(read_table(spark, sf_dir, "documents"))
         .where(F.col("source").isin("src0", "src1") & F.col("text").isNotNull())
         .select("doc_id", "lang", "n_chars", F.expr("LOWER(TRIM(text))").alias("ntext"))
         .withColumn(
@@ -1956,7 +1956,7 @@ GROUP BY hw.doc_id
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fanout_repartition(read_table(spark, sf_dir, "documents"))
     wins = docs.where(F.length("text") >= _SUBSTR_WIN).select(
         "doc_id",
         F.explode(
@@ -2121,7 +2121,7 @@ WHERE levenshtein(a.n, b.n) <= 20
 def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.dedup import editdist_band_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fanout_repartition(read_table(spark, sf_dir, "documents"))
     return editdist_band_pairs(docs, threshold=20)
 
 

@@ -18,7 +18,11 @@ from join_example_spark.operators.similarity import (
     lsh_ann_pairs,
 )
 from join_example_spark.registry import register, register_library
-from join_example_spark.sources.readers import read_table, table_row_count
+from join_example_spark.sources.readers import (
+    fanout_repartition,
+    read_table,
+    table_row_count,
+)
 
 # DuckDB-side dot product: identical sequential left-fold in DOUBLE.
 _DUCK_DOT = (
@@ -301,7 +305,7 @@ def q_llm_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_candidate_pairs,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
     n = table_row_count(sf_dir, "embeddings")
     n_centroids = int(math.ceil(math.sqrt(n)))
@@ -498,7 +502,7 @@ def q_llm_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         imi_candidate_pairs,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     # Scalar plan-build action (sizes the codebooks), same class as the
     # other √n/∛n operators. The derived dials == (4, 8) at every fixture
     # SF (the oracle pins exactly that operating point); past it they grow
@@ -580,7 +584,7 @@ FROM truth
     tags=("llm", "similarity", "approx"),
 )
 def q_llm_sim_knn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     # Defensive pair-dedup: approxSimilarityJoin distincts its output today,
     # but a duplicate (id_a, id_b) here would fan out the LEFT join below
     # and inflate n_true_sampled vs the oracle — cheap insurance on a small
@@ -954,7 +958,7 @@ GROUP BY vec_id
 def q_llm_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.similarity import pq_assignments
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     return (
         pq_assignments(emb)
         .groupBy("vec_id")
@@ -1013,7 +1017,7 @@ SELECT probe_id, cand_id, adc_sim, rn FROM (
 def q_llm_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.similarity import pq_adc_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     return pq_adc_topk(emb, k=3, probe_pred="vec_id % 100 = 0")
 
 
@@ -1322,7 +1326,7 @@ def q_llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from join_example_spark.operators.similarity import ivfpq_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     # Size the coarse quantizer from footer metadata (cached, no scan) so
     # the operator's default emb.count() plan-build job never runs here.
     n_centroids = int(math.ceil(math.sqrt(table_row_count(sf_dir, "embeddings"))))
@@ -1397,7 +1401,7 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from join_example_spark.operators.similarity import ivf_cells
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
     n_centroids = int(math.ceil(math.sqrt(table_row_count(sf_dir, "embeddings"))))
     cents = (
@@ -1965,7 +1969,7 @@ def q_llm_mine_margin_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from join_example_spark.operators.similarity import DOT_SQL
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     probes = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
     )
@@ -2130,7 +2134,7 @@ def q_llm_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin_screen_dials,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
     n = table_row_count(sf_dir, "embeddings")
     n_centroids = int(math.ceil(math.sqrt(n)))
@@ -2714,7 +2718,7 @@ def _ratio_ivf_plan(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataF
         margin_screen_dials,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fanout_repartition(read_table(spark, sf_dir, "embeddings"))
     # Footer-metadata row count (cached, no scan — round 13, VERDICT r12 #4).
     n = table_row_count(sf_dir, "embeddings")
     n_centroids = int(math.ceil(math.sqrt(n)))

@@ -19,7 +19,7 @@ from join_example_spark.operators.text import (
     rolling_fingerprint,
 )
 from join_example_spark.registry import register
-from join_example_spark.sources.readers import read_table
+from join_example_spark.sources.readers import fanout_repartition, read_table
 
 
 @register(
@@ -732,7 +732,7 @@ LIMIT 20
     tags=("llm", "text"),
 )
 def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fanout_repartition(read_table(spark, sf_dir, "documents"))
     words = docs.select(
         F.explode(F.expr("split(LOWER(TRIM(text)), ' ')")).alias("w")
     ).where(F.length("w") >= 2)
@@ -932,7 +932,9 @@ FROM scored
 def q_llm_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from join_example_spark.operators.sampling import str_hash
 
-    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = fanout_repartition(read_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull()
+    )
     weights = spark.range(_QM_FEATS).select(
         F.col("id").alias("f"),
         F.expr(f"CAST(((id * {_QM_A} + {_QM_B}) % {_QM_P}) % 128 - 64 AS BIGINT)").alias(

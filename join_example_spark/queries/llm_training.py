@@ -24,7 +24,7 @@ from join_example_spark.operators.sampling import (
     str_hash_sql,
 )
 from join_example_spark.registry import register
-from join_example_spark.sources.readers import read_table
+from join_example_spark.sources.readers import fanout_repartition, read_table
 
 
 @register(
@@ -571,7 +571,7 @@ def q_llm_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame
         _SUBSTR_WIN,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fanout_repartition(read_table(spark, sf_dir, "documents"))
     long_enough = F.length("text") >= _SUBSTR_WIN
     tr = docs.where((F.col("source") != "src19") & long_enough).select(
         "doc_id",

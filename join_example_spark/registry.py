@@ -97,12 +97,38 @@ def register_library(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (1: q_llm_quality_model),
+#: Ordering: never-proven/replanned first (27: q_agg_group, q_llm_ann_recall_nprobe, q_llm_bm25_search, q_llm_bpe_pairs, q_llm_curate_pipeline, q_llm_decontaminate_substring, q_llm_dedup_editdist, q_llm_dedup_fuzzy, q_llm_dedup_ngram, q_llm_dedup_simhash, q_llm_dedup_simhash_exact, q_llm_dedup_substring, q_llm_embed_outliers, q_llm_imi_recall, q_llm_mine_margin_ivf, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_recall, q_llm_pii_redact, q_llm_pq_quantize, q_llm_quality_model, q_llm_repetition, q_llm_search_hybrid, q_llm_select_dsir, q_llm_sim_ivfpq, q_llm_sim_knn_scale, q_llm_sim_pq_adc, q_tpch_q1),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r10x40, r11x44, r12x48, r13x50, r14x49.
-#: Head-50 composition: newx1, r10x40, r11x9. Derived from CORRECTNESS_r{4..14}.json.
+#: round. Latest-green histogram: r10x32, r11x39, r12x44, r13x45, r14x45.
+#: Head-50 composition: newx27, r10x23. Derived from CORRECTNESS_r{4..14}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_agg_group",
+    "q_llm_ann_recall_nprobe",
+    "q_llm_bm25_search",
+    "q_llm_bpe_pairs",
+    "q_llm_curate_pipeline",
+    "q_llm_decontaminate_substring",
+    "q_llm_dedup_editdist",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_ngram",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_exact",
+    "q_llm_dedup_substring",
+    "q_llm_embed_outliers",
+    "q_llm_imi_recall",
+    "q_llm_mine_margin_ivf",
+    "q_llm_mine_margin_ratio_ivf",
+    "q_llm_mine_margin_recall",
+    "q_llm_pii_redact",
+    "q_llm_pq_quantize",
     "q_llm_quality_model",
+    "q_llm_repetition",
+    "q_llm_search_hybrid",
+    "q_llm_select_dsir",
+    "q_llm_sim_ivfpq",
+    "q_llm_sim_knn_scale",
+    "q_llm_sim_pq_adc",
+    "q_tpch_q1",
     "q_graph_kcore",
     "q_graph_label_prop",
     "q_graph_pagerank",
@@ -114,17 +140,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_left",
     "q_join_multiway",
     "q_lateral_topk",
-    "q_llm_bm25_search",
     "q_llm_cluster_quality",
-    "q_llm_curate_pipeline",
-    "q_llm_decontaminate_substring",
     "q_llm_dedup_prefix",
     "q_llm_dedup_semantic",
-    "q_llm_dedup_substring",
-    "q_llm_embed_outliers",
-    "q_llm_imi_recall",
-    "q_llm_mine_margin_ivf",
-    "q_llm_mine_margin_recall",
     "q_llm_mix_temperature",
     "q_llm_sample_weighted",
     "q_llm_sim_imipq",
@@ -150,12 +168,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_groupingsets",
     "q_join_right",
     "q_join_semi",
-    "q_llm_bpe_pairs",
     "q_llm_cluster_dbscan",
     "q_llm_dedup_cluster_star",
     "q_llm_dedup_containment",
     "q_llm_dedup_cosine_lossless",
-    "q_llm_dedup_editdist",
     "q_llm_dedup_exact",
     "q_llm_dedup_minhash_exact",
     "q_llm_dedup_near",
@@ -164,14 +180,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_kmeans_converged",
     "q_llm_lang_filter",
     "q_llm_langid",
-    "q_llm_mine_margin_ratio_ivf",
     "q_llm_mix_epochs",
     "q_llm_pipeline",
     "q_llm_quality",
     "q_llm_quality_auc",
     "q_llm_quality_calibration",
-    "q_llm_search_hybrid",
-    "q_llm_select_dsir",
     "q_llm_shard_plan",
     "q_llm_sim_ivf",
     "q_llm_sim_ivf_sym",
@@ -214,12 +227,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_exists_correlated",
     "q_join_salted",
     "q_llm_ann_recall",
-    "q_llm_dedup_fuzzy",
     "q_llm_dedup_keep_best",
-    "q_llm_pq_quantize",
     "q_llm_sim_imi",
-    "q_llm_sim_ivfpq",
-    "q_llm_sim_pq_adc",
     "q_multimodal_prune",
     "q_outlier_iqr",
     "q_pivot",
@@ -237,7 +246,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_zorder_layout",
     "q_agg_approx_percentile",
     "q_agg_cube",
-    "q_agg_group",
     "q_funnel_stages",
     "q_join_asof",
     "q_join_asof_left",
@@ -249,13 +257,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_block_audit",
     "q_llm_dedup_incremental",
     "q_llm_dedup_minhash",
-    "q_llm_dedup_simhash",
-    "q_llm_dedup_simhash_exact",
     "q_llm_dedup_url",
     "q_llm_domain_cap",
     "q_llm_embed_quantize",
     "q_llm_quality_gate",
-    "q_llm_sim_knn_scale",
     "q_profile_skew",
     "q_resample_gapfill",
     "q_scan_count",
@@ -268,7 +273,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_sliding",
     "q_stream_tumbling",
     "q_time_rollup",
-    "q_tpch_q1",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q13",
@@ -304,17 +308,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_incremental_agg",
     "q_join_theta_range",
     "q_limit_offset",
-    "q_llm_ann_recall_nprobe",
     "q_llm_chunk_overlap",
     "q_llm_decontaminate",
     "q_llm_decontaminate_semantic",
-    "q_llm_dedup_ngram",
     "q_llm_dedup_semantic_incr",
     "q_llm_kmeans_iter",
     "q_llm_mix_sources",
     "q_llm_pack_chunks",
-    "q_llm_pii_redact",
-    "q_llm_repetition",
     "q_llm_sample_hash",
     "q_llm_sample_stratified",
     "q_llm_sim_ivf_probe",

@@ -25,6 +25,8 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -161,6 +163,46 @@ def table_row_count(sf_dir: str, name: str) -> int:
         else:
             _ROW_COUNT_CACHE[key] = pq.read_metadata(path).num_rows
     return _ROW_COUNT_CACHE[key]
+
+
+def fanout_repartition(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's default
+    parallelism — ONLY when its parquet footprint is too small to split
+    naturally. Scale-adaptive by construction; identical results either
+    way (partition-independence is pinned by tests/test_determinism.py).
+
+    Round-15 finding (guide §2.6 idle capacity / §2.5 fan-out): every
+    fixture table is a single parquet split (594 KB documents, one row
+    group), so the FIRST stage of every plan — which is where this
+    engine's per-row-expensive work lives (char folds, banded levenshtein
+    on broadcast-join probe fan-out, HOF token analysis, PQ/centroid
+    assignment dots against broadcast tables) — ran on ONE core of 32
+    until the first exchange. Measured: the banded-levenshtein verify
+    dropped 3.9 s → 0.45 s with the probe side spread 32 ways.
+
+    The guard makes this a no-op at scale: when the estimated natural
+    split count (input bytes / 128 MB maxPartitionBytes) already reaches
+    the session's parallelism, the DataFrame is returned unchanged — a
+    100 TB scan is already wide, and a blanket repartition there would be
+    a full shuffle of the payload for nothing. Only small-footprint
+    inputs (where the shuffle is by definition cheap) are spread.
+    ``inputFiles()`` is driver-side file-index metadata — no Spark job.
+    Round-robin (keyless) repartition is retry-safe: Spark sorts before
+    repartitioning (``spark.sql.execution.sortBeforeRepartition``).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        total = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except Exception:  # noqa: BLE001 — estimation only; never break a plan
+        return df
+    est_splits = total // (128 << 20) + 1
+    if est_splits >= par:
+        return df
+    return df.repartition(par)
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

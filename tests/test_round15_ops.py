@@ -143,3 +143,36 @@ def test_nsw_secondary_dials_step_immediately_past_anchor():
     assert adaptive_nsw_dials(16_000) == (24, 4, 64, 12)
     assert adaptive_nsw_dials(64_000) == (30, 5, 128, 16)
     assert adaptive_nsw_dials(128_000) == (32, 5, 128, 16)
+
+
+def test_fanout_repartition_spreads_small_scans_and_noops_at_scale(spark):
+    """Round-15 single-split finding: every fixture table is one parquet
+    split, so the first (often heaviest) stage of a plan ran on ONE core.
+    fanout_repartition spreads a small scan to the session's default
+    parallelism, and is a NO-OP when the natural split count already
+    reaches it (the 100 TB posture: wide scans are never re-shuffled).
+    Result-identity under the extra exchange is the partition-independence
+    property pinned by tests/test_determinism.py and the oracle mirrors."""
+    from join_example_spark.sources.readers import (
+        fanout_repartition,
+        read_table,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = read_table(spark, SF_SMOKE, "documents")
+    fanned = fanout_repartition(docs)
+    assert fanned.rdd.getNumPartitions() == par
+    # row set identical (keyless round-robin moves rows, loses none)
+    assert fanned.count() == docs.count()
+
+    # Scale guard: when the estimated split count reaches the session
+    # parallelism the input is returned UNCHANGED (same plan object — no
+    # exchange inserted for an already-wide scan).
+    import join_example_spark.sources.readers as readers_mod
+
+    real_getsize = readers_mod.os.path.getsize
+    try:
+        readers_mod.os.path.getsize = lambda p: par * (128 << 20)
+        assert fanout_repartition(docs) is docs
+    finally:
+        readers_mod.os.path.getsize = real_getsize
