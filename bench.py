@@ -81,7 +81,12 @@ def main() -> None:
     # fork/Arrow init at ANY SF (warm cost 0.4 s); without this warmup the
     # bench charges that one-time session cost to whichever multimodal
     # query the rotation orders first.
+    # Round-16 (VERDICT r15 task 3): the warmup's one-time session-init
+    # cost is REPORTED (warmup_sec per entry + total in bench_full.json,
+    # one stderr line) instead of silently absorbed, so round-over-round
+    # total deltas can be decomposed against warmup-list changes.
     head_warm = list(registry)[:4]
+    warmup_sec: dict[str, float] = {}
     for wname in (
         "q_flagship_daily_enrich",
         "q_llm_sim_topk",
@@ -89,11 +94,18 @@ def main() -> None:
         "q_multimodal_decode",
         *head_warm,
     ):
+        t0 = time.perf_counter()
         try:
             warm = registry[wname].fn(spark, "/root/testdata/sf0.001")
             warm.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — warmup is best-effort
             _log(f"WARMUP {wname} FAILED (continuing unwarmed): {exc}")
+            continue
+        warmup_sec[wname] = round(time.perf_counter() - t0, 3)
+    _log(
+        f"warmup (untimed, sf0.001): total {round(sum(warmup_sec.values()), 3)}s "
+        f"{warmup_sec}"
+    )
     # Warm the file-listing/footer metadata for the bench SF so the first
     # registry query isn't charged the one-time listing cost.
     from pyspark.sql import functions as F
@@ -255,6 +267,8 @@ def main() -> None:
                 "order_sha256": order_sha,
                 "positions": positions,
                 "redraws": redraws,
+                "warmup_sec": warmup_sec,
+                "warmup_total_sec": round(sum(warmup_sec.values()), 3),
                 "library": library,
             },
             f,

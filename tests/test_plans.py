@@ -497,3 +497,62 @@ def test_one_pass_families_scan_their_fact_table_once(spark):
         plan = executed_plan(_REG[name].fn(spark, SF_SMOKE))
         scans = Counter(re.findall(r"Scan parquet[^\n]*?(\w+)\.parquet", plan))
         assert scans.get(table, 0) <= 1, (name, dict(scans))
+
+
+# Round-16 (VERDICT r15 task 8): the suite-wide InferFiltersFromGenerate
+# exclusion (conf.py) is result-identical by construction — a non-outer
+# explode of a NULL/empty input yields zero rows with or without the
+# inferred guard. Its only risk is PERFORMANCE on a future query whose
+# generator input is genuinely nullable and feeds a selective join (the
+# inferred isnotnull would have been a free pruning filter there). This
+# gate makes the invariant self-enforcing: any NEW declared query whose
+# optimized plan contains a Generate over a schema-nullable input must be
+# consciously admitted here (after checking the input is semantically
+# never-NULL/empty, or adding an explicit cheap guard — see CLAUDE.md
+# round-15 lessons for the coalesce-sentinel pattern).
+_NULLABLE_GENERATE_ALLOWLIST = frozenset({
+    # splits/transforms of filtered-non-null text (attribute nullability
+    # is not narrowed by Catalyst after a Filter, so these are
+    # schema-nullable but semantically never NULL):
+    "q_agg_approx_topk", "q_explode_pos", "q_llm_bigram_surprisal",
+    "q_llm_bm25_search", "q_llm_bpe_pairs", "q_llm_char_entropy",
+    "q_llm_chunk_overlap", "q_llm_curate_pipeline", "q_llm_decontaminate",
+    "q_llm_decontaminate_substring", "q_llm_dedup_containment",
+    "q_llm_dedup_prefix", "q_llm_dedup_simhash", "q_llm_dedup_simhash_exact",
+    "q_llm_dedup_substring", "q_llm_quality_model", "q_llm_search_hybrid",
+    "q_llm_select_dsir", "q_llm_text_stats", "q_llm_tfidf",
+    "q_llm_train_pipeline", "q_llm_zipf",
+    # fixed-dimension stored arrays / aggregate-derived bounds:
+    "q_llm_kmeans_converged", "q_llm_kmeans_iter", "q_llm_sim_knn_scale",
+    "q_profile_columns", "q_resample_gapfill", "q_resample_locf",
+    "q_set_except_all", "q_set_intersect_all",
+    "q_ts_concurrency", "q_ts_ewma", "q_ts_holt_forecast",
+    "q_ts_rolling_corr", "q_ts_sim_search", "q_ts_trend",
+})
+
+
+def test_nullable_generator_inputs_are_consciously_admitted(spark):
+    """Walk every declared optimized plan; any Generate whose generator
+    input is schema-nullable must be on the allowlist above."""
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.length()):
+            yield from walk(ch.apply(i))
+
+    offenders = []
+    for name, spec in _REG.items():
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for n in walk(plan):
+            if n.getClass().getSimpleName() != "Generate":
+                continue
+            g = n.generator()
+            chs = g.children()
+            for i in range(chs.length()):
+                if chs.apply(i).nullable() and name not in _NULLABLE_GENERATE_ALLOWLIST:
+                    offenders.append(f"{name}: {chs.apply(i).sql()[:80]}")
+    assert not offenders, (
+        "new nullable generator input(s) under the InferFiltersFromGenerate "
+        f"exclusion — prove never-NULL or add a guard, then admit: {offenders}"
+    )

@@ -167,12 +167,35 @@ def test_fanout_repartition_spreads_small_scans_and_noops_at_scale(spark):
 
     # Scale guard: when the estimated split count reaches the session
     # parallelism the input is returned UNCHANGED (same plan object — no
-    # exchange inserted for an already-wide scan).
-    import join_example_spark.sources.readers as readers_mod
+    # exchange inserted for an already-wide scan). The size function is
+    # injected (ADVICE r15: no process-wide os.path.getsize rebinding).
+    assert fanout_repartition(docs, getsize=lambda p: par * (128 << 20)) is docs
 
-    real_getsize = readers_mod.os.path.getsize
+
+def test_fanout_repartition_reads_max_partition_bytes_conf(spark):
+    """Round-16 (VERDICT r15 task 7): the no-op guard derives its split
+    size from the session's spark.sql.files.maxPartitionBytes, not a
+    hardcoded 128 MB — a deployment that tunes the conf keeps a correct
+    natural-split estimate."""
+    from join_example_spark.sources.readers import (
+        _parse_byte_size,
+        fanout_repartition,
+        read_table,
+    )
+
+    assert _parse_byte_size("134217728") == 128 << 20
+    assert _parse_byte_size("128MB") == 128 << 20
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("134217728b") == 128 << 20
+
+    par = spark.sparkContext.defaultParallelism
+    docs = read_table(spark, SF_SMOKE, "documents")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
     try:
-        readers_mod.os.path.getsize = lambda p: par * (128 << 20)
+        # Tiny split size => the same physical bytes now estimate as >= par
+        # natural splits => guard no-ops without any getsize stubbing.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
         assert fanout_repartition(docs) is docs
     finally:
-        readers_mod.os.path.getsize = real_getsize
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

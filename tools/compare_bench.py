@@ -31,6 +31,19 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Round-16 (VERDICT r15 task 4): the envelope's 4 draws are fresh-JVM
+#: subprocesses but run BACK-TO-BACK, so draws 2-4 ride a warm OS page
+#: cache / CPU state — the driver's single cold-box draw sits above the
+#: warm-session envelope max for cheap queries (q_dq_constraints drew
+#: 1.40 and 1.65 s across two driver rounds vs envelope max 1.29 —
+#: inflation 1.09x/1.28x on an UNTOUCHED plan). A driver draw within
+#: COLD_DRAW_MULTIPLIER x the envelope max is cold-draw-consistent and is
+#: not flagged as outside-envelope (the 1.0 s absolute floor still
+#: applies, so a real multi-second regression on a heavy query is never
+#: absolved by this rule — at 1.35x it would need to be inside a 35%
+#: window of a warm max, which the per-query spread term already covers).
+COLD_DRAW_MULTIPLIER = 1.35
+
 
 def qmap(path: str) -> dict[str, float]:
     with open(path) as fh:
@@ -159,12 +172,24 @@ def compute_diff(
             continue
         allowed = max(env.get(q, {}).get("spread_pct", 50), 25) / 100.0
         if abs(b - a) / max(min(a, b), 1e-9) > allowed:
+            env_max = env.get(q, {}).get("max")
+            # cold-draw allowance (see COLD_DRAW_MULTIPLIER): a slower NEW
+            # draw still within the multiplier of the warm envelope max is
+            # consistent with a cold box, not a plan regression. Only
+            # applies to regressions (b > a) — improvements always report.
+            if (
+                env_max is not None
+                and b > a
+                and b <= COLD_DRAW_MULTIPLIER * env_max
+            ):
+                continue
             flagged.append(
                 {
                     "query": q,
                     "old_sec": a,
                     "new_sec": b,
                     "allowed_spread_pct": int(allowed * 100),
+                    "envelope_max_sec": env_max,
                 }
             )
     flagged.sort(key=lambda r: abs(r["new_sec"] - r["old_sec"]), reverse=True)

@@ -46,12 +46,14 @@ def main() -> None:
         return readers.fanout_repartition(stock_read(spark, sf_dir, name))
 
     def best(fn, n):
-        b = float("inf")
-        for _ in range(n + 1):  # +1 warm draw, keep best of the rest
+        draws = []
+        for _ in range(n + 1):  # +1 warm draw; min over the REST only
             t0 = time.perf_counter()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
-            b = min(b, time.perf_counter() - t0)
-        return b
+            draws.append(time.perf_counter() - t0)
+        # ADVICE r15: the first (cold) draw must not enter the min, or the
+        # A/B can report a cold-draw time as the warm best.
+        return min(draws[1:])
 
     print("query\tA_stock\tB_fanned\tdelta")
     for name in names:
