@@ -154,16 +154,34 @@ def connected_components_star(
 
     Per round: two groupBy shuffles + two distincts over the current pair
     set; pair-set size is bounded by the symmetrized edge count and only
-    shrinks toward the star forest. Convergence is declared by EXACT
-    pair-set equality — cardinality match plus new ⊆ old (both sides are
-    distinct sets) — so no hash-collision scenario, however improbable,
-    can declare a non-fixpoint converged. Round 8 (the CC family cost was
+    shrinks toward the star forest. Round 8 (the CC family cost was
     profiled orchestration-bound): each round is ONE Spark job — a lazy
     localCheckpoint materialized by the same scalar aggregate that
-    returns both witnesses (|new| and |new ∖ old|), folding the former
-    eager-checkpoint + count + anti-join-emptiness job triple into one.
-    Only a 2-int row reaches the driver per round (:func:`_pairs_equal`
-    remains the reference formulation of the equality contract).
+    returns the convergence witness; only a 3-field row reaches the
+    driver per round.
+
+    Convergence witness (round 16 — replaces the consecutive-iterate
+    set-equality test): the iteration's fixpoints are EXACTLY the
+    downhill star forests, detected STRUCTURALLY on the new pair set:
+
+      (i)   every pair points downhill (v < u),
+      (ii)  no parent is also a child (pointer height ≤ 1),
+      (iii) every child has exactly one parent.
+
+    ⇐ a set with (i)–(iii) maps to itself under LS∘SS (per-node algebra:
+    LS re-emits each child→root pair from the root's neighborhood and
+    nothing else; SS's m(u) is the unique root, via_nbrs collapses to
+    filtered self-pairs, via_self re-emits the star). ⇒ the iteration
+    converges to the canonical star forest (Kiveris et al. thm. 2),
+    which satisfies (i)–(iii); violating any of them changes the set on
+    the next round ((i): an uphill pair re-points; (ii): a chain
+    shortcuts; (iii): two parents of one child merge). The structural
+    test therefore fires exactly one round EARLIER than set-equality —
+    the old test needed one more full LS+SS pass to observe the stutter
+    (measured: 5 rounds → 4 at sf0.1 on the semantic family, ~0.5-0.7 s
+    per consumer; at scale: 3 exchanges + 2 aggregates per round saved).
+    No equality join against the previous set is needed, so the previous
+    round's checkpoint is released immediately.
     """
     all_nodes = nodes.select(F.col(id_col).alias("id"))
     pairs = (
@@ -181,33 +199,55 @@ def connected_components_star(
         .select(F.col("u").alias("id"))
         .localCheckpoint(eager=False)
     )
-    prev_n = pairs.count()
-    if prev_n == 0:
+    if pairs.count() == 0:
         return all_nodes.select("id", F.col("id").alias("cluster_id"))
 
-    prev_pairs = pairs
+    # One (node, role) row per pair endpoint via a generator — NOT a
+    # two-branch union, which would execute the (lazily checkpointed)
+    # pair plan twice in the same job (SCALE.md §3.4 rule).
+    _roles = F.explode(
+        F.array(
+            F.struct(
+                F.col("u").alias("node"),
+                F.lit(1).alias("is_child"),
+                F.lit(0).alias("is_parent"),
+                (F.col("v") < F.col("u")).cast("int").alias("down"),
+            ),
+            F.struct(
+                F.col("v").alias("node"),
+                F.lit(0).alias("is_child"),
+                F.lit(1).alias("is_parent"),
+                F.lit(1).alias("down"),
+            ),
+        )
+    )
     for _ in range(max_iter):
         pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=False)
-        # ONE job per round (round 8 — CC cost is orchestration-bound):
-        # this single scalar aggregate materializes the lazy checkpoint AND
-        # returns both convergence witnesses — the new pair-set cardinality
-        # and the count of pairs NOT present in the previous set — folding
-        # the former eager-checkpoint job + count job + anti-join-emptiness
-        # job into one. Only a 2-int row reaches the driver. Set equality
-        # is still EXACT: both sides are distinct sets, so |new| == |old|
-        # plus new ⊆ old proves it with no hash-collision caveat.
-        witness = (
-            pairs.join(
-                prev_pairs.select("u", "v", F.lit(1).alias("_old")), ["u", "v"], "left"
+        # ONE job per round: this scalar aggregate materializes the lazy
+        # checkpoint AND returns the star-forest witness fields.
+        w = (
+            pairs.select(_roles.alias("r"))
+            .select("r.*")
+            .groupBy("node")
+            .agg(
+                F.sum("is_child").alias("nc"),
+                F.sum("is_parent").alias("np"),
+                F.min("down").alias("dn"),
             )
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col("_old").isNull(), 1)).alias("n_fresh"),
+                F.count(
+                    F.when((F.col("nc") > 0) & (F.col("np") > 0), 1)
+                ).alias("n_overlap"),
+                F.count(F.when(F.col("nc") > 1, 1)).alias("n_multi"),
+                F.min("dn").alias("all_down"),
             )
             .first()
         )
-        cur_n = witness["n"]
-        if cur_n == prev_n and witness["n_fresh"] == 0:
+        if (
+            w["n_overlap"] == 0
+            and w["n_multi"] == 0
+            and (w["all_down"] is None or w["all_down"] == 1)
+        ):
             # Star forest: every non-root points directly at its root.
             non_roots = pairs.select(
                 F.col("u").alias("id"), F.col("v").alias("cluster_id")
@@ -220,7 +260,6 @@ def connected_components_star(
                 "id", F.col("id").alias("cluster_id")
             )
             return non_roots.union(roots).union(singletons)
-        prev_pairs, prev_n = pairs, cur_n
     raise RuntimeError(f"connected_components_star: no fixpoint in {max_iter} rounds")
 
 
