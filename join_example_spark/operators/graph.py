@@ -440,11 +440,22 @@ def bfs_distances(
     min-relaxation CTE chain the oracle runs, with no path enumeration
     (a WITH RECURSIVE UNION ALL walk would multiply per-path rows on
     cyclic near-dup graphs; the min-relaxation form stays node-sized
-    every round). ``dist`` is referenced twice per round (relax + union),
-    so each round eager-localCheckpoints the node-sized frontier —
-    the sanctioned pattern (SCALE.md §3.4: a twice-referenced
-    subplan re-executes its whole upstream otherwise). At 100 TB each
-    round is one edge-key join plus one narrow (node, dist) shuffle.
+    every round).
+
+    Round 16 (guide §2.2/§2.4 — fewer passes, fewer barriers): the old
+    round shape referenced ``dist`` twice (relax + self-union), forcing
+    an eager localCheckpoint JOB per round. Rewritten single-reference:
+    one LEFT join against the edges and a generator emitting BOTH the
+    self row (v, d) and the relaxed row (dst, d+1) per joined row — the
+    MIN aggregate is insensitive to the self-row duplication the edge
+    fan-out introduces, and an unmatched node keeps (v, d) via the
+    coalesce branch (its d+1 ghost loses to its own self row under MIN).
+    Value-identical; the whole ``iters``-round chain now plans as ONE
+    linear job with zero per-round driver barriers (measured: 5 jobs →
+    1 at sf0.1). Only the edge list is checkpointed (it is referenced
+    once per round and its upstream — the candidate pair join — is the
+    expensive subplan). At 100 TB each round is one edge-key join plus
+    one narrow (node, dist) shuffle, exactly as before.
     """
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -455,16 +466,23 @@ def bfs_distances(
     )
     dist = seeds.select(
         F.col(id_col).alias("v"), F.lit(0).cast("bigint").alias("d")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        relax = edges.join(dist, edges["src"] == dist["v"]).select(
-            F.col("dst").alias("v"), (F.col("d") + F.lit(1)).alias("d")
+    )
+    _fan = F.explode(
+        F.array(
+            F.struct(F.col("v").alias("v"), F.col("d").alias("d")),
+            F.struct(
+                F.coalesce(F.col("dst"), F.col("v")).alias("v"),
+                (F.col("d") + F.lit(1).cast("bigint")).alias("d"),
+            ),
         )
+    )
+    for _ in range(iters):
         dist = (
-            dist.unionByName(relax)
+            dist.join(edges, dist["v"] == edges["src"], "left")
+            .select(_fan.alias("r"))
+            .select("r.*")
             .groupBy("v")
             .agg(F.min("d").cast("bigint").alias("d"))
-            .localCheckpoint(eager=True)
         )
     return dist
 
@@ -488,12 +506,22 @@ def label_propagation_fixed(
     the previous round's labels) makes the rounds order-independent and
     lets the oracle unroll them as static CTEs.
 
-    Per round: one edge join, one (node, nbr_label) count aggregate, one
-    mode pick via ROW_NUMBER under a (count DESC, label ASC) total
-    order, one left-join-back. Labels are referenced twice per round
-    (propagate + keep-own fallback), so each round's node-sized label
-    vector is eager-localCheckpointed (the twice-referenced-subplan
-    rule). Pregel cost shape, no driver state.
+    Per round: one edge join, one (node, label) weighted-count aggregate,
+    one mode pick via ROW_NUMBER under a (count DESC, label ASC) total
+    order. Pregel cost shape, no driver state.
+
+    Round 16 (guide §2.2/§2.4): the old round referenced ``labels`` twice
+    (neighbor propagate + keep-own fallback join-back), forcing an eager
+    localCheckpoint JOB per round. Rewritten single-reference: one LEFT
+    join against the edges and a generator emitting the self candidate
+    (v, own lbl, weight 0) and the neighbor candidate (dst, lbl, weight
+    1) per joined row; SUM(weight) per (node, label) equals the old
+    neighbor count exactly (self rows add 0), and the (c DESC, lbl ASC)
+    mode pick makes the weight-0 own-label row win precisely when the
+    node has no neighbors — the old coalesce fallback. Every node
+    appears via its self row, so no join-back is needed. Value-identical
+    mode semantics; the whole chain plans as ONE job with zero per-round
+    driver barriers.
     """
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -504,24 +532,36 @@ def label_propagation_fixed(
     )
     labels = nodes.select(
         F.col(id_col).alias("v"), F.col(id_col).cast("bigint").alias("lbl")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        nbr = edges.join(labels, edges["src"] == labels["v"]).select(
-            F.col("dst").alias("v"), F.col("lbl").alias("nlbl")
+    )
+    _fan = F.explode(
+        F.array(
+            F.struct(
+                F.col("v").alias("v"),
+                F.col("lbl").alias("lbl"),
+                F.lit(0).alias("w"),
+            ),
+            F.struct(
+                F.coalesce(F.col("dst"), F.col("v")).alias("v"),
+                F.col("lbl").alias("lbl"),
+                F.when(F.col("dst").isNull(), F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("w"),
+            ),
         )
-        counts = nbr.groupBy("v", "nlbl").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nlbl").asc())
-        mode = (
+    )
+    for _ in range(iters):
+        counts = (
+            labels.join(edges, labels["v"] == edges["src"], "left")
+            .select(_fan.alias("r"))
+            .select("r.*")
+            .groupBy("v", "lbl")
+            .agg(F.sum("w").alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lbl").asc())
+        labels = (
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select("v", F.col("nlbl").alias("new_lbl"))
-        )
-        labels = (
-            labels.join(mode, "v", "left")
-            .select(
-                "v", F.coalesce("new_lbl", "lbl").cast("bigint").alias("lbl")
-            )
-            .localCheckpoint(eager=True)
+            .select("v", F.col("lbl").cast("bigint").alias("lbl"))
         )
     return labels
 
@@ -540,11 +580,24 @@ def kcore_peel(
     Fixed rounds rather than peel-to-convergence so the oracle can unroll
     identically (the same reason PageRank/BFS/LPA are fixed-iteration);
     the round count is part of the declared semantics. All-integer —
-    bit-deterministic under any partitioning. Each round is one degree
-    aggregate + two semi-joins; the shrinking edge list is
-    eager-localCheckpointed per round (referenced by degree + both
-    semi-joins — the twice-referenced-subplan rule). Pregel cost shape.
+    bit-deterministic under any partitioning.
+
+    Round 16 (guide §2.2/§2.4): the old round referenced the edge list
+    three times (degree aggregate + two semi-joins), forcing an eager
+    localCheckpoint JOB per round. Rewritten single-reference: the edge
+    list stays symmetric through every round (the keep condition is
+    symmetric in the endpoints), so a node's degree equals its row count
+    as ``src`` AND as ``dst`` — two whole-partition COUNT windows
+    (PARTITION BY src / PARTITION BY dst) attach both endpoint degrees
+    to every edge row in one pass, and the k-filter drops the same rows
+    the semi-join pair did. Value-identical; the whole ``rounds``-chain
+    plans as ONE job with zero per-round driver barriers. Per round: two
+    narrow-row window exchanges vs the old aggregate + two join
+    exchanges + checkpoint job (the window sort is over 16-byte rows —
+    codegen sort, spillable, cheap relative to a per-round barrier).
     """
+    from pyspark.sql import Window as _W
+
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
@@ -553,12 +606,13 @@ def kcore_peel(
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("src")
         edges = (
-            edges.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            edges.withColumn(
+                "_ds", F.count(F.lit(1)).over(_W.partitionBy("src"))
+            )
+            .withColumn("_dd", F.count(F.lit(1)).over(_W.partitionBy("dst")))
+            .where((F.col("_ds") >= k) & (F.col("_dd") >= k))
+            .select("src", "dst")
         )
     return edges.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_deg")

@@ -702,10 +702,55 @@ FROM per_start GROUP BY chain_len
     tags=("composite", "recursive", "window"),
 )
 def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from join_example_spark.sources.readers import register_temp_views
+    from pyspark.sql import Window
 
-    register_temp_views(spark, sf_dir, ("orders",))
-    return spark.sql(_CHAIN_SQL.format(datediff="datediff(nxt_dt, o_orderdate)"))
+    # Round 16 (guide §2.2 — don't recompute what a loop re-reads): the
+    # one-shot _CHAIN_SQL form re-executed the `edges` CTE (orders scan +
+    # LEAD window) INSIDE every UnionLoop iteration — depth+1 full window
+    # passes (41 jobs / 99 stages at sf0.1, 3.5 s warm). The edge list is
+    # loop-invariant, so it is built once as a DataFrame, checkpointed
+    # (executor-side, the graph.py pattern; a cluster deployment would
+    # persist to reliable storage), and only the recursion itself stays
+    # SQL — same WITH RECURSIVE UNION ALL walk, same aliases, same oracle.
+    # `starts` needs only the order keys (Catalyst pruned the window off
+    # the anchor already), expressed directly as an anti-join: edge dst
+    # values are unique (one LEAD predecessor per order), so LEFT JOIN ...
+    # IS NULL and anti-join are row-identical.
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lnk = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.lead("o_orderkey").over(w).alias("nxt_key"),
+        F.lead("o_orderdate").over(w).alias("nxt_dt"),
+    )
+    edges = (
+        lnk.where(
+            F.col("nxt_key").isNotNull()
+            & (F.expr("datediff(nxt_dt, o_orderdate)") <= 30)
+        )
+        .select(F.col("o_orderkey").alias("src"), F.col("nxt_key").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    starts = orders.select(F.col("o_orderkey").alias("start_key")).join(
+        edges.select(F.col("dst").alias("start_key")), "start_key", "left_anti"
+    )
+    return spark.sql(
+        """
+WITH RECURSIVE chain(start_key, cur_key, depth) AS (
+    SELECT start_key, start_key, 1 FROM {starts}
+    UNION ALL
+    SELECT c.start_key, e.dst, c.depth + 1
+    FROM chain c JOIN {edges} e ON e.src = c.cur_key
+), per_start AS (
+    SELECT start_key, MAX(depth) AS chain_len FROM chain GROUP BY start_key
+)
+SELECT CAST(chain_len AS BIGINT) AS chain_len, CAST(COUNT(*) AS BIGINT) AS n_chains
+FROM per_start GROUP BY chain_len
+""",
+        starts=starts,
+        edges=edges,
+    )
 
 
 def _z_expr(x: str, y: str, bits: int, dialect: str) -> str:
