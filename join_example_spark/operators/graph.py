@@ -184,11 +184,15 @@ def connected_components_star(
     round's checkpoint is released immediately.
     """
     all_nodes = nodes.select(F.col(id_col).alias("id"))
+    # LAZY checkpoint materialized by the emptiness count below (round 16,
+    # the round-8 job-fold pattern: eager-checkpoint + count was two
+    # driver-synchronized jobs; the count references pairs once, so it
+    # materializes the checkpoint itself — one job).
     pairs = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Used only AFTER convergence (roots/singleton attach) — lazy checkpoint
     # so no up-front job; first post-loop use materializes it once.

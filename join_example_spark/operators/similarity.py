@@ -717,14 +717,19 @@ def identity_contracted_semantic_edges(
     # production dedup pipeline maintains anyway. Hash-aggregate + join-
     # back, not a window over the array column (see identity_reps).
     grp = emb.groupBy(vec_col).agg(F.min(id_col).alias("gid"))
+    # LAZY checkpoint materialized by the quantizer-sizing count just
+    # below (round 16, the round-8 job-fold pattern: eager-checkpoint +
+    # count was TWO driver-synchronized jobs; the count action references
+    # g exactly once, so it materializes the checkpoint itself — one job).
     g = (
         emb.select(F.col(id_col), F.col(vec_col))
         .join(grp, vec_col)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     reps = g.where(F.col(id_col) == F.col("gid")).select(id_col, vec_col)
     # Scalar plan-build action (sizes the coarse quantizer), same class as
-    # the other √n operators.
+    # the other √n operators — also materializes g for the four downstream
+    # references (candidate join ×2, centroid limit, identity edges).
     n_reps = reps.count()
     n_centroids = int(_math.ceil(_math.sqrt(max(n_reps, 1))))
     # nprobe=None (the production default) derives the dial from the rep
