@@ -1767,6 +1767,23 @@ def kmeans_lloyd_stats(
     At 100 TB: centroids broadcast; assignment is map-side; the component
     explode shuffles only after map-side partial aggregation, i.e. what
     moves is O(cells × dims) partial sums, not member vectors.
+
+    Round 16 (guide §2.2 — don't execute the same subplan twice): the
+    audit used to derive ``stats`` and ``shift`` from two separate
+    aggregations over ``cells``, so the broadcast-assign + window subplan
+    executed TWICE in the one action. Now ONE (cell, pos) aggregate over
+    the posexploded members carries everything — member count, the
+    decimal-bridged component mean, and the decimal csim sum (each
+    member contributes its csim exactly once per pos group, so every pos
+    row of a cell holds the identical exact-decimal per-cell sum; MAX
+    over pos re-reads it) — and a SECOND per-cell aggregate over those
+    k × dim rows (joined to the broadcast old centroids) produces all
+    three audit columns at once. The assignment subplan is referenced
+    exactly once, so no checkpoint and no extra job is needed: one job,
+    one assignment execution (was one job, two executions). All derived
+    expressions are bit-identical to the previous two-pass forms (same
+    decimal sums, same single IEEE division per audit column; vectors
+    are fixed-dim non-empty per the embeddings contract).
     """
     cents = (
         emb.orderBy(id_col)
@@ -1782,35 +1799,35 @@ def kmeans_lloyd_stats(
         .where(F.col("arn") == 1)
         .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"), "csim")
     )
-    comp = cells.select("cell", F.posexplode(vec_col).alias("pos", "val"))
-    newc = comp.groupBy("cell", "pos").agg(
+    comp = cells.select("cell", "csim", F.posexplode(vec_col).alias("pos", "val"))
+    g = comp.groupBy("cell", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
         F.expr(
             "CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 4) AS DECIMAL(25,6))) AS DOUBLE)"
             " / COUNT(*)"
-        ).alias("nc")
+        ).alias("nc"),
+        F.expr("SUM(CAST(csim AS DECIMAL(25,6)))").alias("ssim"),
     )
     oldc = cents.select(
         F.col("cent_id").alias("cell"), F.posexplode("cvec").alias("pos", "oval")
     ).select("cell", "pos", F.round(F.col("oval").cast("double"), 4).alias("oc"))
-    shift = (
-        newc.join(F.broadcast(oldc), ["cell", "pos"])
+    return (
+        g.join(F.broadcast(oldc), ["cell", "pos"])
         .withColumn("d2", (F.col("nc") - F.col("oc")) * (F.col("nc") - F.col("oc")))
         .groupBy("cell")
         .agg(
+            F.max("n").alias("n_members"),
+            (F.max("ssim").cast("double") / F.max("n")).alias("avg_sim"),
             F.expr(
                 "ROUND(SQRT(CAST(SUM(CAST(d2 AS DECIMAL(38,20))) AS DOUBLE)), 4)"
-            ).alias("centroid_shift")
+            ).alias("centroid_shift"),
         )
-    )
-    stats = cells.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.expr("CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)").alias("avg_sim"),
-    )
-    return stats.join(shift, "cell").select(
-        F.col("cell").cast("bigint").alias("cell"),
-        "n_members",
-        "avg_sim",
-        "centroid_shift",
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_members",
+            "avg_sim",
+            "centroid_shift",
+        )
     )
 
 
@@ -1842,10 +1859,28 @@ def kmeans_lloyd_rounds(
 
     At 100 TB: centroids (k × dim doubles) broadcast every round;
     assignment stays map-side; what shuffles is the O(k·dim) partial-sum
-    rollup, never member vectors. Each round's centroid table is tiny and
-    eager-localCheckpointed so the unrolled lineage stays flat instead of
-    re-executing r-1 rounds per consumer (the twice-referenced-subplan
-    rule — each round's centroids feed assignment, shift AND round r+1).
+    rollup, never member vectors.
+
+    Round 16 (guide §2.2 — don't execute the same subplan twice): the
+    old round derived stats, shift AND the next round's centroids from
+    separate aggregations over ``cells``/``newc_pos``, so each round's
+    broadcast-assign + window subplan executed up to 3× (twice in the
+    final action, once more in the next-round centroid checkpoint). Now
+    ONE (cell, pos) aggregate per round carries everything — member
+    count, decimal-bridged component mean, and the decimal csim sum
+    (identical at every pos since each member contributes once per pos
+    group; MAX over pos re-reads it; vectors are fixed-dim non-empty
+    per the embeddings contract) — and a single per-cell aggregate over
+    those k × dim rows (joined to the broadcast old centroids) emits
+    all three audit columns at once. For rounds that feed a successor,
+    the (cell, pos) table is the round's only eager checkpoint (the
+    audit and the next round's centroids both read the materialized
+    rows); the LAST round references it exactly once, so it needs no
+    checkpoint at all. Job count is unchanged (rounds-1 barriers +
+    final action) while assignment executions drop from 8 to 3 at
+    rounds=3. All derived expressions are bit-identical to the previous
+    multi-pass forms (same decimal sums, same single IEEE division per
+    audit column).
     """
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     cents = (
@@ -1868,36 +1903,38 @@ def kmeans_lloyd_rounds(
             .where(F.col("arn") == 1)
             .select("_id", "_v", "cell", "csim")
         )
-        comp = cells.select("cell", F.posexplode("_v").alias("pos", "val"))
-        newc_pos = comp.groupBy("cell", "pos").agg(
+        comp = cells.select("cell", "csim", F.posexplode("_v").alias("pos", "val"))
+        g = comp.groupBy("cell", "pos").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
             F.expr(
                 "CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 4) AS DECIMAL(25,6)))"
                 " AS DOUBLE) / COUNT(*)"
-            ).alias("nc")
+            ).alias("nc"),
+            F.expr("SUM(CAST(csim AS DECIMAL(25,6)))").alias("ssim"),
         )
+        if r < rounds:
+            # Referenced twice (audit + next-round centroids) — the
+            # round's only barrier; the audit and cents both read the
+            # materialized k × dim rows. The LAST round's g is
+            # referenced once, so it stays lazy in the final action.
+            g = g.localCheckpoint(eager=True)
         oldc_pos = cents.select(
             "cell", F.posexplode("cvec").alias("pos", "oval")
         ).select("cell", "pos", F.round(F.col("oval"), 4).alias("oc"))
-        shift = (
-            newc_pos.join(F.broadcast(oldc_pos), ["cell", "pos"])
+        audits.append(
+            g.join(F.broadcast(oldc_pos), ["cell", "pos"])
             .withColumn(
                 "d2", (F.col("nc") - F.col("oc")) * (F.col("nc") - F.col("oc"))
             )
             .groupBy("cell")
             .agg(
+                F.max("n").alias("n_members"),
+                (F.max("ssim").cast("double") / F.max("n")).alias("avg_sim"),
                 F.expr(
                     "ROUND(SQRT(CAST(SUM(CAST(d2 AS DECIMAL(38,20))) AS DOUBLE)), 4)"
-                ).alias("centroid_shift")
+                ).alias("centroid_shift"),
             )
-        )
-        stats = cells.groupBy("cell").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.expr(
-                "CAST(SUM(CAST(csim AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)"
-            ).alias("avg_sim"),
-        )
-        audits.append(
-            stats.join(shift, "cell").select(
+            .select(
                 F.lit(r).cast("bigint").alias("round"),
                 F.col("cell").cast("bigint").alias("cell"),
                 "n_members",
@@ -1906,15 +1943,11 @@ def kmeans_lloyd_rounds(
             )
         )
         if r < rounds:
-            cents = (
-                newc_pos.groupBy("cell")
-                .agg(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(pos, nc))),"
-                        " s -> s.nc)"
-                    ).alias("cvec")
-                )
-                .localCheckpoint(eager=True)
+            cents = g.groupBy("cell").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, nc))),"
+                    " s -> s.nc)"
+                ).alias("cvec")
             )
     out = audits[0]
     for a in audits[1:]:

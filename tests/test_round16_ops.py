@@ -75,3 +75,27 @@ def test_star_cc_witness_multi_parent_merges(spark):
         for r in g.connected_components_star(nodes, edges).collect()
     }
     assert got == {(1, 1), (2, 1), (5, 1)}
+
+
+def test_kmeans_lloyd_stats_single_assignment_pass(spark):
+    """Round-16 fuse: the Lloyd audit derives stats AND shift from one
+    (cell, pos) aggregate, so the broadcast-assign + row_number window
+    subplan appears exactly ONCE in the executed plan (it used to appear
+    twice — separate stats and shift aggregations over ``cells``)."""
+    from join_example_spark.operators.similarity import kmeans_lloyd_stats
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(1, 13)],
+        ["vec_id", "embedding"],
+    )
+    df = kmeans_lloyd_stats(emb, n_centroids=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one Window NODE (WindowGroupLimit helper lines also mention
+    # row_number(), so count the node marker, not the function name)
+    assert plan.count("Window [row_number()") == 1, plan
+    # and the audit still carries all four columns
+    rows = {r.cell: r for r in df.collect()}
+    assert rows and all(
+        r.n_members >= 1 and r.avg_sim is not None and r.centroid_shift is not None
+        for r in rows.values()
+    )
