@@ -97,61 +97,21 @@ def register_library(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (27: q_agg_group, q_llm_ann_recall_nprobe, q_llm_bm25_search, q_llm_bpe_pairs, q_llm_curate_pipeline, q_llm_decontaminate_substring, q_llm_dedup_editdist, q_llm_dedup_fuzzy, q_llm_dedup_ngram, q_llm_dedup_simhash, q_llm_dedup_simhash_exact, q_llm_dedup_substring, q_llm_embed_outliers, q_llm_imi_recall, q_llm_mine_margin_ivf, q_llm_mine_margin_ratio_ivf, q_llm_mine_margin_recall, q_llm_pii_redact, q_llm_pq_quantize, q_llm_quality_model, q_llm_repetition, q_llm_search_hybrid, q_llm_select_dsir, q_llm_sim_ivfpq, q_llm_sim_knn_scale, q_llm_sim_pq_adc, q_tpch_q1),
+#: Ordering: never-proven/replanned first (10: q_graph_bfs, q_graph_kcore, q_graph_label_prop, q_llm_dedup_cluster_star, q_llm_dedup_keep_best, q_llm_dedup_semantic, q_llm_kmeans_converged, q_llm_kmeans_iter, q_llm_split_leakage_safe, q_recursive_chain),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r10x32, r11x39, r12x44, r13x45, r14x45.
-#: Head-50 composition: newx27, r10x23. Derived from CORRECTNESS_r{4..14}.json.
+#: round. Latest-green histogram: r10x9, r11x37, r12x42, r13x45, r14x43, r15x46.
+#: Head-50 composition: newx10, r10x9, r11x31. Derived from CORRECTNESS_r{4..15}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_agg_group",
-    "q_llm_ann_recall_nprobe",
-    "q_llm_bm25_search",
-    "q_llm_bpe_pairs",
-    "q_llm_curate_pipeline",
-    "q_llm_decontaminate_substring",
-    "q_llm_dedup_editdist",
-    "q_llm_dedup_fuzzy",
-    "q_llm_dedup_ngram",
-    "q_llm_dedup_simhash",
-    "q_llm_dedup_simhash_exact",
-    "q_llm_dedup_substring",
-    "q_llm_embed_outliers",
-    "q_llm_imi_recall",
-    "q_llm_mine_margin_ivf",
-    "q_llm_mine_margin_ratio_ivf",
-    "q_llm_mine_margin_recall",
-    "q_llm_pii_redact",
-    "q_llm_pq_quantize",
-    "q_llm_quality_model",
-    "q_llm_repetition",
-    "q_llm_search_hybrid",
-    "q_llm_select_dsir",
-    "q_llm_sim_ivfpq",
-    "q_llm_sim_knn_scale",
-    "q_llm_sim_pq_adc",
-    "q_tpch_q1",
+    "q_graph_bfs",
     "q_graph_kcore",
     "q_graph_label_prop",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_histogram",
-    "q_join_bloom",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_lateral_topk",
-    "q_llm_cluster_quality",
-    "q_llm_dedup_prefix",
+    "q_llm_dedup_cluster_star",
+    "q_llm_dedup_keep_best",
     "q_llm_dedup_semantic",
-    "q_llm_mix_temperature",
-    "q_llm_sample_weighted",
-    "q_llm_sim_imipq",
+    "q_llm_kmeans_converged",
+    "q_llm_kmeans_iter",
     "q_llm_split_leakage_safe",
-    "q_project_rename",
-    "q_resample_locf",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_tpch_q3",
+    "q_recursive_chain",
     "q_tpch_q5",
     "q_ts_concurrency",
     "q_ts_ewma",
@@ -169,7 +129,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_right",
     "q_join_semi",
     "q_llm_cluster_dbscan",
-    "q_llm_dedup_cluster_star",
     "q_llm_dedup_containment",
     "q_llm_dedup_cosine_lossless",
     "q_llm_dedup_exact",
@@ -177,7 +136,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_near",
     "q_llm_embed_near",
     "q_llm_fingerprint",
-    "q_llm_kmeans_converged",
     "q_llm_lang_filter",
     "q_llm_langid",
     "q_llm_mix_epochs",
@@ -227,12 +185,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_exists_correlated",
     "q_join_salted",
     "q_llm_ann_recall",
-    "q_llm_dedup_keep_best",
     "q_llm_sim_imi",
     "q_multimodal_prune",
     "q_outlier_iqr",
     "q_pivot",
-    "q_recursive_chain",
     "q_scalar_correlated",
     "q_scalar_subquery",
     "q_snapshot_diff",
@@ -304,7 +260,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_map",
     "q_funnel_latency",
     "q_gaps_islands",
-    "q_graph_bfs",
     "q_incremental_agg",
     "q_join_theta_range",
     "q_limit_offset",
@@ -312,7 +267,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_decontaminate",
     "q_llm_decontaminate_semantic",
     "q_llm_dedup_semantic_incr",
-    "q_llm_kmeans_iter",
     "q_llm_mix_sources",
     "q_llm_pack_chunks",
     "q_llm_sample_hash",
@@ -334,6 +288,52 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_running",
     "q_win_sliding_distinct",
     "q_win_topk_per_group",
+    "q_agg_group",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_histogram",
+    "q_join_bloom",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_lateral_topk",
+    "q_llm_ann_recall_nprobe",
+    "q_llm_bm25_search",
+    "q_llm_bpe_pairs",
+    "q_llm_cluster_quality",
+    "q_llm_curate_pipeline",
+    "q_llm_decontaminate_substring",
+    "q_llm_dedup_editdist",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_ngram",
+    "q_llm_dedup_prefix",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_exact",
+    "q_llm_dedup_substring",
+    "q_llm_embed_outliers",
+    "q_llm_imi_recall",
+    "q_llm_mine_margin_ivf",
+    "q_llm_mine_margin_ratio_ivf",
+    "q_llm_mine_margin_recall",
+    "q_llm_mix_temperature",
+    "q_llm_pii_redact",
+    "q_llm_pq_quantize",
+    "q_llm_quality_model",
+    "q_llm_repetition",
+    "q_llm_sample_weighted",
+    "q_llm_search_hybrid",
+    "q_llm_select_dsir",
+    "q_llm_sim_imipq",
+    "q_llm_sim_ivfpq",
+    "q_llm_sim_knn_scale",
+    "q_llm_sim_pq_adc",
+    "q_project_rename",
+    "q_resample_locf",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_tpch_q3",
 )
 
 
