@@ -3135,15 +3135,25 @@ LEFT JOIN border b ON b.v = emb.vec_id
     "to centroid k-means and similarity-graph CC/LPA: chain-linked "
     "sparse bridges do NOT merge dense groups (bridge nodes fail the "
     "core test) and outliers are labeled noise instead of polluting a "
-    "cluster. All-integer; core CC runs the convergence-checked "
-    "min-label loop (operators/graph.py), oracle = recursive-CTE "
-    "reachability over core-core edges (DuckDB UNION-distinct "
-    "recursion handles the cycles). Per stage one degree aggregate, "
-    "two semi-joins, the Pregel CC loop, one border min-join",
+    "cluster. All-integer; core CC runs the O(log n) star-contraction "
+    "loop (operators/graph.py — round 16: interleaved A/B vs the "
+    "min-label loop won in both orders, 4.96 vs 5.42 s med; the core "
+    "subgraph chains enough that diameter-bound propagation pays more "
+    "rounds), oracle = recursive-CTE reachability over core-core edges "
+    "(DuckDB UNION-distinct recursion handles the cycles). Per stage "
+    "one degree aggregate, two semi-joins, the star-CC loop, one "
+    "border min-join",
     tags=("llm", "similarity", "graph"),
 )
 def q_llm_cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from join_example_spark.operators.graph import connected_components
+    # Round 16: star-contraction CC instead of min-label propagation —
+    # same labeling (minimum reachable id; rows_equal verified at sf0.1
+    # and mirror-pinned at both fixture SFs), measured faster in BOTH
+    # interleave orders (the ≥3-degree core subgraph chains enough that
+    # the diameter-bound loop pays more rounds than O(log n) star).
+    # q_llm_cluster_quality keeps the min-label loop — the same A/B won
+    # the OTHER way there (see OPTIMIZATION_r16.md §10).
+    from join_example_spark.operators.graph import connected_components_star
 
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_pairs(emb, threshold=0.25)
@@ -3159,7 +3169,7 @@ def q_llm_cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_edges = edges.join(
         core.select(F.col("id").alias("src")), "src", "left_semi"
     ).join(core.select(F.col("id").alias("dst")), "dst", "left_semi")
-    cc = connected_components(core, core_edges, id_col="id")
+    cc = connected_components_star(core, core_edges, id_col="id")
     border = (
         edges.join(
             cc.select(F.col("id").alias("dst"), "cluster_id"), "dst"

@@ -97,14 +97,15 @@ def register_library(
 #: BEGIN AUTO-ROTATION
 #: (rewritten by tools/rotate_driver_priority.py --write — do not
 #: hand-edit; the tool regenerates comment AND tuple together)
-#: Ordering: never-proven/replanned first (10: q_graph_bfs, q_graph_kcore, q_graph_label_prop, q_llm_dedup_cluster_star, q_llm_dedup_keep_best, q_llm_dedup_semantic, q_llm_kmeans_converged, q_llm_kmeans_iter, q_llm_split_leakage_safe, q_recursive_chain),
+#: Ordering: never-proven/replanned first (11: q_graph_bfs, q_graph_kcore, q_graph_label_prop, q_llm_cluster_dbscan, q_llm_dedup_cluster_star, q_llm_dedup_keep_best, q_llm_dedup_semantic, q_llm_kmeans_converged, q_llm_kmeans_iter, q_llm_split_leakage_safe, q_recursive_chain),
 #: then ascending latest-driver-green round, name-ordered within a
-#: round. Latest-green histogram: r10x9, r11x37, r12x42, r13x45, r14x43, r15x46.
-#: Head-50 composition: newx10, r10x9, r11x31. Derived from CORRECTNESS_r{4..15}.json.
+#: round. Latest-green histogram: r10x9, r11x36, r12x42, r13x45, r14x43, r15x46.
+#: Head-50 composition: newx11, r10x9, r11x30. Derived from CORRECTNESS_r{4..15}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_bfs",
     "q_graph_kcore",
     "q_graph_label_prop",
+    "q_llm_cluster_dbscan",
     "q_llm_dedup_cluster_star",
     "q_llm_dedup_keep_best",
     "q_llm_dedup_semantic",
@@ -128,7 +129,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_groupingsets",
     "q_join_right",
     "q_join_semi",
-    "q_llm_cluster_dbscan",
     "q_llm_dedup_containment",
     "q_llm_dedup_cosine_lossless",
     "q_llm_dedup_exact",
